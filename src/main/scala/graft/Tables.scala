@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table readers over a scale-factor directory.
+  *
+  * All queries take the sf directory as a parameter so the driver can
+  * point them at sf0.001 / sf0.01 / sf0.1 (and, on a real cluster, at
+  * an object-store prefix holding the 100 TB layout). Reads are plain
+  * `spark.read.parquet` so Catalyst keeps predicate pushdown + column
+  * pruning on the scan.
+  */
+object Tables {
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
+  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
+    * read as a timestamp. Read it as raw nanos (legacy conf) and truncate
+    * to microseconds — the same floor DuckDB applies at `epoch_ms`
+    * granularity, so oracle comparisons agree. `DIV` keeps the math in
+    * exact integer space (ns since 2024 overflows double's 2^53). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** General analytics surface (SURVEY.md §2 #21-26).
+  *
+  * Oracle-parity note: aggregates over `double` columns are cast to
+  * decimal BEFORE aggregation. Decimal arithmetic is exact in both
+  * Spark and DuckDB, so sums are bit-identical regardless of
+  * partitioning / accumulation order; double sums would differ by FP
+  * associativity between engines (and between runs at different
+  * parallelism).
+  */
+object Analytics {
+
+  /** double column → exact decimal with 2 fractional digits. */
+  private def dec(c: Column): Column = c.cast(DecimalType(20, 2))
+
+  /** TPC-H Q1 shape: grouped aggregation with exact decimal sums.
+    * Scale: hash-agg with map-side partial aggregation; one shuffle of
+    * ~|groups| rows. Survives 100 TB because group cardinality is tiny. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: 3-way join + agg + top-N.
+    * Scale: customer filter is pushed to the scan; orders⋈lineitem is
+    * the only big shuffle; top-N via sort-limit (partial limits). */
+  def q3JoinTopn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+        $"o_orderpriority", $"revenue")
+  }
+
+  val q3JoinTopnSql: String =
+    """SELECT l_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 5-way star join; every dimension broadcast.
+    * Scale: single big shuffle (orders⋈lineitem); nation/region/
+    * supplier/customer are broadcast so no shuffle for them. */
+  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy($"n_name")
+  }
+
+  val q5MultijoinSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  /** Top-N per group: 3 highest-value orders per customer.
+    * Scale: one shuffle on o_custkey; rank inside partitions. */
+  def qWindowTopn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"o_custkey", $"o_orderkey", dec($"o_totalprice").as("o_totalprice"), $"rk")
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val qWindowTopnSql: String =
+    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(20,2)) AS o_totalprice, rk
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders
+      |) WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Sessionization: a new session starts after a >30 min gap per user;
+    * session id = cumulative count of session-starts up to the event.
+    * Scale: one shuffle on user_id; both windows share the same
+    * partitioning so Catalyst plans a single exchange + sort. */
+  def qSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull || unix_millis($"ts") - unix_millis($"prev_ts") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec($"value")).cast(DecimalType(38, 2)).as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qSessionizeSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000 THEN 1 ELSE 0 END AS new_session
+      |  FROM (
+      |    SELECT user_id, event_id, ts, value,
+      |      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |    FROM events
+      |  )
+      |), sessions AS (
+      |  SELECT user_id, event_id, value,
+      |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM marked
+      |)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  /** JSON extraction from the events.props payload — the reference
+    * parses JSONL entity-change payloads (csvprocessor/entity.go:126-139);
+    * here the engine-level capability: schema-on-read JSON columns. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qJsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join_topn" -> (q3JoinTopn _),
+    "q5_multijoin" -> (q5Multijoin _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_sessionize" -> (qSessionize _),
+    "q_json_extract" -> (qJsonExtract _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topn" -> q3JoinTopnSql,
+    "q5_multijoin" -> q5MultijoinSql,
+    "q_window_topn" -> qWindowTopnSql,
+    "q_sessionize" -> qSessionizeSql,
+    "q_json_extract" -> qJsonExtractSql
+  )
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1_agg: 6 flag/status groups, exact decimal sums") {
+    val rows = Analytics.q1Agg(spark, sf).collect()
+    assert(rows.length > 0 && rows.length <= 8)
+    val qty = rows.map(_.getAs[java.math.BigDecimal]("sum_qty").doubleValue).sum
+    assert(qty > 0)
+    // counts add up to the full table
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total === Tables.lineitem(spark, sf).count())
+  }
+
+  test("q3_join_topn: top-10, descending revenue") {
+    val rows = Analytics.q3JoinTopn(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    assert(revs.sameElements(revs.sorted.reverse))
+  }
+
+  test("q5_multijoin: one row per nation with revenue") {
+    val rows = Analytics.q5Multijoin(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.map(_.getAs[String]("n_name")).distinct.length == rows.length)
+  }
+
+  test("q_window_topn: at most 3 rows per customer, ranked") {
+    val rows = Analytics.qWindowTopn(spark, sf).collect()
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length <= 3))
+    assert(perCust.values.forall(g => g.map(_.getAs[Int]("rk")).sorted.sameElements(1 to g.length)))
+  }
+
+  test("q_sessionize: session ids start at 1 and are dense per user") {
+    val rows = Analytics.qSessionize(spark, sf).collect()
+    val perUser = rows.groupBy(_.getAs[Long]("user_id"))
+    perUser.values.foreach { g =>
+      val ids = g.map(_.getAs[Long]("session_id")).sorted
+      assert(ids.head == 1L && ids.sameElements(1L to ids.length))
+    }
+  }
+
+  test("q_json_extract: every event_type counted") {
+    val rows = Analytics.qJsonExtract(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
+  }
+}
