@@ -17,11 +17,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Analytics.queries
+    graft.queries.GraphLoad.queries ++
+      graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (marked rows-only in SURVEY.md §2). */
   def oracleSql: Map[String, String] =
-    graft.queries.Analytics.oracles
+    graft.queries.GraphLoad.oracles ++
+      graft.queries.Analytics.oracles
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SCD2 versioning of the entity-change stream (SURVEY.md §2 #1-4, #16).
+  *
+  * The reference keeps an in-memory `map[id]*Entity` and, on every
+  * UPDATE/DELETE, closes the previous version by writing it with
+  * `block_range=[startBlock, closeBlock)` (reference
+  * csvprocessor/processor.go:237-307). That sequential map is
+  * re-expressed as window functions partitioned by entity id:
+  *
+  *   - a version OPENS at every non-DELETE change's block;
+  *   - it CLOSES at the next change (of any operation) for the same id
+  *     — `lead(block_num) OVER (PARTITION BY id ORDER BY block_num)`;
+  *   - a DELETE closes the prior version and opens nothing.
+  *
+  * Scale (SURVEY.md §6): ONE shuffle on `id`. Entity ids are
+  * high-cardinality and per-id history is small, so partitions stay
+  * balanced at 100 TB; there is no driver-side state at all, unlike the
+  * reference's O(|live ids|) map.
+  */
+object EntityVersioner {
+
+  private val byId = Window.partitionBy("id").orderBy("block_num")
+
+  /** #1 gl_scd2_versions — full version history. `end_block` is NULL for
+    * the version still open at the stop block (reference
+    * csvprocessor/entity.go:23-29 emits `[start,)` for those). */
+  def scd2Versions(changes: DataFrame): DataFrame =
+    changes
+      .withColumn("end_block", lead(col("block_num"), 1).over(byId))
+      .filter(col("op") =!= "DELETE")
+      .select(col("id"), col("block_num").as("start_block"), col("end_block"), col("value"))
+
+  /** #2 gl_squash_latest — final state per id at the stop block,
+    * equivalent to the reference's `flushAllEntities` of the in-memory
+    * map (processor.go:183-190). Uses `max_by` hash aggregation, NOT a
+    * window: partial (map-side) aggregation cuts the shuffle to
+    * ~|distinct ids| rows before the exchange. */
+  def squashLatest(changes: DataFrame): DataFrame =
+    changes
+      .groupBy(col("id"))
+      .agg(
+        max(col("block_num")).as("last_block"),
+        max_by(col("op"), col("block_num")).as("last_op"),
+        max_by(col("value"), col("block_num")).as("value")
+      )
+      .filter(col("last_op") =!= "DELETE")
+      .select(col("id"), col("last_block"), col("value"))
+
+  /** #3 gl_immutable_block — immutable entities skip versioning: one row
+    * per change carrying its creation block (`block$` column, reference
+    * csvprocessor/writer.go:142-166). Pure projection — no shuffle. */
+  def immutableBlock(changes: DataFrame): DataFrame =
+    changes
+      .filter(col("op") =!= "DELETE")
+      .select(col("id"), col("block_num"), col("value"))
+
+  /** #4 gl_delete_tombstone — versions closed specifically by a DELETE
+    * (reference processor.go:285-296: DELETE writes the prior version
+    * with a closed range and drops the id from state). */
+  def deleteTombstone(changes: DataFrame): DataFrame =
+    changes
+      .withColumn("end_block", lead(col("block_num"), 1).over(byId))
+      .withColumn("next_op", lead(col("op"), 1).over(byId))
+      .filter(col("op") =!= "DELETE" && col("next_op") === "DELETE")
+      .select(col("id"), col("block_num").as("start_block"), col("end_block"), col("value"))
+
+  /** #16 gl_asof_lookup — graph-node time travel: entity state as-of
+    * block B is the version with `block_range @> B`, i.e.
+    * `start<=B AND (end IS NULL OR end>B)`. At scale the filter prunes
+    * before any further join — this is a filter over the SCD2 output,
+    * never a re-scan of the change stream. */
+  def asofLookup(changes: DataFrame, atBlock: Long): DataFrame =
+    scd2Versions(changes)
+      .filter(col("start_block") <= atBlock &&
+        (col("end_block").isNull || col("end_block") > atBlock))
+      .select(col("id"), col("start_block"), col("value"))
+}

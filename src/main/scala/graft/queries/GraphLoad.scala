@@ -1,0 +1,307 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{GraphCsv, Normalize}
+import graft.operators.{Bundler, EntityVersioner, Poi, VidAssigner}
+import graft.sources.EntityChanges
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core graph-load pipeline surface (SURVEY.md §2 #1-20).
+  *
+  * Each entry re-expresses one behavior of the reference's
+  * sinker→tocsv→inject pipeline as a declarative dataframe program over
+  * the entity-change stream ([[graft.sources.EntityChanges]]), with a
+  * DuckDB oracle twin derived from the identical `changes` CTE.
+  */
+object GraphLoad {
+
+  /** Bundle size in blocks — the reference default layout's file range
+    * width (bundler/bundler.go:181-203). */
+  val BundleSize = 1000L
+  /** Events per POI "block" and blocks per POI chain segment. */
+  val PoiBlockSize = 10L
+  val PoiBlocksPerBundle = 100L
+  /** As-of lookup point — exists at every scale factor. */
+  val AsofBlock = 500L
+
+  private def ch(s: SparkSession, d: String): DataFrame = EntityChanges.changes(s, d)
+  private val W = "WITH " + EntityChanges.changesSql
+
+  /** Versions CTE shared by the SCD2-family oracles. */
+  private val versionsCte =
+    """versions AS (
+      |  SELECT id, block_num AS start_block,
+      |         lead(block_num) OVER (PARTITION BY id ORDER BY block_num) AS end_block,
+      |         lead(op)        OVER (PARTITION BY id ORDER BY block_num) AS next_op,
+      |         op, value
+      |  FROM changes
+      |)""".stripMargin
+
+  // ---- queries -------------------------------------------------------
+
+  def glScd2Versions(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.scd2Versions(ch(s, d))
+
+  def glSquashLatest(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.squashLatest(ch(s, d))
+
+  def glImmutableBlock(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.immutableBlock(ch(s, d))
+
+  def glDeleteTombstone(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.deleteTombstone(ch(s, d))
+
+  def glBundleAssign(s: SparkSession, d: String): DataFrame =
+    Bundler.bundleAssign(ch(s, d), BundleSize)
+
+  def glVidAssign(s: SparkSession, d: String): DataFrame =
+    VidAssigner.assignVids(s, ch(s, d), BundleSize)
+
+  def glBlockRangeText(s: SparkSession, d: String): DataFrame = {
+    val v = EntityVersioner.scd2Versions(ch(s, d))
+    v.select(col("id"), col("start_block"),
+      GraphCsv.blockRangeText(col("start_block"), col("end_block")).as("block_range"))
+  }
+
+  def glCsvBytesHex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      GraphCsv.byteaHex(unhex(md5(col("text")))).as("bytea"))
+
+  def glCsvEscapeArray(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      GraphCsv.escapedStringArray(
+        concat(array(lit("a\\b,c")), slice(split(col("text"), " "), 1, 4))).as("pg_array"))
+
+  def glCsvTypedNull(s: SparkSession, d: String): DataFrame = {
+    val c = ch(s, d)
+    val dv = when(col("op") === "DELETE", lit(null)).otherwise(col("value").cast("decimal(20,2)"))
+    val sv = when(col("op") === "DELETE", lit(null)).otherwise(col("op"))
+    val bv = when(col("op") === "DELETE", lit(null)).otherwise(col("value") > 50)
+    c.select(col("id"), col("block_num"),
+      GraphCsv.typedText(dv, "BigDecimal", nullable = true).as("bigdec_nullable"),
+      GraphCsv.typedText(dv, "BigDecimal", nullable = false).as("bigdec_nonnull"),
+      GraphCsv.typedText(sv, "String", nullable = false).as("str_nonnull"),
+      GraphCsv.typedText(bv, "Boolean", nullable = false).as("bool_nonnull"))
+  }
+
+  def glPoiBlockDigest(s: SparkSession, d: String): DataFrame =
+    Poi.blockDigest(ch(s, d), PoiBlockSize)
+
+  def glPoiChain(s: SparkSession, d: String): DataFrame =
+    Poi.poiChain(ch(s, d), PoiBlockSize, PoiBlocksPerBundle)
+
+  def glSchemaNormalize(s: SparkSession, d: String): DataFrame = {
+    val camel1 = concat(lit("user"), upper(substring(col("event_type"), 1, 1)),
+      substring(col("event_type"), 2, 100), lit("ID"))
+    val camel2 = concat(lit("total"), upper(substring(col("event_type"), 1, 1)),
+      substring(col("event_type"), 2, 100), lit("CountV2"))
+    Tables.events(s, d)
+      .select(camel1.as("n1"), camel2.as("n2")).distinct()
+      .select(col("n1"), col("n2"),
+        Normalize.toSnake(col("n1")).as("s1"), Normalize.toSnake(col("n2")).as("s2"))
+  }
+
+  def glEntityStats(s: SparkSession, d: String): DataFrame =
+    ch(s, d).groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("n_ids"),
+        max(col("block_num")).as("last_block"))
+
+  def glLastBlock(s: SparkSession, d: String): DataFrame =
+    ch(s, d).agg(max(col("block_num")).as("last_block"), count(lit(1)).as("n_changes"))
+      .withColumn("block_hash", md5(col("last_block").cast("string")))
+
+  def glAsofLookup(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.asofLookup(ch(s, d), AsofBlock)
+
+  def glRangeContiguity(s: SparkSession, d: String): DataFrame =
+    Bundler.rangeContiguity(ch(s, d), BundleSize)
+
+  def glTypedBigint(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(sum(col("l_orderkey").cast("decimal(18,0)") * col("l_partkey").cast("decimal(18,0)"))
+        .cast("decimal(38,0)").as("big_product_sum"))
+
+  def glTypedBigdecimal(s: SparkSession, d: String): DataFrame =
+    ch(s, d).groupBy(col("op"))
+      .agg(
+        sum(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
+          .cast("decimal(38,12)").as("sum_val"),
+        min(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("min_val"),
+        max(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("max_val"))
+
+  def glJsonlParse(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .filter(col("k") > 90)
+
+  // ---- oracle twins --------------------------------------------------
+
+  val oracles: Map[String, String] = Map(
+    "gl_scd2_versions" ->
+      s"""$W, $versionsCte
+         |SELECT id, start_block, end_block, value FROM versions WHERE op <> 'DELETE'""".stripMargin,
+
+    "gl_squash_latest" ->
+      s"""$W
+         |SELECT id, block_num AS last_block, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY block_num DESC) AS rn FROM changes
+         |) WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+
+    "gl_immutable_block" ->
+      s"""$W
+         |SELECT id, block_num, value FROM changes WHERE op <> 'DELETE'""".stripMargin,
+
+    "gl_delete_tombstone" ->
+      s"""$W, $versionsCte
+         |SELECT id, start_block, end_block, value FROM versions
+         |WHERE op <> 'DELETE' AND next_op = 'DELETE'""".stripMargin,
+
+    "gl_bundle_assign" ->
+      s"""$W
+         |SELECT block_num // $BundleSize AS bundle,
+         |       (block_num // $BundleSize) * $BundleSize AS file_start,
+         |       (block_num // $BundleSize) * $BundleSize + ${BundleSize - 1} AS file_end,
+         |       COUNT(*) AS n_changes, MIN(block_num) AS min_block, MAX(block_num) AS max_block
+         |FROM changes GROUP BY 1, 2, 3""".stripMargin,
+
+    "gl_vid_assign" ->
+      s"""$W
+         |SELECT row_number() OVER (ORDER BY block_num, id) AS vid, id, block_num
+         |FROM changes WHERE op <> 'DELETE'""".stripMargin,
+
+    "gl_block_range_text" ->
+      s"""$W, $versionsCte
+         |SELECT id, start_block,
+         |       '[' || CAST(start_block AS VARCHAR) || ',' ||
+         |       COALESCE(CAST(end_block AS VARCHAR), '') || ')' AS block_range
+         |FROM versions WHERE op <> 'DELETE'""".stripMargin,
+
+    "gl_csv_bytes_hex" ->
+      """SELECT doc_id, '\x' || md5(text) AS bytea FROM documents""",
+
+    "gl_csv_escape_array" ->
+      """SELECT doc_id,
+        |  '{' || array_to_string(
+        |    list_transform(list_concat(['a\b,c'], string_split(text, ' ')[1:4]),
+        |      x -> replace(replace(replace(x, chr(0), ''), '\', '\\'), ',', '\,')),
+        |    ',') || '}' AS pg_array
+        |FROM documents""".stripMargin,
+
+    "gl_csv_typed_null" ->
+      s"""$W, t AS (
+         |  SELECT id, block_num,
+         |    CASE WHEN op = 'DELETE' THEN NULL ELSE CAST(value AS DECIMAL(20,2)) END AS dv,
+         |    CASE WHEN op = 'DELETE' THEN NULL ELSE op END AS sv,
+         |    CASE WHEN op = 'DELETE' THEN NULL ELSE value > 50 END AS bv
+         |  FROM changes)
+         |SELECT id, block_num,
+         |  COALESCE(CAST(dv AS VARCHAR), 'NULL')  AS bigdec_nullable,
+         |  COALESCE(CAST(dv AS VARCHAR), '0')     AS bigdec_nonnull,
+         |  COALESCE(sv, '')                       AS str_nonnull,
+         |  COALESCE(CAST(bv AS VARCHAR), 'false') AS bool_nonnull
+         |FROM t""".stripMargin,
+
+    "gl_poi_block_digest" ->
+      s"""$W, blocks AS (
+         |  SELECT block_num // $PoiBlockSize AS block, block_num,
+         |         op || ':' || id || ':' || CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR) AS r
+         |  FROM changes)
+         |SELECT block, md5(string_agg(r, '|' ORDER BY block_num)) AS digest, COUNT(*) AS n_events
+         |FROM blocks GROUP BY block""".stripMargin,
+
+    "gl_poi_chain" ->
+      s"""$W, blocks AS (
+         |  SELECT block_num // $PoiBlockSize AS block, block_num,
+         |         op || ':' || id || ':' || CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR) AS r
+         |  FROM changes),
+         |digests AS (
+         |  SELECT block, md5(string_agg(r, '|' ORDER BY block_num)) AS digest
+         |  FROM blocks GROUP BY block)
+         |SELECT block // $PoiBlocksPerBundle AS bundle,
+         |       md5(string_agg(digest, '' ORDER BY block)) AS poi,
+         |       COUNT(*) AS n_blocks
+         |FROM digests GROUP BY 1""".stripMargin,
+
+    "gl_schema_normalize" ->
+      s"""WITH names AS (
+         |  SELECT DISTINCT
+         |    'user' || upper(substr(event_type,1,1)) || substr(event_type,2) || 'ID' AS n1,
+         |    'total' || upper(substr(event_type,1,1)) || substr(event_type,2) || 'CountV2' AS n2
+         |  FROM events)
+         |SELECT n1, n2, ${Normalize.toSnakeSql("n1")} AS s1, ${Normalize.toSnakeSql("n2")} AS s2
+         |FROM names""".stripMargin,
+
+    "gl_entity_stats" ->
+      s"""$W
+         |SELECT op, COUNT(*) AS n, COUNT(DISTINCT id) AS n_ids, MAX(block_num) AS last_block
+         |FROM changes GROUP BY op""".stripMargin,
+
+    "gl_last_block" ->
+      s"""$W
+         |SELECT MAX(block_num) AS last_block, COUNT(*) AS n_changes,
+         |       md5(CAST(MAX(block_num) AS VARCHAR)) AS block_hash
+         |FROM changes""".stripMargin,
+
+    "gl_asof_lookup" ->
+      s"""$W, $versionsCte
+         |SELECT id, start_block, value FROM versions
+         |WHERE op <> 'DELETE' AND start_block <= $AsofBlock
+         |  AND (end_block IS NULL OR end_block > $AsofBlock)""".stripMargin,
+
+    "gl_range_contiguity" ->
+      s"""$W, manifest AS (
+         |  SELECT block_num // $BundleSize AS bundle,
+         |         (block_num // $BundleSize) * $BundleSize AS file_start,
+         |         (block_num // $BundleSize) * $BundleSize + ${BundleSize - 1} AS file_end
+         |  FROM changes GROUP BY 1, 2, 3)
+         |SELECT bundle, file_start, file_end,
+         |       lag(file_end) OVER (ORDER BY bundle) AS prev_end,
+         |       (lag(file_end) OVER (ORDER BY bundle) IS NULL
+         |        OR file_start = lag(file_end) OVER (ORDER BY bundle) + 1) AS contiguous
+         |FROM manifest""".stripMargin,
+
+    "gl_typed_bigint" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(l_partkey AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS big_product_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "gl_typed_bigdecimal" ->
+      s"""$W
+         |SELECT op,
+         |  CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(38,12)) AS sum_val,
+         |  MIN(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS min_val,
+         |  MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS max_val
+         |FROM changes GROUP BY op""".stripMargin,
+
+    "gl_jsonl_parse" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+        |) WHERE k > 90""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gl_scd2_versions" -> (glScd2Versions _),
+    "gl_squash_latest" -> (glSquashLatest _),
+    "gl_immutable_block" -> (glImmutableBlock _),
+    "gl_delete_tombstone" -> (glDeleteTombstone _),
+    "gl_bundle_assign" -> (glBundleAssign _),
+    "gl_vid_assign" -> (glVidAssign _),
+    "gl_block_range_text" -> (glBlockRangeText _),
+    "gl_csv_bytes_hex" -> (glCsvBytesHex _),
+    "gl_csv_escape_array" -> (glCsvEscapeArray _),
+    "gl_csv_typed_null" -> (glCsvTypedNull _),
+    "gl_poi_block_digest" -> (glPoiBlockDigest _),
+    "gl_poi_chain" -> (glPoiChain _),
+    "gl_schema_normalize" -> (glSchemaNormalize _),
+    "gl_entity_stats" -> (glEntityStats _),
+    "gl_last_block" -> (glLastBlock _),
+    "gl_asof_lookup" -> (glAsofLookup _),
+    "gl_range_contiguity" -> (glRangeContiguity _),
+    "gl_typed_bigint" -> (glTypedBigint _),
+    "gl_typed_bigdecimal" -> (glTypedBigdecimal _),
+    "gl_jsonl_parse" -> (glJsonlParse _)
+  )
+}

@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The entity-change stream (SURVEY.md §3 data-model mapping).
+  *
+  * The reference consumes protobuf `EntityChanges` keyed by
+  * `(entity id, block_num, operation)` (csvprocessor/entity.go:126-139).
+  * The driver's synthetic `events` table stands in for that stream:
+  * `user_id` = entity id, `event_id` = block number (monotonic),
+  * `event_type` maps to the operation enum, `value`/`props` are the
+  * entity's fields.
+  *
+  * Everything downstream (versioning, bundling, POI, CSV serialization)
+  * consumes this one view, exactly as the reference's stages all consume
+  * `EntityChangeAtBlockNum`.
+  *
+  * Scale: a pure projection — no shuffle, stays inside the parquet scan's
+  * whole-stage codegen, column pruning drops `ts` at the source.
+  */
+object EntityChanges {
+
+  /** operation mapping: signup→CREATE, error→DELETE, rest→UPDATE. */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir).select(
+      $"user_id".cast("string").as("id"),
+      $"event_id".as("block_num"),
+      when($"event_type" === "signup", "CREATE")
+        .when($"event_type" === "error", "DELETE")
+        .otherwise("UPDATE").as("op"),
+      $"value",
+      $"props"
+    )
+  }
+
+  /** DuckDB twin of [[changes]], used as a WITH-clause prefix by every
+    * gl_* oracle so both engines derive from the identical stream. */
+  val changesSql: String =
+    """changes AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS id,
+      |         event_id AS block_num,
+      |         CASE WHEN event_type = 'signup' THEN 'CREATE'
+      |              WHEN event_type = 'error'  THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS op,
+      |         value, props
+      |  FROM events
+      |)""".stripMargin
+}

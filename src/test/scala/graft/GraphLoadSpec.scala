@@ -1,0 +1,76 @@
+package graft
+
+import graft.queries.GraphLoad
+import graft.sources.EntityChanges
+import graft.functions.Normalize
+import org.apache.spark.sql.functions._
+
+class GraphLoadSpec extends SparkSpec {
+
+  test("gl_scd2_versions: per-id ranges are contiguous and non-overlapping") {
+    val rows = GraphLoad.glScd2Versions(spark, sf)
+      .orderBy("id", "start_block").collect()
+    rows.groupBy(_.getAs[String]("id")).values.foreach { g =>
+      g.sliding(2).foreach {
+        case Array(a, b) =>
+          // a's end is at or before b's start (a DELETE between them may
+          // close a's range strictly before b opens)
+          assert(!a.isNullAt(a.fieldIndex("end_block")))
+          assert(a.getAs[Long]("end_block") <= b.getAs[Long]("start_block"))
+        case _ =>
+      }
+      // only the last version may be open
+      g.dropRight(1).foreach(r => assert(!r.isNullAt(r.fieldIndex("end_block"))))
+    }
+  }
+
+  test("gl_squash_latest agrees with the open scd2 version per id") {
+    val open = GraphLoad.glScd2Versions(spark, sf)
+      .filter(col("end_block").isNull)
+      .select(col("id"), col("start_block").as("last_block"), col("value"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val squashed = GraphLoad.glSquashLatest(spark, sf)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(squashed === open)
+  }
+
+  test("gl_vid_assign: vids are dense 1..n in block order") {
+    val rows = GraphLoad.glVidAssign(spark, sf).orderBy("vid").collect()
+    assert(rows.map(_.getAs[Long]("vid")).sameElements(1L to rows.length))
+    val blocks = rows.map(_.getAs[Long]("block_num"))
+    assert(blocks.sameElements(blocks.sorted))
+  }
+
+  test("gl_poi digests are deterministic across runs") {
+    val a = GraphLoad.glPoiChain(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = GraphLoad.glPoiChain(spark, sf).collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("normalize: reference strcase cases (schema/normalize.go)") {
+    import spark.implicits._
+    val got = Seq("userClickID", "APIKey", "totalCountV2", "already_snake", "Count2x")
+      .toDF("s").select(Normalize.toSnake($"s")).as[String].collect()
+    assert(got.sameElements(Seq(
+      "user_click_id", "api_key", "total_count_v2", "already_snake", "count_2x")))
+  }
+
+  test("gl_csv_escape_array escapes backslash and comma, strips NUL") {
+    import spark.implicits._
+    val got = Seq(Tuple1(Seq("a\\b", "c,d", ("e" + "\u0000" + "f")))).toDF("arr")
+      .select(graft.functions.GraphCsv.escapedStringArray($"arr")).as[String].collect().head
+    assert(got === "{a\\\\b,c\\,d,ef}")
+  }
+
+  test("gl_asof_lookup returns at most one version per id") {
+    val rows = GraphLoad.glAsofLookup(spark, sf).collect()
+    val ids = rows.map(_.getAs[String]("id"))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("gl_bundle_assign covers every change exactly once") {
+    val n = GraphLoad.glBundleAssign(spark, sf)
+      .agg(sum("n_changes")).collect().head.getLong(0)
+    assert(n === EntityChanges.changes(spark, sf).count())
+  }
+}
