@@ -18,12 +18,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.GraphLoad.queries ++
-      graft.queries.Analytics.queries
+      graft.queries.Analytics.queries ++
+      graft.queries.Dedup.queries ++
+      graft.queries.TextAnalysis.queries ++
+      graft.queries.Ann.queries ++
+      graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (marked rows-only in SURVEY.md §2). */
   def oracleSql: Map[String, String] =
     graft.queries.GraphLoad.oracles ++
-      graft.queries.Analytics.oracles
+      graft.queries.Analytics.oracles ++
+      graft.queries.Dedup.oracles ++
+      graft.queries.TextAnalysis.oracles ++
+      graft.queries.Ann.oracles ++
+      graft.queries.Multimodal.oracles
 }

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Word n-gram shingling shared by the dedup family (SURVEY.md §2
+  * #28-30). A document's shingle set is its distinct consecutive-word
+  * 3-grams; documents with fewer than n words have an empty set.
+  * Pure higher-order expressions — shingling 100 TB of text is a
+  * map-only stage.
+  */
+object Shingles {
+
+  val N = 3
+
+  def shingles(text: Column, n: Int = N): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin: CTE producing (doc_id, s) exploded distinct shingles
+    * of `documents.text`. */
+  def shinglesCteSql(n: Int = N): String = {
+    val parts = (0 until n).map(k => if (k == 0) "w[i]" else s"w[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(generate_series(1, greatest(len(w) - ${n - 1}, 0)),
+       |                               i -> $parts)) AS s
+       |  FROM toks
+       |)""".stripMargin
+  }
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector primitives (SURVEY.md §2 #31-33).
+  *
+  * Cross-engine float summation order is not portable (oracle parity,
+  * SURVEY.md §4), so similarity math runs on QUANTIZED vectors:
+  * `floor(x * 1e6)` per element is exact int64 in both engines
+  * (float→double is exact, the multiply and floor are IEEE-identical),
+  * dot products stay integer (64 dims × 1e12 < 2^63), and the final
+  * cosine is one correctly-rounded double division — bit-identical in
+  * Spark and DuckDB.
+  *
+  * All higher-order built-ins (`transform`/`zip_with`/`aggregate`) —
+  * codegen-friendly, no UDFs, fully distributed.
+  */
+object Vectors {
+
+  /** float array → exact int64 array (×1e6). */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000000d).cast("long"))
+
+  /** integer dot product of two quantized vectors (sequential fold —
+    * deterministic, and exact in int64). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** cosine from integer dot + integer squared norms: one double
+    * division and sqrt over exactly-representable inputs. */
+  def cosine(dotAb: Column, na2: Column, nb2: Column): Column =
+    dotAb.cast("double") / sqrt(na2.cast("double") * nb2.cast("double"))
+
+  /** DuckDB twins (same math, same order). */
+  val quantizeSql: String => String =
+    v => s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+  def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i]))"
+  def cosineSql(dot: String, na2: String, nb2: String): String =
+    s"CAST($dot AS DOUBLE) / sqrt(CAST($na2 AS DOUBLE) * CAST($nb2 AS DOUBLE))"
+
+  // ---- deterministic random-hyperplane LSH ---------------------------
+
+  /** ±1 hyperplane component for plane `j`, dimension `d`, derived from
+    * md5 — reproducible in SQL (`substr(md5(j||'_'||d),1,1) <= '7'`).
+    * The matrix is tiny and constant; Spark embeds it as literals, the
+    * oracle recomputes it inline. */
+  def planeSign(j: Int, d: Int): Int = {
+    val h = MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$d".getBytes(StandardCharsets.UTF_8))
+    // first hex char = high nibble of byte 0; 0-7 -> +1, 8-f -> -1
+    if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
+  }
+
+  /** `nPlanes`-bit sign bucket of a quantized vector as a '0'/'1'
+    * string. One codegen'd expression per plane. `planeOffset` selects
+    * an independent plane set — the basis of multi-table LSH. */
+  def signBucket(qv: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { j =>
+      val signs = (0 until dims).map(planeSign(planeOffset + j, _))
+      val planeDot = aggregate(
+        zip_with(qv, typedLit(signs), (x, s) => x * s.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      when(planeDot >= 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
+  }
+
+  /** All buckets within hamming distance `maxDist` of `bucket` —
+    * multiprobe LSH. The flip masks are a literal array; the expansion
+    * is one `transform` over them, fully codegen'd. */
+  def hammingProbes(bucket: Column, nPlanes: Int, maxDist: Int): Column = {
+    val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= maxDist)
+    transform(typedLit(masks), m =>
+      concat((1 to nPlanes).map { p =>
+        val bit = shiftright(m, nPlanes - p).bitwiseAND(1)
+        val c = bucket.substr(p, 1)
+        when(bit === 1, when(c === "1", "0").otherwise("1")).otherwise(c)
+      }: _*))
+  }
+
+  /** DuckDB twin of [[signBucket]] over a quantized-list expression. */
+  def signBucketSql(qv: String, nPlanes: Int, dims: Int): String = {
+    val bits = (0 until nPlanes).map { j =>
+      val dot = s"list_sum(list_transform(generate_series(1, $dims), d -> " +
+        s"(CASE WHEN substr(md5('${j}_' || CAST(d - 1 AS VARCHAR)), 1, 1) <= '7' THEN 1 ELSE -1 END) * $qv[d]))"
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }
+    bits.mkString(" || ")
+  }
+}

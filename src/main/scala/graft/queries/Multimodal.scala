@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2 #38, rows-only).
+  *
+  * Pattern for image/audio/video at 100 TB: the payload is an opaque
+  * `binary` column with a typed metadata struct; decode/feature-extract
+  * runs per-partition so decoder state is initialized once per
+  * partition, not per row. The decode itself is STUBBED (no media libs
+  * in this environment) with a deterministic fake that reads "features"
+  * from the payload bytes — the Spark-side plumbing (schema, binary
+  * columns, partition-wise batching, output schema) is real and tested.
+  */
+object Multimodal {
+
+  /** Output schema of the feature extractor. */
+  val FeatureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", IntegerType, nullable = false),
+    StructField("fake_width", IntegerType, nullable = false),
+    StructField("fake_height", IntegerType, nullable = false),
+    StructField("source", StringType, nullable = true)
+  ))
+
+  /** STUB decoder: in a real deployment this would hand `payload` to an
+    * image/audio codec. The fake derives deterministic "dimensions"
+    * from the first payload bytes so specs can assert exact values. */
+  def stubDecode(payload: Array[Byte]): (Int, Int) = {
+    val w = if (payload.length > 0) (payload(0) & 0xff) + 1 else 0
+    val h = if (payload.length > 1) (payload(1) & 0xff) + 1 else 0
+    (w, h)
+  }
+
+  /** #38 mm_binary_meta — binary payload + metadata in, features out.
+    * `mapPartitions` so a real decoder would amortize init per
+    * partition; everything before/after stays columnar. */
+  def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.documents(s, d).select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      struct(col("n_chars"), col("source"), col("lang")).as("meta"))
+
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(FeatureSchema)
+    in.mapPartitions { rows =>
+      // per-partition decoder init would go here (once, not per row)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val meta = r.getAs[Row]("meta")
+        val (w, h) = stubDecode(payload)
+        Row(r.getAs[Long]("doc_id"), payload.length, w, h,
+          meta.getAs[String]("source"))
+      }
+    }(enc)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> (mmBinaryMeta _)
+  )
+
+  /** rows-only: the stubbed decode has no SQL twin. */
+  val oracles: Map[String, String] = Map.empty
+}

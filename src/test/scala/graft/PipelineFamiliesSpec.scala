@@ -1,0 +1,129 @@
+package graft
+
+import graft.queries.{Ann, Dedup, Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("dd_exact: keep_id is the minimum doc_id of its hash group") {
+    val rows = Dedup.ddExact(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum === Tables.documents(spark, sf).count())
+    assert(rows.forall(_.getAs[Long]("keep_id") >= 0))
+  }
+
+  test("dd_ngram_jaccard: pairs are ordered, jaccard >= 1/2, symmetric-free") {
+    val rows = Dedup.ddNgramJaccard(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("inter") * 2 >= r.getAs[Long]("union_n"))
+    }
+    val keys = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("dd_minhash_lsh: exact duplicates always collide") {
+    import spark.implicits._
+    // exact dups share every shingle => identical signature => same bands
+    val dupPairs = Tables.documents(spark, sf)
+      .groupBy(md5($"text").as("h")).agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") > 1).select($"ids").as[Seq[Long]].collect()
+      .flatMap(ids => ids.sorted.combinations(2).map(p => (p(0), p(1))))
+      .toSet
+    val got = Dedup.ddMinhashLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // only pairs with >=3 words shingle; documents here are all long
+    assert(dupPairs.subsetOf(got), s"missing ${dupPairs.diff(got).take(5)}")
+  }
+
+  test("dd_simhash: identical texts get identical simhash; hamming to dups is 0") {
+    import spark.implicits._
+    val withText = Tables.documents(spark, sf).select($"doc_id", md5($"text").as("h"))
+    val sim = Dedup.ddSimhash(spark, sf)
+    val joined = sim.join(withText, "doc_id")
+      .groupBy($"h").agg(countDistinct($"simhash").as("n"))
+      .agg(max($"n")).collect().head.getLong(0)
+    assert(joined === 1L)
+  }
+
+  test("dd_embed_cosine: pairs pass the cosine threshold and share a bucket") {
+    val rows = Dedup.ddEmbedCosine(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("cos") >= Dedup.CosTau)
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("tx_token_count: counts are positive and n_bpe >= n_ws on clean text") {
+    val rows = TextAnalysis.txTokenCount(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_ws") > 0)
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_ws"))
+    }
+  }
+
+  test("tx_quality_score: ratios are in [0, 1000]") {
+    TextAnalysis.txQualityScore(spark, sf).collect().foreach { r =>
+      val s = r.getAs[Long]("stop_x1000"); val a = r.getAs[Long]("alpha_x1000")
+      assert(s >= 0 && s <= 1000); assert(a >= 0 && a <= 1000)
+    }
+  }
+
+  test("tx_lang_id: guess is one of the known langs or und") {
+    val langs = (TextAnalysis.LangOrder :+ "und").toSet
+    TextAnalysis.txLangId(spark, sf).collect().foreach { r =>
+      assert(langs.contains(r.getAs[String]("lang_guess")))
+    }
+  }
+
+  test("tx_fingerprint: identical for identical texts, stable across runs") {
+    val a = TextAnalysis.txFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val b = TextAnalysis.txFingerprint(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(a === b)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+
+  test("ann_topk_brute: exactly top-k rows per query, ranks dense, cos descending") {
+    val rows = Ann.annTopkBrute(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to g.length))
+      assert(g.length === Ann.TopK)
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ann_lsh_bucket: recall >= 0.9 vs brute force at sf0.001") {
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = keys(Ann.annTopkBrute(spark, sf))
+    val lsh = keys(Ann.annLshBucket(spark, sf))
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"lsh recall = $recall")
+    assert(recall >= 0.9, s"recall $recall too low")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("mm_binary_meta: stub decode matches the payload bytes exactly") {
+    val rows = Multimodal.mmBinaryMeta(spark, sf).collect()
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
+      assert(r.getAs[Int]("byte_len") === bytes.length)
+      val (w, h) = Multimodal.stubDecode(bytes)
+      assert(r.getAs[Int]("fake_width") === w && r.getAs[Int]("fake_height") === h)
+    }
+  }
+}
