@@ -8,19 +8,29 @@ import org.apache.spark.sql.functions._
   * 3-grams; documents with fewer than n words have an empty set.
   * Pure higher-order expressions — shingling 100 TB of text is a
   * map-only stage.
+  *
+  * PERFORMANCE CONTRACT: [[fromTokens]] takes an already-materialized
+  * token-array COLUMN, not an inline `split(...)` expression. An inline
+  * split gets re-evaluated for every `element_at` inside the transform
+  * lambda (O(tokens²) per doc — measured 12× slower at sf0.1); callers
+  * must project the tokens first:
+  * {{{
+  *   df.withColumn("w", Shingles.tokens($"text"))
+  *     .select($"doc_id", explode(Shingles.fromTokens($"w")).as("sh"))
+  * }}}
   */
 object Shingles {
 
   val N = 3
 
-  def shingles(text: Column, n: Int = N): Column = {
-    val w = split(text, " ")
+  def tokens(text: Column): Column = split(text, " ")
+
+  def fromTokens(w: Column, n: Int = N): Column =
     when(size(w) >= n,
       array_distinct(transform(
         sequence(lit(0), size(w) - n),
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** DuckDB twin: CTE producing (doc_id, s) exploded distinct shingles
     * of `documents.text`. */

@@ -25,10 +25,13 @@ object Vectors {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000000d).cast("long"))
 
-  /** integer dot product of two quantized vectors (sequential fold —
-    * deterministic, and exact in int64). */
+  /** integer dot product of two quantized vectors — the native
+    * codegen'd [[LongDot]] expression (resolved through the function
+    * registry; query entry points call
+    * [[graft.plans.GraftExtensions.ensureRegistered]]). Exact int64,
+    * deterministic. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    call_function("graft_long_dot", a, b)
 
   /** cosine from integer dot + integer squared norms: one double
     * division and sqrt over exactly-representable inputs. */
@@ -61,10 +64,8 @@ object Vectors {
     * an independent plane set — the basis of multi-table LSH. */
   def signBucket(qv: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { j =>
-      val signs = (0 until dims).map(planeSign(planeOffset + j, _))
-      val planeDot = aggregate(
-        zip_with(qv, typedLit(signs), (x, s) => x * s.cast("long")),
-        lit(0L), (acc, x) => acc + x)
+      val signs = (0 until dims).map(d => planeSign(planeOffset + j, d).toLong)
+      val planeDot = call_function("graft_long_dot", qv, typedLit(signs))
       when(planeDot >= 0, "1").otherwise("0")
     }
     concat(bits: _*)

@@ -24,11 +24,13 @@ object Ann {
   val NumPlanes = 8
   val Dims = 64
 
-  private def quantized(s: SparkSession, d: String): DataFrame =
+  private def quantized(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.dot(col("qv"), col("qv")))
       .filter(col("n2") > 0)
+  }
 
   // ---- #32 brute-force top-k ----------------------------------------
 
@@ -96,14 +98,22 @@ object Ann {
       .withColumn("probe", explode(
         Vectors.hammingProbes(col("qbucket"), NumPlanes, ProbeDist)))
 
+    // dedup on the id pair BEFORE touching vectors — a distinct over
+    // 64-element arrays would hash/compare the payload for every
+    // duplicate probe hit
     val candidates = corpus.join(broadcast(q),
         corpus("tbl") === q("tbl") && col("bucket") === col("probe") &&
           col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("qv"), col("n2"), col("qqv"), col("qn2"))
+      .select(col("qid"), col("vec_id"))
       .distinct()
 
-    val scored = candidates.withColumn("cos", Vectors.cosine(
-      Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
+    val qvecs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = candidates
+      .join(e, "vec_id")
+      .join(broadcast(qvecs), "qid")
+      .withColumn("cos", Vectors.cosine(
+        Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

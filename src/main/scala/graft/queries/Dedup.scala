@@ -47,46 +47,54 @@ object Dedup {
 
   // ---- shared shingle index -----------------------------------------
 
-  /** (doc_id, shingle) inverted index with the df cap applied.
-    * The cap is a broadcast-joined anti-filter: shingle doc-frequencies
-    * are aggregated (map-side combined), frequent shingles dropped. */
-  private def shingleIndex(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Shingles.shingles(col("text"))).as("sh"))
-    val hot = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select(col("sh"))
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
-  }
-
-  private val shingleIndexSql: String =
-    s"""${Shingles.shinglesCteSql()},
-       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > ${DfCap}),
-       |idx AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot))""".stripMargin
+  /** Capped shingle buckets: shingle → sorted doc list, buckets larger
+    * than the df cap dropped. ONE shuffle (map-side-combined list agg)
+    * replaces the classic index self-join. */
+  private def shingleBuckets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", Shingles.tokens(col("text")))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= DfCap)
+      .select(array_sort(col("ids")).as("ids"))
 
   // ---- #28 n-gram Jaccard -------------------------------------------
 
-  /** Near-dup pairs by shingle-set Jaccard >= 1/2, via the inverted
-    * index: pairs sharing >=1 (capped) shingle, intersection counted in
-    * the join, union from per-doc set sizes. The threshold test is
-    * exact integer arithmetic — no FP, oracle-portable. */
+  /** Near-dup pairs by shingle-set Jaccard >= 1/2. Pairs are generated
+    * per shingle bucket by an in-expression combination explode —
+    * bounded by DfCap² per bucket, never a cross join and never a
+    * second pass over the index. The threshold test is exact integer
+    * arithmetic — no FP, oracle-portable. */
   def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val idx = shingleIndex(s, d)
-    val sizes = idx.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = idx.as("a"); val b = idx.as("b")
-    val pairs = a.join(b,
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val buckets = shingleBuckets(s, d)
+    // all (a<b) pairs inside one bucket, as a flat struct array
+    val pairExpr = flatten(transform(
+      sequence(lit(1), size(col("ids")) - 1),
+      i => transform(
+        sequence(i + 1, size(col("ids"))),
+        j => struct(element_at(col("ids"), i).as("a"), element_at(col("ids"), j).as("b")))))
+    val pairs = buckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    val sizes = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * JacDen >= col("union_n") * JacNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"))
   }
 
+  /** Oracle twin — deliberately the CLASSIC index self-join
+    * formulation, independent of the bucket-combination plan above:
+    * agreement of two different algorithms is a stronger check. */
   val ddNgramJaccardSql: String =
-    s"""WITH $shingleIndexSql,
+    s"""WITH ${Shingles.shinglesCteSql()},
+       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > ${DfCap}),
+       |idx AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
@@ -100,18 +108,22 @@ object Dedup {
 
   // ---- #29 MinHash + LSH --------------------------------------------
 
-  /** MinHash signatures (16 md5-derived permutations, string-min — see
-    * [[PortableHash]]) banded 4×4; candidate pairs share a band bucket.
-    * The only shuffles: one agg to signatures (|docs| rows), one
-    * bucket join. */
+  /** MinHash signatures banded 4×4; candidate pairs share a band
+    * bucket. Each shingle is md5-hashed ONCE to 60 bits; the 16
+    * permutations are universal hashes (a·h+b mod P,
+    * [[PortableHash.perm]]) — exact int64, portable, and ~16× less
+    * hashing than seeded-md5 per permutation. The only shuffles: one
+    * agg to signatures (|docs| rows), one bucket join. */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Shingles.shingles(col("text"))).as("sh"))
-    val minCols = (0 until NumPerms).map(i => min(PortableHash.seededHex15(i, col("sh"))).as(s"h$i"))
+      .withColumn("w", Shingles.tokens(col("text")))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
+      .withColumn("h", PortableHash.long60(col("sh")))
+    val minCols = (0 until NumPerms).map(i => min(PortableHash.perm(i, col("h"))).as(s"h$i"))
     val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bands = mh.select(col("doc_id"), posexplode(array(
       (0 until NumPerms / BandRows).map(b =>
-        md5(concat_ws("|", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*))): _*
+        concat_ws("|", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)): _*
     )).as(Seq("band", "bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -122,16 +134,18 @@ object Dedup {
 
   val ddMinhashLshSql: String = {
     val mins = (0 until NumPerms)
-      .map(i => s"min(${PortableHash.seededHex15Sql(i, "s")}) AS h$i").mkString(",\n    ")
+      .map(i => s"min(${PortableHash.permSql(i, "h")}) AS h$i").mkString(",\n    ")
     val bandRows = (0 until NumPerms / BandRows).map { b =>
-      val cat = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(" || '|' || ")
-      s"SELECT doc_id, $b AS band, md5($cat) AS bkey FROM mh"
+      val cat = (0 until BandRows).map(r => s"CAST(h${b * BandRows + r} AS VARCHAR)")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band, $cat AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH ${Shingles.shinglesCteSql()},
+       |hashed AS (SELECT doc_id, ${PortableHash.long60Sql("s")} AS h FROM sh),
        |mh AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM sh GROUP BY doc_id),
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandRows)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -147,7 +161,8 @@ object Dedup {
     * the spec asserts identical docs hash identically. */
   def ddSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), explode(Shingles.shingles(col("text"))).as("sh"))
+      .withColumn("w", Shingles.tokens(col("text")))
+      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
       .withColumn("h", PortableHash.long60(col("sh")))
     val bitCols = (0 until 16).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
@@ -167,6 +182,7 @@ object Dedup {
     * generated within a bucket (expected bucket size n/256), then
     * verified with the exact integer-dot cosine. */
   def ddEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.dot(col("qv"), col("qv")))
