@@ -1,0 +1,111 @@
+package graft
+
+import graft.queries.{Analytics, Dedup, GraphLoad}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape assertions (SURVEY.md §7 step 7) — the scale
+  * properties the operators are designed around, enforced continuously:
+  * dimension joins broadcast, filters pushed to the parquet scan,
+  * windows/aggs shuffling exactly once, no single-partition stages in
+  * the scalable paths.
+  */
+class PlanSpec extends SparkSpec {
+
+  // one line per physical node (post-EnsureRequirements, pre-AQE-rerun)
+  private def physical(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def nodes(p: String, name: String): Int =
+    (s"""(?m)(^|[-:+](\\s)?)$name""").r.findAllIn(p).length
+  private def shuffles(p: String): Int =
+    nodes(p, "Exchange (hash|range|Single)")
+  private def bhj(p: String): Int = nodes(p, "BroadcastHashJoin")
+  private def bigJoins(p: String): Int =
+    nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin")
+  private def crossJoins(p: String): Int =
+    nodes(p, "CartesianProduct") + nodes(p, "BroadcastNestedLoopJoin")
+
+  test("q1_agg: partial+final hash agg, one data shuffle, pruned scan") {
+    val df = Analytics.q1Agg(spark, sf)
+    val p = physical(df)
+    assert(nodes(p, "HashAggregate") === 2, p) // partial+final
+    // one exchange for the agg + the tiny range partition for the sort
+    assert(shuffles(p) <= 2, p)
+    val f = formatted(df)
+    assert(f.contains("ReadSchema"))
+    assert(!f.contains("l_shipdate"), "scan reads columns the query never uses")
+  }
+
+  test("q3_join_topn: customer filter pushed down and broadcast") {
+    val df = Analytics.q3JoinTopn(spark, sf)
+    val p = physical(df)
+    assert(bhj(p) >= 1, p)
+    assert(formatted(df).contains("IsNotNull(c_mktsegment)"), "mktsegment filter not pushed")
+    // top-N is sort+limit (TakeOrderedAndProject), not a global sort
+    assert(nodes(p, "TakeOrderedAndProject") === 1, p)
+  }
+
+  test("q5_multijoin: every dimension broadcast, at most one big shuffle join") {
+    val p = physical(Analytics.q5Multijoin(spark, sf))
+    assert(bhj(p) >= 4, p)
+    assert(bigJoins(p) <= 1, p)
+  }
+
+  test("gl_scd2_versions: the versioning window shuffles exactly once") {
+    val p = physical(GraphLoad.glScd2Versions(spark, sf))
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "Window") === 1, p)
+  }
+
+  test("q_sessionize: both windows and the session agg share one partitioning") {
+    val p = physical(Analytics.qSessionize(spark, sf))
+    // one exchange on user_id feeds lag, the cumulative sum AND the
+    // final aggregate; the only other one is the output sort
+    assert(shuffles(p) <= 2, p)
+    assert(nodes(p, "Window") === 2, p)
+  }
+
+  test("gl_squash_latest: max_by is a two-phase agg, not a window") {
+    val p = physical(GraphLoad.glSquashLatest(spark, sf))
+    // max_by lowers to SortAggregate (immutable buffer) — what matters
+    // is the partial (map-side) phase and the single exchange
+    assert(nodes(p, "HashAggregate") + nodes(p, "SortAggregate") >= 2, p)
+    assert(p.contains("partial_max_by"), p)
+    assert(nodes(p, "Window") === 0, p)
+    assert(shuffles(p) === 1, p)
+  }
+
+  test("gl_vid_assign: no single-partition stage in the scalable path") {
+    val p = physical(GraphLoad.glVidAssign(spark, sf))
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+    assert(nodes(p, "BroadcastExchange") >= 1, "bundle offsets should broadcast: " + p)
+  }
+
+  test("gl_immutable_block and csv serialization are shuffle-free") {
+    assert(shuffles(physical(GraphLoad.glImmutableBlock(spark, sf))) === 0)
+    assert(shuffles(physical(GraphLoad.glCsvTypedNull(spark, sf))) === 0)
+    assert(shuffles(physical(GraphLoad.glCsvEscapeArray(spark, sf))) === 0)
+  }
+
+  test("dd_exact: map-side combine before the shuffle") {
+    val p = physical(Dedup.ddExact(spark, sf))
+    assert(nodes(p, "HashAggregate") === 2, p)
+    assert(shuffles(p) === 1, p)
+  }
+
+  test("dd_ngram_jaccard: size joins are broadcast, no cross join anywhere") {
+    val p = physical(Dedup.ddNgramJaccard(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    assert(bhj(p) >= 2, p)
+  }
+
+  test("ann queries never cross-join the corpus") {
+    val p = physical(graft.queries.Ann.annLshBucket(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // probe join against the corpus is broadcast (queries are tiny)
+    assert(bhj(p) >= 1, p)
+  }
+}
