@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.GraphCsv
+import graft.sources.GraphqlSchema.{EntityDesc, Field, FieldType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Schema-driven entity → graph-CSV serialization (reference
+  * csvprocessor/writer.go:142-311).
+  *
+  * Given an [[EntityDesc]] parsed from the subgraph schema
+  * ([[graft.sources.GraphqlSchema]]), produces the exact column layout
+  * the reference's `tocsv` writes for postgres COPY:
+  *
+  *   - header `id, block_range, <fields sorted by name>` — or `block\$`
+  *     instead of `block_range` for immutable entities
+  *     (writer.go:142-156);
+  *   - per-type value rendering: bytea `\x` hex, `{a,b}` escaped
+  *     arrays, typed NULL/defaults by nullability (writer.go:228-311).
+  *
+  * Everything is a column expression — serialization at 100 TB is a
+  * map-only stage; the physical CSV write is
+  * `df.write.csv` / [[Bundler.writeBundled]] which also handles
+  * quoting, exactly like the reference's `encoding/csv` layer.
+  */
+object CsvSerializer {
+
+  /** The CSV header for an entity (writer.go:142-156). */
+  def header(desc: EntityDesc): Seq[String] =
+    Seq("id", if (desc.immutable) "block$" else "block_range") ++
+      desc.orderedFields.map(_.name).filter(_ != "id")
+
+  /** One rendered column per header slot. Mutable entities read
+    * `start_block`/`end_block` for the range; immutable ones only
+    * `start_block` (writer.go:158-180). Field columns are read by
+    * their snake_case names. */
+  def csvColumns(desc: EntityDesc): Seq[Column] = {
+    val rangeCol =
+      if (desc.immutable) col("start_block").cast("string").as("block$")
+      else GraphCsv.blockRangeText(col("start_block"), col("end_block")).as("block_range")
+    val idCol = GraphCsv.typedText(col("id"), "String", nullable = false).as("id")
+    idCol +: rangeCol +: desc.orderedFields.filter(_.name != "id").map(renderField)
+  }
+
+  /** Serialize entity rows to the reference's CSV column layout. */
+  def serialize(rows: DataFrame, desc: EntityDesc): DataFrame =
+    rows.select(csvColumns(desc): _*)
+
+  private def renderField(f: Field): Column = {
+    val c = col(f.name)
+    val rendered: Column = (f.fieldType, f.array) match {
+      case (FieldType.Bytes, false) =>
+        GraphCsv.byteaHex(c)
+      case (FieldType.Bytes, true) =>
+        // hex values contain no commas/backslashes — plain join
+        concat(lit("{"),
+          array_join(transform(c, x => concat(lit("\\x"), lower(hex(x)))), ","),
+          lit("}"))
+      case (_, true) =>
+        GraphCsv.escapedStringArray(transform(c, _.cast("string")))
+      case (ft, false) =>
+        c.cast("string")
+    }
+    val graphType = f.fieldType match {
+      case FieldType.Id | FieldType.Str => "String"
+      case FieldType.Bytes              => "Bytes"
+      case FieldType.Int32              => "Int"
+      case FieldType.BigInt             => "BigInt"
+      case FieldType.BigDecimal         => "BigDecimal"
+      case FieldType.Bool               => "Boolean"
+      case FieldType.Float64            => "BigDecimal" // reference: not supported; closest text form
+    }
+    GraphCsv.typedText(rendered, graphType, f.nullable).as(f.name)
+  }
+}

@@ -130,6 +130,38 @@ object GraphLoad {
         min(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("min_val"),
         max(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("max_val"))
 
+  /** Sample subgraph schema for the schema-driven serialization path —
+    * the engine-level equivalent of pointing the reference's `tocsv` at
+    * a user's .graphql file. */
+  val EntitySdl: String =
+    """# stand-in subgraph schema for the events entity
+      |type UserState @entity {
+      |  id: ID!
+      |  value: BigDecimal!
+      |  lastOp: String
+      |  peers: [String!] @derivedFrom(field: "owner")
+      |}
+      |type PoiEvent @entity(immutable: true) {
+      |  id: ID!
+      |  digest: Bytes!
+      |}""".stripMargin
+
+  /** #1b gl_generic_tocsv — schema-driven tocsv: parse the SDL, build
+    * the SCD2 rows, render the exact reference CSV column layout via
+    * [[CsvSerializer]]. */
+  def glGenericTocsv(s: SparkSession, d: String): DataFrame = {
+    val desc = graft.sources.GraphqlSchema.parse(EntitySdl)
+      .find(_.name == "user_state")
+      .getOrElse(throw new IllegalStateException("user_state entity missing from SDL"))
+    val rows = ch(s, d)
+      .withColumn("end_block", lead(col("block_num"), 1)
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("block_num")))
+      .filter(col("op") =!= "DELETE")
+      .select(col("id"), col("block_num").as("start_block"), col("end_block"),
+        col("value").cast("decimal(20,2)").as("value"), col("op").as("last_op"))
+    graft.operators.CsvSerializer.serialize(rows, desc)
+  }
+
   def glJsonlParse(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
@@ -276,6 +308,15 @@ object GraphLoad {
          |  MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS max_val
          |FROM changes GROUP BY op""".stripMargin,
 
+    "gl_generic_tocsv" ->
+      s"""$W, $versionsCte
+         |SELECT id,
+         |  '[' || CAST(start_block AS VARCHAR) || ',' ||
+         |  COALESCE(CAST(end_block AS VARCHAR), '') || ')' AS block_range,
+         |  COALESCE(op, 'NULL') AS last_op,
+         |  COALESCE(CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR), '0') AS value
+         |FROM versions WHERE op <> 'DELETE'""".stripMargin,
+
     "gl_jsonl_parse" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
@@ -302,6 +343,7 @@ object GraphLoad {
     "gl_range_contiguity" -> (glRangeContiguity _),
     "gl_typed_bigint" -> (glTypedBigint _),
     "gl_typed_bigdecimal" -> (glTypedBigdecimal _),
-    "gl_jsonl_parse" -> (glJsonlParse _)
+    "gl_jsonl_parse" -> (glJsonlParse _),
+    "gl_generic_tocsv" -> (glGenericTocsv _)
   )
 }

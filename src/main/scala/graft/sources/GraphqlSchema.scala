@@ -1,0 +1,100 @@
+package graft.sources
+
+import scala.util.matching.Regex
+
+/** GraphQL entity-schema model + parser (SURVEY.md §1 stage 4;
+  * reference schema/entities.go:12-57,138-227).
+  *
+  * The reference derives an `EntityDesc` per `@entity` object type from
+  * the subgraph's GraphQL schema: typed fields
+  * (ID/String/Int/Float/Boolean/BigInt/BigDecimal/Bytes, plus
+  * list-of-T and nullability from `!`), `@derivedFrom` fields skipped,
+  * `@entity(immutable: true)` marking append-only entities, and all
+  * names normalized to snake_case.
+  *
+  * This parser covers that subset of the SDL grammar (object types,
+  * field defs, list/non-null wrappers, the two directives) — enough to
+  * load every schema shape the reference's own pipeline handles, with
+  * no external parser dependency.
+  */
+object GraphqlSchema {
+
+  sealed abstract class FieldType(val name: String)
+  object FieldType {
+    case object Id         extends FieldType("ID")
+    case object Str        extends FieldType("String")
+    case object Int32      extends FieldType("Int")
+    case object Float64    extends FieldType("Float")
+    case object Bool       extends FieldType("Boolean")
+    case object BigInt     extends FieldType("BigInt")
+    case object BigDecimal extends FieldType("BigDecimal")
+    case object Bytes      extends FieldType("Bytes")
+
+    /** Unknown names are entity references, stored as ID (reference
+      * entities.go toFieldType default). */
+    def of(s: String): FieldType = s match {
+      case "ID" => Id
+      case "String" => Str
+      case "Int" => Int32
+      case "Float" => Float64
+      case "Boolean" => Bool
+      case "BigInt" => BigInt
+      case "BigDecimal" => BigDecimal
+      case "Bytes" => Bytes
+      case _ => Id
+    }
+  }
+
+  /** One entity field: snake_cased name, scalar type, wrappers. */
+  case class Field(name: String, fieldType: FieldType, nullable: Boolean, array: Boolean)
+
+  /** One `@entity` type: snake_cased name, fields by name, orderedFields
+    * = name-sorted (reference entities.go OrderedFields). */
+  case class EntityDesc(name: String, fields: Map[String, Field], immutable: Boolean) {
+    def orderedFields: Seq[Field] = fields.values.toSeq.sortBy(_.name)
+  }
+
+  /** Scala-side snake_case, same rule set as the column expression
+    * [[graft.functions.Normalize.toSnake]]. */
+  def toSnake(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
+      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
+      .replaceAll("([a-z])([0-9])", "$1_$2")
+      .toLowerCase
+
+  private val TypeRe: Regex =
+    """(?s)type\s+(\w+)([^{]*)\{(.*?)\}""".r
+  private val EntityDirRe: Regex = """@entity(\s*\(([^)]*)\))?""".r
+  private val FieldRe: Regex =
+    """(?m)^\s*(\w+)\s*:\s*(\[?\s*\w+\s*!?\s*\]?\s*!?)\s*(@\w+(\s*\([^)]*\))?)?\s*$""".r
+
+  /** Parse every `@entity` type out of an SDL document. */
+  def parse(sdl: String): Seq[EntityDesc] = {
+    val noComments = sdl.linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")
+    TypeRe.findAllMatchIn(noComments).flatMap { m =>
+      val (typeName, header, body) = (m.group(1), m.group(2), m.group(3))
+      EntityDirRe.findFirstMatchIn(header).map { dir =>
+        val immutable = Option(dir.group(2)).exists(_.contains("immutable"))
+        val fields = FieldRe.findAllMatchIn(body).flatMap { fm =>
+          val (fname, ftype, fdir) = (fm.group(1), fm.group(2), Option(fm.group(3)))
+          if (fdir.exists(_.startsWith("@derivedFrom"))) None // reference skips these
+          else Some(parseField(fname, ftype))
+        }.toSeq
+        EntityDesc(toSnake(typeName), fields.map(f => f.name -> f).toMap, immutable)
+      }
+    }.toSeq
+  }
+
+  /** `[T!]!` wrappers → (array, element/field nullability); for arrays
+    * the reference takes nullability from the ELEMENT type
+    * (entities.go:193-197). */
+  private def parseField(rawName: String, rawType: String): Field = {
+    val t = rawType.replaceAll("\\s", "")
+    val array = t.startsWith("[")
+    val nullable =
+      if (array) !t.stripPrefix("[").takeWhile(_ != ']').endsWith("!")
+      else !t.endsWith("!")
+    val scalar = t.replaceAll("[\\[\\]!]", "")
+    Field(toSnake(rawName), FieldType.of(scalar), nullable, array)
+  }
+}
