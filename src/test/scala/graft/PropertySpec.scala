@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{GraphCsv, PortableHash, Vectors}
+import graft.sources.GraphqlSchema
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants for the portable primitives — randomized
+  * inputs driven through the actual Spark expressions (scalacheck
+  * generators, deterministic seeds). */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def forAll[A](gen: Gen[A], n: Int = 25)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+
+  private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  test("property: escaped pg arrays never contain an unescaped comma or backslash") {
+    val gen = Gen.listOfN(4, Gen.oneOf(word, Gen.const("a\\b"), Gen.const("x,y"), Gen.const("")))
+    forAll(gen) { (xs: List[String]) =>
+      val out = Seq(Tuple1(xs)).toDF("arr")
+        .select(GraphCsv.escapedStringArray($"arr")).as[String].head()
+      assert(out.startsWith("{") && out.endsWith("}"))
+      val body = out.drop(1).dropRight(1)
+      // after splitting on UNESCAPED commas we must get the arity back
+      val parts = body.split("(?<!\\\\),", -1)
+      assert(xs.isEmpty || parts.length === xs.length)
+      // every backslash escapes either a backslash or a comma
+      val noPairs = body.replace("\\\\", "").replace("\\,", "")
+      assert(!noPairs.contains("\\"))
+    }
+  }
+
+  test("property: snake_case normalization is idempotent (digit-free) and lowercase") {
+    // digit boundaries are NOT idempotent by design: the reference
+    // splits lower→digit but protects upper→digit, so V2→v2→v_2
+    // (schema/normalize.go:49-58); idempotence holds without digits
+    val camel = for {
+      parts <- Gen.nonEmptyListOf(Gen.oneOf("user", "Click", "ID", "count", "API"))
+    } yield parts.mkString
+    forAll(camel) { (s: String) =>
+      val one = GraphqlSchema.toSnake(s)
+      assert(GraphqlSchema.toSnake(one) === one) // idempotent
+      assert(one === one.toLowerCase)
+      assert(!one.contains("__"))
+    }
+  }
+
+  test("property: scala toSnake matches the column expression") {
+    val camel = Gen.nonEmptyListOf(Gen.oneOf("user", "Click", "ID", "V2", "x9", "Big")).map(_.mkString)
+    forAll(Gen.listOfN(8, camel)) { (names: List[String]) =>
+      whenever(names.nonEmpty) {
+        val viaExpr = names.toDF("s")
+          .select(graft.functions.Normalize.toSnake($"s")).as[String].collect().toList
+        assert(viaExpr === names.map(GraphqlSchema.toSnake))
+      }
+    }
+  }
+
+  test("property: universal-hash perms stay in [0, P) and are injective-ish") {
+    forAll(Gen.listOfN(50, Gen.chooseNum(0L, (1L << 60) - 1))) { (hs: List[Long]) =>
+      val df = hs.toDF("h")
+      val out = df.select(PortableHash.perm(3, $"h").as("p")).as[Long].collect()
+      assert(out.forall(p => p >= 0 && p < PortableHash.P))
+    }
+  }
+
+  test("property: LongDot equals the reference fold on random vectors") {
+    val vec = Gen.listOfN(16, Gen.chooseNum(-1000000L, 1000000L))
+    forAll(Gen.zip(vec, vec)) { case (a: List[Long], b: List[Long]) =>
+      graft.plans.GraftExtensions.ensureRegistered(spark)
+      val got = Seq((a, b)).toDF("a", "b")
+        .select(Vectors.dot($"a", $"b")).as[Long].head()
+      assert(got === a.zip(b).map { case (x, y) => x * y }.sum)
+    }
+  }
+}
