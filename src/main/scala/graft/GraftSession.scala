@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Library entry point: a SparkSession configured for graft's
+  * workload shape, with graft's native functions registered.
+  *
+  * Defaults chosen for scale (and why):
+  *   - AQE on with coalescing + skew-join splitting: runtime re-plans
+  *     absorb the skew/partition-count guesses that can't be made
+  *     statically across 5 orders of magnitude of SF;
+  *   - shuffle partitions sized by the caller (cores locally, 2-3× the
+  *     executor-core count on a cluster);
+  *   - UTC session timezone — block timestamps are epoch-based and the
+  *     oracle comparisons are timezone-sensitive.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+
+  /** Build (or reuse) the session and register graft's functions. */
+  def getOrCreate(master: String, shufflePartitions: Int): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    spark
+  }
+}

@@ -49,14 +49,18 @@ object Analytics {
 
   /** TPC-H Q3 shape: 3-way join + agg + top-N.
     * Scale: customer filter is pushed to the scan; orders⋈lineitem is
-    * the only big shuffle; top-N via sort-limit (partial limits). */
+    * the only big shuffle; top-N via sort-limit (partial limits).
+    * customer is NOT hinted broadcast — it scales with the fact data,
+    * so the choice is left to the optimizer/AQE (it still broadcasts
+    * at small SF, and degrades to a shuffle join at 100 TB instead of
+    * OOMing the driver). */
   def q3JoinTopn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
         .cast(DecimalType(38, 4)).as("revenue"))
@@ -79,9 +83,11 @@ object Analytics {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 shape: 5-way star join; every dimension broadcast.
-    * Scale: single big shuffle (orders⋈lineitem); nation/region/
-    * supplier/customer are broadcast so no shuffle for them. */
+  /** TPC-H Q5 shape: 5-way star join.
+    * Scale: single big shuffle (orders⋈lineitem); supplier/nation/
+    * region are bounded dimensions → explicit broadcast; customer
+    * scales with the data → optimizer's choice (AQE broadcasts while
+    * it fits, shuffles beyond). */
   def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -92,7 +98,7 @@ object Analytics {
     val reg = Tables.region(spark, dir)
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")

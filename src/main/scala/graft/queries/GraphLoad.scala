@@ -96,8 +96,13 @@ object GraphLoad {
       substring(col("event_type"), 2, 100), lit("ID"))
     val camel2 = concat(lit("total"), upper(substring(col("event_type"), 1, 1)),
       substring(col("event_type"), 2, 100), lit("CountV2"))
+    // distinct on the RAW low-cardinality column (dictionary-encoded in
+    // parquet) and derive the camel/snake forms on the few survivors —
+    // the name computation is a deterministic function of event_type,
+    // so this commutes with the distinct
     Tables.events(s, d)
-      .select(camel1.as("n1"), camel2.as("n2")).distinct()
+      .select(col("event_type")).distinct()
+      .select(camel1.as("n1"), camel2.as("n2"))
       .select(col("n1"), col("n2"),
         Normalize.toSnake(col("n1")).as("s1"), Normalize.toSnake(col("n2")).as("s2"))
   }
