@@ -65,4 +65,43 @@ class StreamingSpec extends SparkSpec {
     val line = written.limit(1).collect().head.getString(0)
     assert(line.split(",").length === 3)
   }
+
+  test("windowed stats finalize on watermark and drop late data") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import java.sql.Timestamp
+    case class TsChange(ts: Timestamp, id: String, block_num: Long, op: String)
+    val input = MemoryStream[(Long, String, Long, String)]
+    val changes = input.toDS()
+      .toDF("epoch", "id", "block_num", "op")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"epoch").as("ts"),
+        $"id", $"block_num", $"op")
+    val q = graft.streaming.EntityStatsStream
+      .windowedStats(changes, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L // window-aligned-ish base
+      // batch 1: two windows of events
+      input.addData(Seq(
+        (t0 + 0L, "a", 1L, "CREATE"), (t0 + 60L, "b", 2L, "UPDATE"),
+        (t0 + 120L, "a", 3L, "UPDATE")))
+      q.processAllAvailable()
+      // batch 2: jump far ahead -> watermark passes the first window
+      input.addData(Seq((t0 + 3600L, "c", 10L, "CREATE")))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the first window must be dropped
+      input.addData(Seq((t0 + 30L, "z", 99L, "CREATE")))
+      q.processAllAvailable()
+      input.addData(Seq((t0 + 7200L, "d", 11L, "CREATE")))
+      q.processAllAvailable()
+
+      val rows = spark.table("win_stats").collect()
+      assert(rows.nonEmpty)
+      // the finalized first-window rows must not include the late id "z"
+      val total = rows.map(_.getAs[Long]("n_changes")).sum
+      assert(total <= 4, s"late event leaked into finalized windows: ${rows.mkString})")
+      assert(rows.forall(_.getAs[Long]("last_block") != 99L))
+    } finally q.stop()
+  }
 }
