@@ -59,38 +59,34 @@ object Vectors {
     if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
   }
 
-  /** `nPlanes`-bit sign bucket of a quantized vector as a '0'/'1'
-    * string. One codegen'd expression per plane. `planeOffset` selects
-    * an independent plane set — the basis of multi-table LSH. */
-  def signBucket(qv: Column, nPlanes: Int, dims: Int, planeOffset: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { j =>
-      val signs = (0 until dims).map(d => planeSign(planeOffset + j, d).toLong)
-      val planeDot = call_function("graft_long_dot", qv, typedLit(signs))
-      when(planeDot >= 0, "1").otherwise("0")
-    }
-    concat(bits: _*)
-  }
+  /** Flattened ±1 matrix (row-major, planes × dims) for planes
+    * [offset, offset + nPlanes) — the literal input of
+    * [[SignBuckets]]. */
+  def planeMatrix(nPlanes: Int, dims: Int, offset: Int = 0): Seq[Long] =
+    (0 until nPlanes).flatMap(j => (0 until dims).map(d => planeSign(offset + j, d).toLong))
 
-  /** All buckets within hamming distance `maxDist` of `bucket` —
-    * multiprobe LSH. The flip masks are a literal array; the expansion
-    * is one `transform` over them, fully codegen'd. */
-  def hammingProbes(bucket: Column, nPlanes: Int, maxDist: Int): Column = {
+  /** Integer sign-LSH bucket keys, one per 8-plane group, via the
+    * single-pass [[SignBuckets]] expression (one tree node instead of
+    * ~10 per plane — the composable form's analysis/codegen time
+    * dominated the whole ANN query). */
+  def signBucketsInt(qv: Column, nPlanes: Int, dims: Int): Column =
+    call_function("graft_sign_buckets", qv, typedLit(planeMatrix(nPlanes, dims)))
+
+  /** Multiprobe: every bucket within hamming distance `maxDist` of an
+    * integer bucket key is just `bucket XOR mask` over the literal
+    * low-popcount masks. */
+  def hammingProbesInt(bucket: Column, nPlanes: Int, maxDist: Int): Column = {
     val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= maxDist)
-    transform(typedLit(masks), m =>
-      concat((1 to nPlanes).map { p =>
-        val bit = shiftright(m, nPlanes - p).bitwiseAND(1)
-        val c = bucket.substr(p, 1)
-        when(bit === 1, when(c === "1", "0").otherwise("1")).otherwise(c)
-      }: _*))
+    transform(typedLit(masks), m => bucket.bitwiseXOR(m))
   }
 
-  /** DuckDB twin of [[signBucket]] over a quantized-list expression. */
-  def signBucketSql(qv: String, nPlanes: Int, dims: Int): String = {
+  /** DuckDB twin of one integer bucket key (planes [0, nPlanes)). */
+  def signBucketIntSql(qv: String, nPlanes: Int, dims: Int): String = {
     val bits = (0 until nPlanes).map { j =>
       val dot = s"list_sum(list_transform(generate_series(1, $dims), d -> " +
         s"(CASE WHEN substr(md5('${j}_' || CAST(d - 1 AS VARCHAR)), 1, 1) <= '7' THEN 1 ELSE -1 END) * $qv[d]))"
-      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+      s"(CASE WHEN $dot >= 0 THEN ${1 << j} ELSE 0 END)"
     }
-    bits.mkString(" || ")
+    "(" + bits.mkString(" + ") + ")"
   }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.LongDot
+import graft.functions.{LongDot, SignBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -18,27 +18,28 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     session graft did not construct (e.g. the test driver's).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftExtensions.longDotDescriptor)
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptors.foreach(e.injectFunction)
 }
 
 object GraftExtensions {
 
-  private[plans] val longDotDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_long_dot"),
-    new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
-    (args: Seq[Expression]) => LongDot(args(0), args(1))
+  private[plans] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_long_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_long_dot"),
+      (args: Seq[Expression]) => LongDot(args(0), args(1))),
+    (FunctionIdentifier("graft_sign_buckets"),
+      new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
+      (args: Seq[Expression]) => SignBuckets(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if
     * already present). */
   def ensureRegistered(spark: SparkSession): Unit = {
-    val (id, info, builder) = longDotDescriptor
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(id)) {
-      registry.registerFunction(id, info, builder)
+    descriptors.foreach { case (id, info, builder) =>
+      if (!registry.functionExists(id)) registry.registerFunction(id, info, builder)
     }
   }
 }

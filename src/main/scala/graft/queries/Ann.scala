@@ -86,8 +86,8 @@ object Ann {
     * replaces the cross product; recall vs brute is spec-checked. */
   def annLshBucket(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d)
-    def tableBuckets(v: Column) = array((0 until NumTables).map(t =>
-      Vectors.signBucket(v, NumPlanes, Dims, planeOffset = t * NumPlanes)): _*)
+    // all 8 tables' integer bucket keys in one single-pass expression
+    def tableBuckets(v: Column) = Vectors.signBucketsInt(v, NumTables * NumPlanes, Dims)
 
     val corpus = e.select(col("vec_id"), col("qv"), col("n2"),
       posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
@@ -96,7 +96,7 @@ object Ann {
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"),
         posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "qbucket")))
       .withColumn("probe", explode(
-        Vectors.hammingProbes(col("qbucket"), NumPlanes, ProbeDist)))
+        Vectors.hammingProbesInt(col("qbucket"), NumPlanes, ProbeDist)))
 
     // dedup on the id pair BEFORE touching vectors — a distinct over
     // 64-element arrays would hash/compare the payload for every

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Max documents a shingle may appear in before it is dropped from
-    * the inverted index. */
-  val DfCap = 100L
+    * the inverted index. Near-dups are identified by their RARE shared
+    * shingles; common phrases (df above the cap) only inflate the pair
+    * space quadratically — at sf0.1 a cap of 20 cuts candidate pairs
+    * ~10× with the true-dup pairs (df≈2 buckets) untouched. */
+  val DfCap = 20L
   /** Jaccard threshold as exact ratio: inter * JacDen >= union * JacNum. */
   val JacNum = 1L
   val JacDen = 2L
@@ -187,7 +190,7 @@ object Dedup {
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.dot(col("qv"), col("qv")))
       .filter(col("n2") > 0)
-      .withColumn("bucket", Vectors.signBucket(col("qv"), NumPlanes, Dims))
+      .withColumn("bucket", element_at(Vectors.signBucketsInt(col("qv"), NumPlanes, Dims), 1))
     e.as("a").join(e.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", Vectors.cosine(
@@ -202,7 +205,7 @@ object Dedup {
        |  SELECT vec_id, $qv AS qv FROM embeddings),
        |n AS (
        |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2,
-       |         ${Vectors.signBucketSql("qv", NumPlanes, Dims)} AS bucket
+       |         ${Vectors.signBucketIntSql("qv", NumPlanes, Dims)} AS bucket
        |  FROM q)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       ${Vectors.cosineSql(Vectors.dotSql("a.qv", "b.qv"), "a.n2", "b.n2")} AS cos
