@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Point-in-time (as-of) join — the per-row generalization of
+  * graph-node's `block_range @> B` time travel (SURVEY.md §2 #16): for
+  * every left row, attach the latest right row with the same key whose
+  * time is <= the left row's time.
+  *
+  * Spark has no native as-of join; the scalable realization is the
+  * UNION + MERGE-WINDOW trick: tag both inputs, union them, and run one
+  * window per key ordered by (time, tag) carrying `last_value(...,
+  * ignoreNulls)` of the right columns; left rows then read the most
+  * recent right values. Cost: ONE shuffle on the key and a
+  * partition-local sort — no range-condition join (which Spark would
+  * execute as a broadcast-nested-loop or an exploded theta join).
+  * Rows for one key stay together, so this holds at 100 TB exactly
+  * like the SCD2 window does.
+  */
+object AsofJoin {
+
+  /** leftOn/rightOn: (key, time) columns; valueCols: right columns to
+    * carry. Output = left columns + `asof_<valueCol>`s. */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+
+    val lCols = left.columns
+    val tagged =
+      left.select(
+        col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__is_left") +:
+          (lCols.map(c => col(c).as(s"l_$c")) ++
+            valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))): _*)
+        .unionByName(
+          right.select(
+            col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__is_left") +:
+              (lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")) ++
+                valueCols.map(c => col(c).as(s"r_$c"))): _*))
+
+    // right rows (tag 0) sort before left rows at equal time => a right
+    // row AT the left row's time is visible (matches ASOF's <=)
+    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(tagged) { (df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_left") === 1)
+      .select(lCols.map(c => col(s"l_$c").as(c)) ++
+        valueCols.map(c => col(s"asof_$c")): _*)
+  }
+}

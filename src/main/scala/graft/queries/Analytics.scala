@@ -200,7 +200,38 @@ object Analytics {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** As-of join: every purchase event picks up the value of the user's
+    * latest preceding non-purchase event. Spark-first realization is
+    * the union+merge-window trick ([[graft.operators.AsofJoin]]): one
+    * shuffle on user_id, no range join. Time keys are integer epoch-ms
+    * on both sides — floor(ns/1e6) is identical in Spark and DuckDB, so
+    * the boundary case (event at exactly the purchase time) is
+    * engine-portable. The oracle uses DuckDB's NATIVE ASOF LEFT JOIN —
+    * an independent algorithm agreeing on every row. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).withColumn("t", unix_millis($"ts"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"t")
+    val others = ev.filter($"event_type" =!= "purchase")
+      .groupBy($"user_id", $"t").agg(max($"value").as("value")) // dedup ties deterministically
+    graft.operators.AsofJoin.asofJoin(
+        purchases, others, "user_id", "t", "user_id", "t", Seq("value"))
+      .select($"event_id", $"user_id", $"asof_value")
+  }
+
+  val qAsofJoinSql: String =
+    """WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS t, value FROM events),
+      |purchases AS (SELECT event_id, user_id, t FROM ev WHERE event_type = 'purchase'),
+      |others AS (
+      |  SELECT user_id, t, MAX(value) AS value FROM ev
+      |  WHERE event_type <> 'purchase' GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, o.value AS asof_value
+      |FROM purchases p ASOF LEFT JOIN others o
+      |  ON p.user_id = o.user_id AND o.t <= p.t""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join" -> (qAsofJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topn" -> (q3JoinTopn _),
     "q5_multijoin" -> (q5Multijoin _),
@@ -210,6 +241,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_asof_join" -> qAsofJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topn" -> q3JoinTopnSql,
     "q5_multijoin" -> q5MultijoinSql,
