@@ -32,6 +32,21 @@ object Shingles {
         i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct 60-bit HASHES of the n-gram shingles — what every dedup
+    * consumer actually needs (jaccard buckets key on the shingle,
+    * minhash/simhash hash it immediately). Hashing inside the array
+    * keeps the exploded rows and every downstream shuffle at 8 bytes
+    * per shingle instead of a ~20-char string (~2× on the explode+agg
+    * stages at sf0.1), and the distinct compares longs, not strings. */
+  def hashedFromTokens(w: Column, n: Int = N): Column =
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => conv(substring(md5(
+          concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)), 1, 15), 16, 10)
+          .cast("long"))))
+      .otherwise(array().cast("array<long>"))
+
   /** DuckDB twin: CTE producing (doc_id, s) exploded distinct shingles
     * of `documents.text`. */
   def shinglesCteSql(n: Int = N): String = {
@@ -45,4 +60,9 @@ object Shingles {
        |  FROM toks
        |)""".stripMargin
   }
+
+  /** DuckDB twin of [[hashedFromTokens]]: (doc_id, h) rows. */
+  def hashedShinglesCteSql(n: Int = N): String =
+    s"""${shinglesCteSql(n)},
+       |hsh AS (SELECT doc_id, ${PortableHash.long60Sql("s")} AS h FROM sh)""".stripMargin
 }

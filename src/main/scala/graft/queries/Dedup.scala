@@ -56,8 +56,8 @@ object Dedup {
   private def shingleBuckets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
+      .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) <= DfCap)
       .select(array_sort(col("ids")).as("ids"))
 
@@ -95,13 +95,13 @@ object Dedup {
     * formulation, independent of the bucket-combination plan above:
     * agreement of two different algorithms is a stronger check. */
   val ddNgramJaccardSql: String =
-    s"""WITH ${Shingles.shinglesCteSql()},
-       |hot AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) > ${DfCap}),
-       |idx AS (SELECT doc_id, s FROM sh WHERE s NOT IN (SELECT s FROM hot)),
+    s"""WITH ${Shingles.hashedShinglesCteSql()},
+       |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
+       |idx AS (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
        |pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-       |  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, inter, sa.n_sh + sb.n_sh - inter AS union_n
        |FROM pairs
@@ -120,8 +120,7 @@ object Dedup {
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
-      .withColumn("h", PortableHash.long60(col("sh")))
+      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
     val minCols = (0 until NumPerms).map(i => min(PortableHash.perm(i, col("h"))).as(s"h$i"))
     val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bands = mh.select(col("doc_id"), posexplode(array(
@@ -143,12 +142,11 @@ object Dedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $cat AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${Shingles.shinglesCteSql()},
-       |hashed AS (SELECT doc_id, ${PortableHash.long60Sql("s")} AS h FROM sh),
+    s"""WITH ${Shingles.hashedShinglesCteSql()},
        |mh AS (
        |  SELECT doc_id,
        |    $mins
-       |  FROM hashed GROUP BY doc_id),
+       |  FROM hsh GROUP BY doc_id),
        |bands AS (
        |  $bandRows)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -165,8 +163,7 @@ object Dedup {
   def ddSimhash(s: SparkSession, d: String): DataFrame = {
     val sh = Tables.documents(s, d)
       .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.fromTokens(col("w"))).as("sh"))
-      .withColumn("h", PortableHash.long60(col("sh")))
+      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
     val bitCols = (0 until 16).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
     val bitSums = sh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
