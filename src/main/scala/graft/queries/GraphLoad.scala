@@ -135,6 +135,28 @@ object GraphLoad {
         min(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("min_val"),
         max(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("max_val"))
 
+  /** #4b gl_change_validation — the reference's stream-sanity checks as
+    * data (processor.go:238-296): CREATE on a live id is an error,
+    * UPDATE of an unseen/dead id is tolerated-but-flagged (the
+    * reference's FIXME path, processor.go:267-275), DELETE of an
+    * unseen/dead id is an error. Liveness is "latest preceding op is
+    * not DELETE" — one lag window per id, then a grouped count by
+    * anomaly class. */
+  def glChangeValidation(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("block_num")
+    ch(s, d)
+      .withColumn("prev_op", lag(col("op"), 1).over(w))
+      .withColumn("live", col("prev_op").isNotNull && col("prev_op") =!= "DELETE")
+      .withColumn("anomaly",
+        when(col("op") === "CREATE" && col("live"), "create_on_live")
+          .when(col("op") === "UPDATE" && !col("live"), "update_unseen")
+          .when(col("op") === "DELETE" && !col("live"), "delete_unseen")
+          .otherwise("ok"))
+      .groupBy(col("anomaly"))
+      .agg(count(lit(1)).as("n"), min(col("block_num")).as("first_block"),
+        max(col("block_num")).as("last_block"))
+  }
+
   /** Sample subgraph schema for the schema-driven serialization path —
     * the engine-level equivalent of pointing the reference's `tocsv` at
     * a user's .graphql file. */
@@ -313,6 +335,22 @@ object GraphLoad {
          |  MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS max_val
          |FROM changes GROUP BY op""".stripMargin,
 
+    "gl_change_validation" ->
+      s"""$W, v AS (
+         |  SELECT op, block_num,
+         |    (lag(op) OVER (PARTITION BY id ORDER BY block_num)) AS prev_op
+         |  FROM changes),
+         |flagged AS (
+         |  SELECT block_num,
+         |    CASE
+         |      WHEN op = 'CREATE' AND (prev_op IS NOT NULL AND prev_op <> 'DELETE') THEN 'create_on_live'
+         |      WHEN op = 'UPDATE' AND NOT (prev_op IS NOT NULL AND prev_op <> 'DELETE') THEN 'update_unseen'
+         |      WHEN op = 'DELETE' AND NOT (prev_op IS NOT NULL AND prev_op <> 'DELETE') THEN 'delete_unseen'
+         |      ELSE 'ok' END AS anomaly
+         |  FROM v)
+         |SELECT anomaly, COUNT(*) AS n, MIN(block_num) AS first_block, MAX(block_num) AS last_block
+         |FROM flagged GROUP BY anomaly""".stripMargin,
+
     "gl_generic_tocsv" ->
       s"""$W, $versionsCte
          |SELECT id,
@@ -349,6 +387,7 @@ object GraphLoad {
     "gl_typed_bigint" -> (glTypedBigint _),
     "gl_typed_bigdecimal" -> (glTypedBigdecimal _),
     "gl_jsonl_parse" -> (glJsonlParse _),
-    "gl_generic_tocsv" -> (glGenericTocsv _)
+    "gl_generic_tocsv" -> (glGenericTocsv _),
+    "gl_change_validation" -> (glChangeValidation _)
   )
 }

@@ -104,4 +104,29 @@ class StreamingSpec extends SparkSpec {
       assert(rows.forall(_.getAs[Long]("last_block") != 99L))
     } finally q.stop()
   }
+
+  test("streaming dedup keeps only the first occurrence of each text") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDS().toDF("epoch", "doc_id", "text")
+      .select(org.apache.spark.sql.functions.timestamp_seconds($"epoch").as("ts"),
+        $"doc_id", $"text")
+    val q = graft.streaming.StreamingDedup.firstOccurrences(docs, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      input.addData(Seq((t0, 1L, "alpha"), (t0 + 1, 2L, "beta"), (t0 + 2, 3L, "alpha")))
+      q.processAllAvailable()
+      input.addData(Seq((t0 + 3, 4L, "beta"), (t0 + 4, 5L, "gamma")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+      val texts = rows.map(_.getAs[String]("text")).sorted
+      assert(texts.sameElements(Seq("alpha", "beta", "gamma")))
+      // the FIRST doc_id of each text won
+      val byText = rows.map(r => (r.getAs[String]("text"), r.getAs[Long]("doc_id"))).toMap
+      assert(byText("alpha") === 1L && byText("beta") === 2L && byText("gamma") === 5L)
+    } finally q.stop()
+  }
 }
