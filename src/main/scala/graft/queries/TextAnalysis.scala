@@ -125,19 +125,77 @@ object TextAnalysis {
       |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
       |FROM documents""".stripMargin
 
+  // ---- #37b content-defined chunk fingerprints ----------------------
+
+  /** Boundary divisor: a word ends a chunk when its 60-bit hash is
+    * ≡ 0 (mod 32) — expected chunk length 32 words, boundaries chosen
+    * by CONTENT, so an insertion early in a document only changes the
+    * fingerprints of the chunk it lands in (shift-resilient dedup,
+    * rsync/CDC-style). */
+  val ChunkDivisor = 32L
+
+  /** Per-chunk md5 fingerprints: explode words, flag content-defined
+    * boundaries, prefix-sum the flags into chunk ids (one window per
+    * doc), digest each chunk in order. Scale: the window partitions by
+    * doc_id — high cardinality, bounded doc length. */
+  def txChunkFingerprint(s: SparkSession, d: String): DataFrame =
+    chunkFingerprints(Tables.documents(s, d))
+
+  /** The chunker over any (doc_id, text) frame — split out so specs
+    * can assert shift-resilience on constructed inputs. */
+  def chunkFingerprints(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("pos", "word")))
+      .withColumn("boundary",
+        when(graft.functions.PortableHash.long60(col("word")) % ChunkDivisor === 0, 1L)
+          .otherwise(0L))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    words
+      // chunk id = boundaries BEFORE this word (boundary word CLOSES its chunk)
+      .withColumn("chunk", sum(col("boundary")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("chunk", coalesce(col("chunk"), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word").as("w")))),
+          x => x.getField("w")), " ")).as("chunk_fp"))
+  }
+
+  val txChunkFingerprintSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS word,
+       |    CASE WHEN ${graft.functions.PortableHash.long60Sql("w[i]")} % $ChunkDivisor = 0
+       |         THEN 1 ELSE 0 END AS boundary
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+       |chunked AS (
+       |  SELECT doc_id, pos, word,
+       |    CAST(COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
+       |  FROM words)
+       |SELECT doc_id, chunk, COUNT(*) AS n_words,
+       |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
+       |FROM chunked GROUP BY doc_id, chunk""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
-    "tx_fingerprint" -> (txFingerprint _)
+    "tx_fingerprint" -> (txFingerprint _),
+    "tx_chunk_fingerprint" -> (txChunkFingerprint _)
   )
 
   val oracles: Map[String, String] = Map(
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
-    "tx_fingerprint" -> txFingerprintSql
+    "tx_fingerprint" -> txFingerprintSql,
+    "tx_chunk_fingerprint" -> txChunkFingerprintSql
   )
 }

@@ -127,3 +127,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 }
+
+class ChunkFingerprintSpec extends SparkSpec {
+
+  test("content-defined chunks are shift-resilient: a prefix edit only touches chunk 0") {
+    import spark.implicits._
+    val base = Tables.documents(spark, sf).limit(1).collect().head.getAs[String]("text")
+    val docs = Seq((0L, base), (1L, "inserted prefix words " + base)).toDF("doc_id", "text")
+    val fps = graft.queries.TextAnalysis.chunkFingerprints(docs)
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("chunk_fp")).toSet).toMap
+    val shared = fps(0L).intersect(fps(1L))
+    // every chunk of the original except (at most) the first survives
+    assert(shared.size >= fps(0L).size - 1,
+      s"expected all but one chunk shared, got ${shared.size} of ${fps(0L).size}")
+  }
+
+  test("chunk word counts cover the document exactly") {
+    import org.apache.spark.sql.functions._
+    val total = graft.queries.TextAnalysis.txChunkFingerprint(spark, sf)
+      .agg(sum("n_words")).collect().head.getLong(0)
+    val expected = Tables.documents(spark, sf)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).collect().head.getLong(0)
+    assert(total === expected)
+  }
+}
