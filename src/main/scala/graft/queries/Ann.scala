@@ -120,9 +120,87 @@ object Ann {
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
   }
 
+  // ---- #33b IVF top-k (rows-only) -----------------------------------
+
+  /** IVF parameters: 16 coarse centroids, queries probe the best 4. */
+  val NumCentroids = 16
+  val NumProbes = 4
+  val LloydIters = 2
+
+  /** Lloyd training on the (already tiny relative to 100 TB) corpus:
+    * seeds = first k vectors, two distributed assign+mean rounds, the
+    * k×dims centroid table collected to the driver each round (k·dims
+    * doubles — bounded, broadcastable). At real scale this trains on a
+    * bounded SAMPLE — the pattern is identical. */
+  private def trainCentroids(e: DataFrame, spark: SparkSession): Array[Array[Long]] = {
+    import spark.implicits._
+    var cents: Array[Array[Long]] = e.filter(col("vec_id") < NumCentroids)
+      .orderBy("vec_id").select("qv").as[Seq[Long]].collect().map(_.toArray)
+    for (_ <- 0 until LloydIters) {
+      val assigned = e.withColumn("cent", assignExpr(cents))
+      cents = assigned
+        .select(col("cent"), posexplode(col("qv")).as(Seq("d", "v")))
+        .groupBy(col("cent"), col("d")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cent"))
+        .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m"))).as("dims"))
+        .as[(Int, Map[Int, Double])].collect().sortBy(_._1)
+        .map { case (_, dims) => (0 until Dims).map(d => dims(d).round).toArray }
+    }
+    cents
+  }
+
+  /** argmax-cosine centroid id as one expression: greatest() over
+    * (score, id) structs — lexicographic max picks the best score. */
+  private def assignExpr(cents: Array[Array[Long]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        Vectors.cosine(Vectors.dot(col("qv"), typedLit(c.toSeq)), col("n2"), lit(cn2)).as("s"),
+        lit(j).as("j"))
+    }
+    greatest(scored.toIndexedSeq: _*).getField("j")
+  }
+
+  /** IVF ANN: corpus partitioned once by nearest centroid; each query
+    * scans only its `NumProbes` closest inverted lists. The candidate
+    * join is a broadcast equi-join on the centroid id — per-query work
+    * is nprobe/k of the corpus, the billion-scale layout (train on a
+    * sample, partition by list, probe few). Rows-only; recall vs brute
+    * is spec-gated. */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val cents = trainCentroids(e, s)
+    val corpus = e.withColumn("cent", assignExpr(cents))
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+      .withColumn("cent", explode(probeExpr(cents)))
+    val scored = corpus.join(broadcast(probes),
+        corpus("cent") === probes("cent") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(
+        Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+  }
+
+  /** The query's `NumProbes` best centroid ids, via one sorted-array
+    * expression over (score, id) structs. */
+  private def probeExpr(cents: Array[Array[Long]]): Column = {
+    val scored = cents.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        (-Vectors.cosine(Vectors.dot(col("qqv"), typedLit(c.toSeq)), col("qn2"), lit(cn2))).as("s"),
+        lit(j).as("j"))
+    }
+    slice(transform(array_sort(array(scored.toIndexedSeq: _*)), x => x.getField("j")),
+      1, NumProbes)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> (annTopkBrute _),
-    "ann_lsh_bucket" -> (annLshBucket _)
+    "ann_lsh_bucket" -> (annLshBucket _),
+    "ann_ivf" -> (annIvf _)
   )
 
   /** ann_lsh_bucket is rows-only: its recall is spec-gated. */

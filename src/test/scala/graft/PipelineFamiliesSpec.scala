@@ -153,3 +153,15 @@ class ChunkFingerprintSpec extends SparkSpec {
     assert(total === expected)
   }
 }
+
+class IvfSpec extends SparkSpec {
+  test("ann_ivf: recall >= 0.7 vs brute force at sf0.001") {
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = keys(graft.queries.Ann.annTopkBrute(spark, sf))
+    val ivf = keys(graft.queries.Ann.annIvf(spark, sf))
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(s"ivf recall = $recall")
+    assert(recall >= 0.7, s"recall $recall too low")
+  }
+}
