@@ -58,8 +58,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frames sampled per "video" payload. */
+  val FramesPerDoc = 4
+
+  /** Output schema of the frame sampler. */
+  val FrameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame_offset", IntegerType, nullable = false),
+    StructField("frame_feature", IntegerType, nullable = false)
+  ))
+
+  /** #38b mm_frame_sample — the frame-sampling shape: one payload row
+    * fans out to `FramesPerDoc` evenly-spaced frames, decoded
+    * per-partition. The real-world version hands each offset to a
+    * video codec; the stub reads the byte at the offset. What's real:
+    * the fan-out inside mapPartitions (no exploded shuffle of payload
+    * copies — the payload is read once per partition and never
+    * duplicated across rows), the offset math, and the typed output. */
+  def mmFrameSample(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.documents(s, d).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(FrameSchema)
+    in.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getAs[Long]("doc_id")
+        val step = math.max(payload.length / FramesPerDoc, 1)
+        (0 until FramesPerDoc).iterator.collect {
+          case i if i * step < payload.length =>
+            val off = i * step
+            Row(id, i, off, payload(off) & 0xff)
+        }
+      }
+    }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> (mmBinaryMeta _)
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_frame_sample" -> (mmFrameSample _)
   )
 
   /** rows-only: the stubbed decode has no SQL twin. */

@@ -165,3 +165,18 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall $recall too low")
   }
 }
+
+class FrameSampleSpec extends SparkSpec {
+  test("mm_frame_sample: evenly spaced offsets, features match payload bytes") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").getBytes("UTF-8"))).toMap
+    val rows = graft.queries.Multimodal.mmFrameSample(spark, sf).collect()
+    assert(rows.length === texts.size * graft.queries.Multimodal.FramesPerDoc)
+    rows.foreach { r =>
+      val payload = texts(r.getAs[Long]("doc_id"))
+      val off = r.getAs[Int]("frame_offset")
+      assert(off < payload.length)
+      assert(r.getAs[Int]("frame_feature") === (payload(off) & 0xff))
+    }
+  }
+}
