@@ -189,6 +189,22 @@ object GraphLoad {
     graft.operators.CsvSerializer.serialize(rows, desc)
   }
 
+  /** #20c gl_jsonl_encode — the WRITE direction of the reference's
+    * bundle format: one JSONL line per change `{id, block_num, op,
+    * value}` plus its bundle assignment (bundler/encoder.go,
+    * bundler.go:100-203). Values are serialized as strings — exactly
+    * the reference's typed-string JSONL convention (entity.go:66-80),
+    * and the engine-portable choice (decimal→number trims trailing
+    * zeros differently across engines; strings don't). */
+  def glJsonlEncode(s: SparkSession, d: String): DataFrame =
+    ch(s, d).select(
+      expr(s"block_num div $BundleSize").as("bundle"),
+      to_json(struct(
+        col("id"),
+        col("block_num"),
+        col("op"),
+        col("value").cast("decimal(20,2)").cast("string").as("value"))).as("line"))
+
   def glJsonlParse(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
@@ -335,6 +351,14 @@ object GraphLoad {
          |  MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS max_val
          |FROM changes GROUP BY op""".stripMargin,
 
+    "gl_jsonl_encode" ->
+      s"""$W
+         |SELECT block_num // $BundleSize AS bundle,
+         |       to_json(struct_pack(
+         |         id := id, block_num := block_num, op := op,
+         |         value := CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR))) AS line
+         |FROM changes""".stripMargin,
+
     "gl_change_validation" ->
       s"""$W, v AS (
          |  SELECT op, block_num,
@@ -388,6 +412,7 @@ object GraphLoad {
     "gl_typed_bigdecimal" -> (glTypedBigdecimal _),
     "gl_jsonl_parse" -> (glJsonlParse _),
     "gl_generic_tocsv" -> (glGenericTocsv _),
-    "gl_change_validation" -> (glChangeValidation _)
+    "gl_change_validation" -> (glChangeValidation _),
+    "gl_jsonl_encode" -> (glJsonlEncode _)
   )
 }

@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 2, p)
   }
 
+  test("q_asof_join: one key shuffle, no range/theta join") {
+    val p = physical(Analytics.qAsofJoin(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    assert(nodes(p, "SortMergeJoin") === 0, p)
+    // dedup agg + union window share the user_id partitioning;
+    // no other exchanges
+    assert(shuffles(p) <= 2, p)
+  }
+
   test("ann queries never cross-join the corpus") {
     val p = physical(graft.queries.Ann.annLshBucket(spark, sf))
     assert(crossJoins(p) === 0, p)
