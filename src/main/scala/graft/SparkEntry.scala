@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The SCD2 versioner is the reference's core behavior — the
+    * whole tocsv stage in one window. */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+    graft.queries.GraphLoad.glScd2Versions(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -43,6 +43,9 @@ object GraphLoad {
   def glScd2Versions(s: SparkSession, d: String): DataFrame =
     EntityVersioner.scd2Versions(ch(s, d))
 
+  def glScd2Incremental(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.scd2Incremental(ch(s, d), AsofBlock)
+
   def glSquashLatest(s: SparkSession, d: String): DataFrame =
     EntityVersioner.squashLatest(ch(s, d))
 
@@ -219,6 +222,12 @@ object GraphLoad {
       s"""$W, $versionsCte
          |SELECT id, start_block, end_block, value FROM versions WHERE op <> 'DELETE'""".stripMargin,
 
+    // the incremental merge must reproduce the FULL recompute —
+    // deliberately the same oracle as gl_scd2_versions
+    "gl_scd2_incremental" ->
+      s"""$W, $versionsCte
+         |SELECT id, start_block, end_block, value FROM versions WHERE op <> 'DELETE'""".stripMargin,
+
     "gl_squash_latest" ->
       s"""$W
          |SELECT id, block_num AS last_block, value FROM (
@@ -392,6 +401,7 @@ object GraphLoad {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "gl_scd2_versions" -> (glScd2Versions _),
+    "gl_scd2_incremental" -> (glScd2Incremental _),
     "gl_squash_latest" -> (glSquashLatest _),
     "gl_immutable_block" -> (glImmutableBlock _),
     "gl_delete_tombstone" -> (glDeleteTombstone _),

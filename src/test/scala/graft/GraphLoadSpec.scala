@@ -73,4 +73,18 @@ class GraphLoadSpec extends SparkSpec {
       .agg(sum("n_changes")).collect().head.getLong(0)
     assert(n === EntityChanges.changes(spark, sf).count())
   }
+
+  test("gl_scd2_incremental equals the full recompute at any split point") {
+    import graft.sources.EntityChanges
+    import graft.operators.EntityVersioner
+    val changes = EntityChanges.changes(spark, sf)
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+        Option(r.get(r.fieldIndex("end_block"))), r.getAs[Double]("value"))).toSet
+    val full = norm(EntityVersioner.scd2Versions(changes))
+    Seq(1L, 250L, 500L, 999L).foreach { split =>
+      assert(norm(EntityVersioner.scd2Incremental(changes, split)) === full,
+        s"incremental != full at split=$split")
+    }
+  }
 }
