@@ -69,6 +69,21 @@ object EntityVersioner {
       .filter(col("op") =!= "DELETE" && col("next_op") === "DELETE")
       .select(col("id"), col("block_num").as("start_block"), col("end_block"), col("value"))
 
+  /** #2b gl_squash_incremental — incremental latest-state maintenance:
+    * the prior squash result re-enters as synthetic changes with the
+    * new batch; ids whose last change was a DELETE are already absent
+    * from the prior state, exactly like the reference's map after
+    * `delete(entities, id)`. Per-increment cost: |live ids| + |batch|
+    * rows through one max_by agg. */
+  def squashIncremental(changes: DataFrame, splitBlock: Long): DataFrame = {
+    val priorState = squashLatest(changes.filter(col("block_num") < splitBlock))
+      .select(col("id"), col("last_block").as("block_num"),
+        lit("UPDATE").as("op"), col("value"))
+    val newBatch = changes.filter(col("block_num") >= splitBlock)
+      .select(col("id"), col("block_num"), col("op"), col("value"))
+    squashLatest(priorState.unionByName(newBatch))
+  }
+
   /** #1c gl_scd2_incremental — the production merge path: given the
     * version store built from blocks < `splitBlock` and only the NEW
     * changes >= `splitBlock`, produce the same history as a full

@@ -49,6 +49,9 @@ object GraphLoad {
   def glSquashLatest(s: SparkSession, d: String): DataFrame =
     EntityVersioner.squashLatest(ch(s, d))
 
+  def glSquashIncremental(s: SparkSession, d: String): DataFrame =
+    EntityVersioner.squashIncremental(ch(s, d), AsofBlock)
+
   def glImmutableBlock(s: SparkSession, d: String): DataFrame =
     EntityVersioner.immutableBlock(ch(s, d))
 
@@ -234,6 +237,13 @@ object GraphLoad {
          |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY block_num DESC) AS rn FROM changes
          |) WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
 
+    // incremental squash must equal the full squash — same oracle
+    "gl_squash_incremental" ->
+      s"""$W
+         |SELECT id, block_num AS last_block, value FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY id ORDER BY block_num DESC) AS rn FROM changes
+         |) WHERE rn = 1 AND op <> 'DELETE'""".stripMargin,
+
     "gl_immutable_block" ->
       s"""$W
          |SELECT id, block_num, value FROM changes WHERE op <> 'DELETE'""".stripMargin,
@@ -403,6 +413,7 @@ object GraphLoad {
     "gl_scd2_versions" -> (glScd2Versions _),
     "gl_scd2_incremental" -> (glScd2Incremental _),
     "gl_squash_latest" -> (glSquashLatest _),
+    "gl_squash_incremental" -> (glSquashIncremental _),
     "gl_immutable_block" -> (glImmutableBlock _),
     "gl_delete_tombstone" -> (glDeleteTombstone _),
     "gl_bundle_assign" -> (glBundleAssign _),

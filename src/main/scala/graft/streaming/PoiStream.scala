@@ -1,0 +1,65 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming proof-of-indexing block digests (reference poi/poi.go:
+  * the sinker hashes each block's events in order as they stream in,
+  * emitting the digest when the block completes).
+  *
+  * Structured-Streaming re-expression: events keyed by block
+  * accumulate in `flatMapGroupsWithState` state; an EVENT-TIME TIMEOUT
+  * tied to the watermark finalizes a block — once the watermark passes
+  * the block's horizon no more events can arrive (late ones are
+  * dropped upstream), so the ordered digest is emitted exactly once.
+  * State per executor = events of the open blocks only.
+  *
+  * The digest matches the batch [[graft.operators.Poi.blockDigest]]
+  * exactly: md5 over '|'-joined reprs in block_num order.
+  */
+object PoiStream {
+
+  case class BlockEvent(block: Long, blockNum: Long, repr: String,
+                        ts: java.sql.Timestamp)
+  case class OpenBlock(events: List[(Long, String)])
+  case class BlockDigest(block: Long, digest: String, nEvents: Int)
+
+  def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  def digestOf(events: Seq[(Long, String)]): String =
+    md5Hex(events.sortBy(_._1).map(_._2).mkString("|"))
+
+  private def finalize(block: Long, state: GroupState[OpenBlock]): Iterator[BlockDigest] = {
+    val evs = state.getOption.map(_.events).getOrElse(Nil)
+    state.remove()
+    if (evs.isEmpty) Iterator.empty
+    else Iterator.single(BlockDigest(block, digestOf(evs), evs.length))
+  }
+
+  private def accumulate(block: Long, it: Iterator[BlockEvent],
+                         state: GroupState[OpenBlock]): Iterator[BlockDigest] =
+    if (state.hasTimedOut) finalize(block, state)
+    else {
+      val prev = state.getOption.map(_.events).getOrElse(Nil)
+      val all = prev ++ it.map(e => (e.blockNum, e.repr))
+      state.update(OpenBlock(all))
+      // finalize when the watermark passes the newest event of this
+      // block by the block-completion horizon
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      Iterator.empty
+    }
+
+  /** `events` must carry an event-time `ts` with a watermark applied by
+    * the caller (the delay IS the block-completion horizon). */
+  def blockDigests(events: Dataset[BlockEvent]): Dataset[BlockDigest] = {
+    implicit val se = Encoders.product[OpenBlock]
+    implicit val de = Encoders.product[BlockDigest]
+    events
+      .groupByKey(_.block)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(accumulate)
+  }
+}

@@ -129,4 +129,44 @@ class StreamingSpec extends SparkSpec {
       assert(byText("alpha") === 1L && byText("beta") === 2L && byText("gamma") === 5L)
     } finally q.stop()
   }
+
+  test("streaming poi digests match the batch blockDigest once blocks close") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.PoiStream
+    import graft.streaming.PoiStream.BlockEvent
+    // one event per block_num, ts = blockNum seconds; block = blockNum/10
+    val changes = EntityChanges.changes(spark, sf)
+      .orderBy("block_num").limit(300).collect().map { r =>
+      val bn = r.getAs[Long]("block_num")
+      BlockEvent(bn / 10, bn,
+        s"${r.getAs[String]("op")}:${r.getAs[String]("id")}:" +
+          new java.math.BigDecimal(r.getAs[Double]("value")).setScale(2, java.math.RoundingMode.HALF_UP),
+        new java.sql.Timestamp(1700000000000L + bn * 1000))
+    }.toSeq
+    val input = MemoryStream[BlockEvent]
+    val withWm = input.toDS().withWatermark("ts", "15 seconds").as[BlockEvent]
+    val q = PoiStream.blockDigests(withWm)
+      .writeStream.format("memory").queryName("poi_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = changes.splitAt(150)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      // push the watermark far past everything to close all blocks
+      input.addData(Seq(BlockEvent(9999L, 99990L, "x",
+        new java.sql.Timestamp(1700000000000L + 10000L * 1000)))); q.processAllAvailable()
+      input.addData(Seq(BlockEvent(10000L, 100000L, "x",
+        new java.sql.Timestamp(1700000000000L + 20000L * 1000)))); q.processAllAvailable()
+
+      val got = spark.table("poi_stream")
+        .filter($"block" < 30).collect()
+        .map(r => (r.getAs[Long]("block"), r.getAs[String]("digest"))).toMap
+      val want = graft.queries.GraphLoad.glPoiBlockDigest(spark, sf)
+        .filter($"block" < 30).collect()
+        .map(r => (r.getAs[Long]("block"), r.getAs[String]("digest"))).toMap
+      assert(got === want)
+      assert(got.size === 30)
+    } finally q.stop()
+  }
 }
