@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Bundler
+import graft.sources.EntityChanges
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+class BundledWriteSpec extends SparkSpec {
+
+  test("bundled write lays out one directory per block range and prunes on read") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bundles").toString
+    val changes = EntityChanges.changes(spark, sf)
+    Bundler.writeBundled(changes, bundleSize = 250, outDir = out)
+
+    // layout: bundle=k directories covering the block height
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("bundle=")).sorted
+    assert(dirs.sameElements((0 to 3).map(b => s"bundle=$b")), dirs.mkString(","))
+
+    // a single-bundle read PRUNES: only that partition's files scanned
+    val one = spark.read.parquet(out).filter(col("bundle") === 2)
+    val plan = one.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters: [isnotnull(bundle"), plan)
+    assert(one.count() ===
+      changes.filter(col("block_num") >= 500 && col("block_num") < 750).count())
+
+    // round trip: nothing lost
+    assert(spark.read.parquet(out).count() === changes.count())
+  }
+}
