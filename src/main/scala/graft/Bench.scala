@@ -25,11 +25,15 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach(fn => fn(spark, sfDir).count())
 
     // min of two timed runs per query: the second run reuses compiled
-    // codegen, and the min discards one-off host/GC interference
+    // codegen, and the min discards one-off host/GC interference.
+    // noop-write, NOT count(): count() lets Catalyst prune the output
+    // projection to nothing, so map-only queries (CSV serialization,
+    // fingerprints) would time an empty scan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
