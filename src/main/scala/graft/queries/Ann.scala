@@ -10,11 +10,15 @@ import org.apache.spark.sql.expressions.Window
   * `embeddings` table (64-dim float vectors).
   *
   * Cosine math runs on quantized int64 vectors ([[Vectors]]) so results
-  * are bit-identical across engines. The brute-force variant is the
-  * correctness baseline; the LSH-bucketed variant is the 100 TB path —
-  * candidates come only from the query's sign-bucket and its 1-bit
-  * neighbors (multiprobe), so per-query work is O(n / 2^planes × 9)
-  * instead of O(n).
+  * are bit-identical across engines. Three tiers:
+  *
+  *   - brute force — the correctness baseline (exact);
+  *   - multi-table multiprobe sign-LSH — candidates only from the
+  *     query's bucket and its hamming<=2 neighbors across 8 tables,
+  *     per-query work ~ tables·probes·n/2^planes ≪ n;
+  *   - IVF — Lloyd-trained coarse lists, nprobe probing: the
+  *     billion-scale layout (partition the corpus once, scan few
+  *     lists per query).
   */
 object Ann {
 
