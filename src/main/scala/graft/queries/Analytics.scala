@@ -230,7 +230,65 @@ object Analytics {
       |FROM purchases p ASOF LEFT JOIN others o
       |  ON p.user_id = o.user_id AND o.t <= p.t""".stripMargin
 
+  /** ROLLUP aggregation: revenue at (flag, status), per-flag and grand
+    * totals in one pass — Spark plans a single expand+agg, no repeated
+    * scans. `grouping_id` disambiguates NULL-as-total from NULL data. */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(dec($"l_extendedprice")).cast(DecimalType(38, 2)).as("sum_price"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+        $"gid", $"n", $"sum_price")
+  }
+
+  val qRollupSql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+      |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_price
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Exact per-group median without percentile interpolation (FP
+    * interpolation is not bit-portable): rank from both ends, average
+    * the middle one-or-two values in exact decimal. One shuffle. */
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"o_orderstatus")))
+      .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
+      .groupBy($"o_orderstatus")
+      // one middle row (odd cnt) or two (even): 2*median = sum*(3-count)
+      // — exact decimal multiply; decimal DIVISION scale rules differ
+      // across engines, multiplication doesn't
+      .agg((sum(dec($"o_totalprice")) * (lit(3) - count(lit(1))))
+        .cast(DecimalType(38, 2)).as("median_x2"))
+  }
+
+  val qMedianSql: String =
+    """WITH ranked AS (
+      |  SELECT o_orderstatus, o_totalprice, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * (3 - COUNT(*)) AS DECIMAL(38,2)) AS median_x2
+      |FROM ranked
+      |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      |GROUP BY o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rollup" -> (qRollup _),
+    "q_median" -> (qMedian _),
     "q_asof_join" -> (qAsofJoin _),
     "q1_agg" -> (q1Agg _),
     "q3_join_topn" -> (q3JoinTopn _),
@@ -241,6 +299,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rollup" -> qRollupSql,
+    "q_median" -> qMedianSql,
     "q_asof_join" -> qAsofJoinSql,
     "q1_agg" -> q1AggSql,
     "q3_join_topn" -> q3JoinTopnSql,
