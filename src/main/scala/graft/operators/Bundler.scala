@@ -61,4 +61,20 @@ object Bundler {
       .partitionBy("bundle")
       .format(format)
       .save(outDir)
+
+  /** Compact a bundled store in place-adjacent: streaming appends (one
+    * file per micro-batch per bundle) accumulate small files — the
+    * classic object-store pathology. Rewrite with one task per bundle,
+    * rows sorted by block within the file for range-scan locality, file
+    * size bounded by `maxRecordsPerFile`. */
+  def compactBundles(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, compactedDir: String,
+                     maxRecordsPerFile: Long): Unit =
+    spark.read.parquet(storeDir)
+      .repartition(col("bundle"))
+      .sortWithinPartitions(col("bundle"), col("block_num"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bundle")
+      .parquet(compactedDir)
 }

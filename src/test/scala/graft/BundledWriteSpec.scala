@@ -27,4 +27,26 @@ class BundledWriteSpec extends SparkSpec {
     // round trip: nothing lost
     assert(spark.read.parquet(out).count() === changes.count())
   }
+
+  test("compaction merges micro-batch file fragments per bundle") {
+    val store = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val compacted = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val changes = EntityChanges.changes(spark, sf)
+      .withColumn("bundle", expr("block_num div 250"))
+    // simulate 5 micro-batch appends -> many small files per bundle
+    (0 until 5).foreach { i =>
+      changes.filter(col("block_num") % 5 === i)
+        .repartition(2)
+        .write.mode("append").partitionBy("bundle").parquet(store)
+    }
+    def filesPerBundle(dir: String): Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .filter(_.getName.startsWith("bundle="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(filesPerBundle(store).values.forall(_ >= 5), filesPerBundle(store).toString)
+
+    Bundler.compactBundles(spark, store, compacted, maxRecordsPerFile = 1000000)
+    assert(filesPerBundle(compacted).values.forall(_ === 1), filesPerBundle(compacted).toString)
+    assert(spark.read.parquet(compacted).count() === changes.count())
+  }
 }
