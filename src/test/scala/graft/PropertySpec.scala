@@ -81,4 +81,29 @@ class PropertySpec extends SparkSpec {
       assert(got === a.zip(b).map { case (x, y) => x * y }.sum)
     }
   }
+
+  test("property: AsofJoin matches a naive in-memory point-in-time lookup") {
+    val keyGen = Gen.chooseNum(0L, 4L)
+    val timeGen = Gen.chooseNum(0L, 50L)
+    val rightsGen = Gen.listOfN(30, Gen.zip(keyGen, timeGen, Gen.chooseNum(0L, 999L)))
+    val leftsGen = Gen.listOfN(20, Gen.zip(keyGen, timeGen))
+    forAll(Gen.zip(rightsGen, leftsGen), n = 10) { case (rights0, lefts0) =>
+      // dedup right on (key,time) like the production wrapper does
+      val rights = rights0.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toList
+      val lefts = lefts0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val leftDf = lefts.toDF("row_id", "k", "t")
+      val rightDf = rights.toDF("k", "t", "v")
+      val got = graft.operators.AsofJoin
+        .asofJoin(leftDf, rightDf, "k", "t", "k", "t", Seq("v"))
+        .collect()
+        .map(r => r.getAs[Long]("row_id") ->
+          Option(r.get(r.fieldIndex("asof_v"))).map(_.asInstanceOf[Long])).toMap
+      val want = lefts.map { case (id, k, t) =>
+        val cands = rights.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got === want)
+    }
+  }
 }
