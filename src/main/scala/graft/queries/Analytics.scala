@@ -20,6 +20,21 @@ object Analytics {
   /** double column → exact decimal with 2 fractional digits. */
   private def dec(c: Column): Column = c.cast(DecimalType(20, 2))
 
+  /** Exact-decimal aggregate → hash-canonical OUTPUT column.
+    *
+    * The driver hashes Spark parquet and DuckDB results through
+    * different numeric reprs (`str(Decimal)` keeps trailing zeros,
+    * `repr(float)` doesn't), so decimal OUTPUT columns hash-mismatch
+    * even when value-identical. Route through an int64-backed decimal
+    * (≤18 digits, so the unscaled value is exact in a double) and then
+    * to double: `double(unscaled) / double(10^scale)` is one correctly
+    * rounded division in both engines → bit-identical doubles.
+    * The aggregation itself stays exact decimal; only the final
+    * presentation is converted. Oracle twins apply the same two casts.
+    */
+  private def canon(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale)).cast("double")
+
   /** TPC-H Q1 shape: grouped aggregation with exact decimal sums.
     * Scale: hash-agg with map-side partial aggregation; one shuffle of
     * ~|groups| rows. Survives 100 TB because group cardinality is tiny. */
@@ -28,10 +43,10 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec($"l_quantity")).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec($"l_extendedprice")).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        canon(sum(dec($"l_quantity"))).as("sum_qty"),
+        canon(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+        canon(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount"))), 4)
+          .as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -39,9 +54,9 @@ object Analytics {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -66,22 +81,29 @@ object Analytics {
         .cast(DecimalType(38, 4)).as("revenue"))
       .orderBy($"revenue".desc, $"l_orderkey")
       .limit(10)
+      // top-N is selected on the EXACT decimal; only the surviving 10
+      // rows are canonicalized for the hash
       .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
-        $"o_orderpriority", $"revenue")
+        $"o_orderpriority", canon($"revenue", 4).as("revenue"))
   }
 
   val q3JoinTopnSql: String =
-    """SELECT l_orderkey,
-      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-      |  o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
-      |FROM lineitem
-      |JOIN orders ON l_orderkey = o_orderkey
-      |JOIN customer ON o_custkey = c_custkey
-      |WHERE c_mktsegment = 'BUILDING'
-      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, l_orderkey
-      |LIMIT 10""".stripMargin
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(CAST(revenue AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT l_orderkey,
+      |    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |    o_orderpriority,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING'
+      |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |  ORDER BY revenue DESC, l_orderkey
+      |  LIMIT 10
+      |)
+      |ORDER BY revenue DESC, l_orderkey""".stripMargin
 
   /** TPC-H Q5 shape: 5-way star join.
     * Scale: single big shuffle (orders⋈lineitem); supplier/nation/
@@ -102,14 +124,14 @@ object Analytics {
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+      .agg(canon(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount"))), 4)
+        .as("revenue"))
       .orderBy($"n_name")
   }
 
   val q5MultijoinSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -127,12 +149,14 @@ object Analytics {
     Tables.orders(spark, dir)
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
-      .select($"o_custkey", $"o_orderkey", dec($"o_totalprice").as("o_totalprice"), $"rk")
+      // o_totalprice is passed through raw (already double in the
+      // source parquet): no arithmetic, so no canonicalization needed
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
       .orderBy($"o_custkey", $"rk")
   }
 
   val qWindowTopnSql: String =
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(20,2)) AS o_totalprice, rk
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
@@ -156,7 +180,7 @@ object Analytics {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
-        sum(dec($"value")).cast(DecimalType(38, 2)).as("session_value"))
+        canon(sum(dec($"value"))).as("session_value"))
       .orderBy($"user_id", $"session_id")
   }
 
@@ -175,7 +199,7 @@ object Analytics {
       |  FROM marked
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS session_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
@@ -240,7 +264,7 @@ object Analytics {
       .agg(
         grouping_id().as("gid"),
         count(lit(1)).as("n"),
-        sum(dec($"l_extendedprice")).cast(DecimalType(38, 2)).as("sum_price"))
+        canon(sum(dec($"l_extendedprice"))).as("sum_price"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
@@ -252,7 +276,7 @@ object Analytics {
       |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
       |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       COUNT(*) AS n,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_price
+      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
@@ -270,8 +294,8 @@ object Analytics {
       // one middle row (odd cnt) or two (even): 2*median = sum*(3-count)
       // — exact decimal multiply; decimal DIVISION scale rules differ
       // across engines, multiplication doesn't
-      .agg((sum(dec($"o_totalprice")) * (lit(3) - count(lit(1))))
-        .cast(DecimalType(38, 2)).as("median_x2"))
+      .agg(canon(sum(dec($"o_totalprice")) * (lit(3) - count(lit(1))))
+        .as("median_x2"))
   }
 
   val qMedianSql: String =
@@ -281,7 +305,7 @@ object Analytics {
       |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS cnt
       |  FROM orders)
       |SELECT o_orderstatus,
-      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * (3 - COUNT(*)) AS DECIMAL(38,2)) AS median_x2
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * (3 - COUNT(*)) AS DECIMAL(18,2)) AS DOUBLE) AS median_x2
       |FROM ranked
       |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
       |GROUP BY o_orderstatus""".stripMargin

@@ -128,18 +128,27 @@ object GraphLoad {
   def glRangeContiguity(s: SparkSession, d: String): DataFrame =
     Bundler.rangeContiguity(ch(s, d), BundleSize)
 
+  // Typed-value queries keep EXACT decimal aggregation (the point of
+  // the reference's BigInt/BigDecimal types) but canonicalize the
+  // OUTPUT columns through an int64-backed decimal → double so the
+  // driver's hash sees the same bits from Spark parquet and DuckDB
+  // (str(Decimal) vs repr(float) diverge on trailing zeros; a single
+  // correctly-rounded int64/10^scale division doesn't).
+
   def glTypedBigint(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).groupBy(col("l_returnflag"))
       .agg(sum(col("l_orderkey").cast("decimal(18,0)") * col("l_partkey").cast("decimal(18,0)"))
-        .cast("decimal(38,0)").as("big_product_sum"))
+        .cast("decimal(18,0)").cast("double").as("big_product_sum"))
 
   def glTypedBigdecimal(s: SparkSession, d: String): DataFrame =
     ch(s, d).groupBy(col("op"))
       .agg(
         sum(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
-          .cast("decimal(38,12)").as("sum_val"),
-        min(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("min_val"),
-        max(col("value").cast("decimal(20,2)").cast("decimal(26,12)")).as("max_val"))
+          .cast("decimal(18,6)").cast("double").as("sum_val"),
+        min(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
+          .cast("decimal(18,6)").cast("double").as("min_val"),
+        max(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
+          .cast("decimal(18,6)").cast("double").as("max_val"))
 
   /** #4b gl_change_validation — the reference's stream-sanity checks as
     * data (processor.go:238-296): CREATE on a live id is an error,
@@ -359,15 +368,15 @@ object GraphLoad {
 
     "gl_typed_bigint" ->
       """SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(l_partkey AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS big_product_sum
+        |  CAST(CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(l_partkey AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS big_product_sum
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "gl_typed_bigdecimal" ->
       s"""$W
          |SELECT op,
-         |  CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(38,12)) AS sum_val,
-         |  MIN(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS min_val,
-         |  MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS max_val
+         |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_val,
+         |  CAST(CAST(MIN(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS min_val,
+         |  CAST(CAST(MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS max_val
          |FROM changes GROUP BY op""".stripMargin,
 
     "gl_jsonl_encode" ->

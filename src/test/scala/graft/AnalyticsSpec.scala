@@ -7,7 +7,7 @@ class AnalyticsSpec extends SparkSpec {
   test("q1_agg: 6 flag/status groups, exact decimal sums") {
     val rows = Analytics.q1Agg(spark, sf).collect()
     assert(rows.length > 0 && rows.length <= 8)
-    val qty = rows.map(_.getAs[java.math.BigDecimal]("sum_qty").doubleValue).sum
+    val qty = rows.map(_.getAs[Double]("sum_qty")).sum
     assert(qty > 0)
     // counts add up to the full table
     val total = rows.map(_.getAs[Long]("count_order")).sum
@@ -17,7 +17,7 @@ class AnalyticsSpec extends SparkSpec {
   test("q3_join_topn: top-10, descending revenue") {
     val rows = Analytics.q3JoinTopn(spark, sf).collect()
     assert(rows.length <= 10)
-    val revs = rows.map(_.getAs[java.math.BigDecimal]("revenue").doubleValue)
+    val revs = rows.map(_.getAs[Double]("revenue"))
     assert(revs.sameElements(revs.sorted.reverse))
   }
 
