@@ -30,18 +30,30 @@ object Bench {
     // projection to nothing, so map-only queries (CSV serialization,
     // fingerprints) would time an empty scan.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // failures propagate as loud per-query errors in the JSON (a
+      // swallowed exception would record a near-zero time and make
+      // breakage look like a speedup)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage)
+        }
       }
-      name -> times.min
+      name -> times.collect { case Right(t) => t }.minOption
+        .toRight(times.collectFirst { case Left(e) => e }.getOrElse("unknown"))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map {
+      case (k, Right(v)) => "\"" + k + "\":" + v
+      case (k, Left(e)) =>
+        "\"" + k + "\":\"ERROR " + e.replaceAll("[\"\\\\\n]", " ").take(120) + "\""
+    }.mkString("{", ",", "}")
+    val errs = results.count(_._2.isLeft)
+    val total = results.collect { case (_, Right(v)) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

@@ -45,8 +45,16 @@ object AsofJoin {
     // row AT the left row's time is visible (matches ASOF's <=)
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__is_left"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // each right row carries a non-null marker STRUCT around its value:
+    // last(ignoreNulls) then distinguishes "no right row yet" (null
+    // struct → null result) from a right row whose value is genuinely
+    // NULL (non-null struct, null field → NULL carried faithfully,
+    // matching DuckDB ASOF rather than skipping to an older value)
     val carried = valueCols.foldLeft(tagged) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"r_$c"), ignoreNulls = true).over(w))
+      val marked = when(col("__is_left") === 0,
+        struct(lit(true).as("set"), col(s"r_$c").as("v")))
+      df.withColumn(s"asof_$c",
+        last(marked, ignoreNulls = true).over(w).getField("v"))
     }
     carried.filter(col("__is_left") === 1)
       .select(lCols.map(c => col(s"l_$c").as(c)) ++

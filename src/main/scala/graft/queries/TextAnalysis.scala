@@ -53,9 +53,12 @@ object TextAnalysis {
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("n_stop", size(filter(col("w"), t => t.isInCollection(en))).cast("long"))
       .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      // greatest(..,1) denominators: an empty document would divide by
+      // zero, which Spark DIV tolerates (NULL) but DuckDB // raises —
+      // the guard keeps both engines total and identical
       .select(col("doc_id"), col("n_tok"),
-        expr("n_stop * 1000 DIV n_tok").as("stop_x1000"),
-        expr("n_alpha * 1000 DIV length(text)").as("alpha_x1000"))
+        expr("n_stop * 1000 DIV greatest(n_tok, 1)").as("stop_x1000"),
+        expr("n_alpha * 1000 DIV greatest(length(text), 1)").as("alpha_x1000"))
   }
 
   val txQualityScoreSql: String = {
@@ -63,9 +66,9 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS BIGINT) * 1000
-       |    // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_x1000,
+       |    // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS stop_x1000,
        |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000
-       |    // CAST(length(text) AS BIGINT) AS alpha_x1000
+       |    // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_x1000
        |FROM documents""".stripMargin
   }
 

@@ -30,8 +30,11 @@ object PoiStream {
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
 
+  // sort by (blockNum, repr) — the batch digest array_sorts structs,
+  // which tie-breaks equal block_nums on repr; sorting by blockNum
+  // alone would keep arbitrary arrival order on ties and diverge
   def digestOf(events: Seq[(Long, String)]): String =
-    md5Hex(events.sortBy(_._1).map(_._2).mkString("|"))
+    md5Hex(events.sortBy(e => (e._1, e._2)).map(_._2).mkString("|"))
 
   private def finalize(block: Long, state: GroupState[OpenBlock]): Iterator[BlockDigest] = {
     val evs = state.getOption.map(_.events).getOrElse(Nil)

@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 /** Streaming exact dedup — dd_exact's continuous form.
   *
-  * `dropDuplicates` on the content hash with a watermark: the state
-  * store keeps one entry per distinct hash inside the watermark
-  * horizon and ages them out — bounded state, unlike an unbounded
-  * distinct. This is the standard ingestion-time guard in a
-  * training-data pipeline: exact re-crawls/replays within the horizon
-  * are dropped before any downstream work sees them.
+  * `dropDuplicatesWithinWatermark` on the content hash: the state
+  * store keeps one entry per distinct hash and ages it out once the
+  * watermark passes the entry's event time — bounded state, unlike an
+  * unbounded distinct. Plain `dropDuplicates("text_hash")` would NOT
+  * evict: Spark only ages dedup state when the event-time column is
+  * part of the key set, so key-only dedup needs the
+  * within-watermark variant. This is the standard ingestion-time
+  * guard in a training-data pipeline: exact re-crawls/replays within
+  * the horizon are dropped before any downstream work sees them.
   */
 object StreamingDedup {
 
@@ -20,5 +23,5 @@ object StreamingDedup {
     docs
       .withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("text_hash")
+      .dropDuplicatesWithinWatermark("text_hash")
 }

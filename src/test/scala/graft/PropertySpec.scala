@@ -106,4 +106,19 @@ class PropertySpec extends SparkSpec {
       assert(got === want)
     }
   }
+
+  test("AsofJoin carries a genuinely-NULL right value instead of skipping it") {
+    // right rows: v=7 at t=5, then v=NULL at t=10 — a left row at t=12
+    // must see NULL (the latest right row), not fall back to 7
+    val rightDf = Seq((1L, 5L, Some(7L)), (1L, 10L, None))
+      .toDF("k", "t", "v")
+    val leftDf = Seq((100L, 1L, 12L), (101L, 1L, 6L), (102L, 1L, 3L))
+      .toDF("row_id", "k", "t")
+    val got = graft.operators.AsofJoin
+      .asofJoin(leftDf, rightDf, "k", "t", "k", "t", Seq("v"))
+      .collect()
+      .map(r => r.getAs[Long]("row_id") ->
+        Option(r.get(r.fieldIndex("asof_v"))).map(_.asInstanceOf[Long])).toMap
+    assert(got === Map(100L -> None, 101L -> Some(7L), 102L -> None))
+  }
 }
