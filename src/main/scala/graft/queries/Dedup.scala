@@ -29,10 +29,18 @@ object Dedup {
   /** MinHash: 16 permutations, 4 bands of 4 rows. */
   val NumPerms = 16
   val BandRows = 4
-  /** Embedding near-dup: 8-plane sign bucket + cosine >= 0.95. */
+  /** Embedding near-dup: 8-plane sign bucket + cosine >= CosTau.
+    * The synthetic embeddings are RANDOM (max pairwise cosine ≈0.51 at
+    * sf0.01, ≈0.41 within a bucket), so a production-style 0.95 cut
+    * returns zero rows and the oracle check is vacuous — it cannot
+    * tell a correct implementation from `WHERE false`. 0.30 sits above
+    * the 90th percentile of in-bucket cosines: selective, but
+    * guaranteed non-empty, so the driver exercises the whole
+    * bucket-join + exact-cosine pipeline. DedupSpec proves the
+    * high-threshold behavior on planted near-identical vectors. */
   val NumPlanes = 8
   val Dims = 64
-  val CosTau = 0.95
+  val CosTau = 0.30
 
   // ---- #27 exact dedup ----------------------------------------------
 
@@ -50,16 +58,33 @@ object Dedup {
 
   // ---- shared shingle index -----------------------------------------
 
-  /** Capped shingle buckets: shingle → sorted doc list, buckets larger
-    * than the df cap dropped. ONE shuffle (map-side-combined list agg)
-    * replaces the classic index self-join. */
-  private def shingleBuckets(s: SparkSession, d: String): DataFrame =
+  /** Exploded (doc_id, shingle-hash) inverted-index rows. */
+  private def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", Shingles.tokens(col("text")))
       .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
+
+  /** Capped shingle buckets: shingle → sorted doc list, buckets larger
+    * than the df cap dropped.
+    *
+    * Hot shingles are eliminated BEFORE any list aggregation: a
+    * map-side-combined `groupBy(h).count` (tiny shuffle — partial
+    * counts collapse each hot key to one row per map task) yields the
+    * cold-shingle set, and only index rows surviving that join reach
+    * `collect_list`. Collecting first and filtering after would
+    * materialize a multi-million-element buffer for every stopword
+    * shingle before dropping it — the classic hot-key OOM. The join
+    * and the list agg hash-partition on the same key, so the big
+    * exploded set still shuffles exactly once. */
+  private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d)
+    val cold = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select(col("h"))
+    sh.join(cold, "h")
       .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= DfCap)
       .select(array_sort(col("ids")).as("ids"))
+  }
 
   // ---- #28 n-gram Jaccard -------------------------------------------
 
@@ -81,11 +106,14 @@ object Dedup {
       .select(explode(pairExpr).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // no broadcast hint: sizes has one row per document — corpus-sized,
+    // a driver OOM if force-broadcast at 100 TB. AQE still broadcasts
+    // it while it actually fits and shuffles beyond.
     val sizes = buckets.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb")), "doc_b")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * JacDen >= col("union_n") * JacNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"))
@@ -118,9 +146,7 @@ object Dedup {
     * hashing than seeded-md5 per permutation. The only shuffles: one
     * agg to signatures (|docs| rows), one bucket join. */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
+    val sh = shingleIndex(s, d) // min-agg is hot-key-safe: constant-size buffer
     val minCols = (0 until NumPerms).map(i => min(PortableHash.perm(i, col("h"))).as(s"h$i"))
     val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bands = mh.select(col("doc_id"), posexplode(array(
@@ -154,36 +180,71 @@ object Dedup {
        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
   }
 
-  // ---- #30 SimHash (rows-only) --------------------------------------
+  // ---- #30 SimHash ----------------------------------------------------
 
-  /** 16-bit SimHash from the 60-bit shingle hashes: bit j is the sign
-    * of sum(±1) of each shingle's bit j. Hamming-band key = top byte.
-    * Driver check is rows-only (bit-majority has no clean SQL twin);
-    * the spec asserts identical docs hash identically. */
+  /** Base index into the universal-hash family for SimHash bit
+    * sources — far from MinHash's 0..15 so the families are disjoint. */
+  val SimhashPermBase = 101
+  val SimhashBits = 64
+
+  /** 64-bit SimHash: bit j is the sign of sum(±1) over all shingles of
+    * bit (j mod 16) of universal hash g_(j/16) of the shingle's 60-bit
+    * md5 hash — 4 portable perms supply 16 independent bits each.
+    * Hamming-band key = top byte (arith-shift + mask is identical in
+    * both engines). One map-side-combined agg with a constant 64-long
+    * buffer; oracle-gated: the bit-majority IS SQL-expressible as 64
+    * sign-of-sum aggregates. */
   def ddSimhash(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
-    val bitCols = (0 until 16).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val bitSums = sh.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-    val simhash = (0 until 16).map(j =>
-      when(col(s"b$j") > 0, 1L << j).otherwise(0L)).reduce(_ + _)
+    val sh = shingleIndex(s, d) // sum-agg per bit: constant-size buffer
+    val proj = sh.select(col("doc_id") +:
+      (0 until SimhashBits / 16).map(g =>
+        PortableHash.perm(SimhashPermBase + g, col("h")).as(s"g$g")): _*)
+    val bitCols = (0 until SimhashBits).map { j =>
+      sum(when(shiftright(col(s"g${j / 16}"), j % 16).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val bitSums = proj.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+    // ascending j keeps every partial sum in int64 range (positive
+    // powers first, the sign bit's Long.MinValue term last)
+    val simhash = (0 until SimhashBits).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     bitSums
       .withColumn("simhash", simhash)
-      .withColumn("band", shiftright(col("simhash"), 8))
+      .withColumn("band", shiftright(col("simhash"), 56).bitwiseAND(lit(255L)))
       .select(col("doc_id"), col("simhash"), col("band"))
+  }
+
+  val ddSimhashSql: String = {
+    val gdefs = (0 until SimhashBits / 16).map(g =>
+      s"${PortableHash.permSql(SimhashPermBase + g, "h")} AS g$g").mkString(",\n    ")
+    val bitSums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (g${j / 16} >> ${j % 16}) & 1 = 1 THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n    ")
+    val terms = (0 until SimhashBits).map { j =>
+      // the j=63 power is Long.MinValue — spelled as an expression so
+      // the positive literal never overflows the BIGINT parser
+      val v = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
+      s"CASE WHEN b$j > 0 THEN CAST($v AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""WITH ${Shingles.hashedShinglesCteSql()},
+       |g AS (SELECT doc_id, $gdefs FROM hsh),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM g GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits)
+       |SELECT doc_id, simhash, (simhash >> 56) & 255 AS band FROM sim""".stripMargin
   }
 
   // ---- #31 embedding cosine near-dup --------------------------------
 
-  /** Near-dup by quantized cosine >= 0.95, blocked by the 8-plane
+  /** Near-dup by quantized cosine >= tau, blocked by the 8-plane
     * deterministic sign bucket ([[Vectors.signBucket]]): pairs are only
     * generated within a bucket (expected bucket size n/256), then
-    * verified with the exact integer-dot cosine. */
-  def ddEmbedCosine(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(s)
-    val e = Tables.embeddings(s, d)
+    * verified with the exact integer-dot cosine. Core is
+    * threshold-parameterized so the planted-vector spec can exercise
+    * the production 0.95 cut. */
+  def embedCosinePairs(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = embeddings
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.dot(col("qv"), col("qv")))
       .filter(col("n2") > 0)
@@ -192,8 +253,13 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", Vectors.cosine(
         Vectors.dot(col("a.qv"), col("b.qv")), col("a.n2"), col("b.n2")))
-      .filter(col("cos") >= CosTau)
+      .filter(col("cos") >= tau)
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("cos"))
+  }
+
+  def ddEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    embedCosinePairs(Tables.embeddings(s, d), CosTau)
   }
 
   val ddEmbedCosineSql: String = {
@@ -221,11 +287,11 @@ object Dedup {
     "dd_embed_cosine" -> (ddEmbedCosine _)
   )
 
-  /** dd_simhash is rows-only (SURVEY.md §2). */
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql
   )
 }

@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Double]("cos") >= Dedup.CosTau)
     }
   }
+
+  test("dd_embed_cosine finds planted near-identical vectors at the 0.95 cut") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(Dedup.Dims)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    // id 1 = base + tiny noise (cos ≈ 0.999); ids 2.. = independent noise
+    val near = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+    val planted = ((0L, base) :: (1L, near) ::
+      (2L to 40L).map(i => (i, vec())).toList)
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embedCosinePairs(planted, 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(got.contains((0L, 1L)), s"planted pair missing, got ${got.toList}")
+    assert(got.forall { case (a, b) => a == 0L && b == 1L },
+      s"random vectors must not pass 0.95: ${got.toList}")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -96,10 +96,28 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
-  test("dd_ngram_jaccard: size joins are broadcast, no cross join anywhere") {
-    val p = physical(Dedup.ddNgramJaccard(spark, sf))
+  test("dd_ngram_jaccard: no cross join, no forced broadcast, capped agg buffers") {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, ResolvedHint}
+    val df = Dedup.ddNgramJaccard(spark, sf)
+    val p = physical(df)
     assert(crossJoins(p) === 0, p)
-    assert(bhj(p) >= 2, p)
+    // sizes is one row per document — corpus-sized. A broadcast HINT on
+    // it would OOM the driver at scale; the choice belongs to AQE.
+    assert(df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.isEmpty,
+      "no join side may be force-broadcast")
+    // every collect_list aggregate must sit ABOVE the cold-shingle join:
+    // hot shingles are dropped by a counted filter before any list
+    // buffer exists, so buffers are bounded by DfCap
+    val collectAggs = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.exists(_.isInstanceOf[CollectList])) => a
+    }
+    assert(collectAggs.nonEmpty)
+    collectAggs.foreach { a =>
+      assert(a.collectFirst { case j: Join => j }.isDefined,
+        "collect_list must aggregate only df-capped (joined) shingles")
+    }
   }
 
   test("q_asof_join: one key shuffle, no range/theta join") {
