@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.stablehash.StableHash
+import graft.stablehash.StableHash.{Address, FastHasher, U192}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** mixer-state rows for the distributed chain — top level so Spark's
+  * encoder codegen can instantiate them. */
+final case class PoiLocalRow(block_num: Long, bundle: Long,
+                             v0: Long, v1: Long, v2: Long, cnt: Long)
+final case class PoiPrefixRow(block_num: Long, bundle: Long,
+                              v0: Long, v1: Long, v2: Long, cnt: Long,
+                              is_last: Boolean)
+
+/** Graph-node-compatible proof-of-indexing over the entity-change
+  * stream — the digests graph-node itself would compute, so a user
+  * migrating from the reference can cross-check their subgraph.
+  *
+  * Behavior from the reference (cited file:line):
+  *   - event address path [1, 0, blockNum, 0, vecIdx] and the
+  *     per-block vec-length finalization — poi/poi.go:48-73, 86-101
+  *   - SetEntity/RemoveEntity encodings (variant bytes 0x2/0x1) —
+  *     poi/event.go:34-43, 61-68
+  *   - entity value encodings (string 0x1, bigdecimal 0x3, ...) —
+  *     poi/entity.go:15-83
+  *   - chaining: each block's POI mixes in the previous block's
+  *     (`Pause(prev)`) — poi/poi.go:48-73
+  *
+  * Spark-first realization: the FldMix fold is commutative AND
+  * associative ([[graft.stablehash.StableHash]]), so
+  *   poi(b) = local(1) ○ local(2) ○ … ○ local(b)
+  * where local(i) is block i's self-contained event fold. That turns
+  * the reference's inherently sequential chain into
+  *   1. one shuffle keyed by block: per-block local mixers in parallel
+  *      (the only pass over the data),
+  *   2. one shuffle of |blocks| tiny mixer rows keyed by bundle:
+  *      in-bundle prefix folds,
+  *   3. a driver fold over |bundles| bundle totals (bounded, like
+  *      [[VidAssigner]]'s offsets) broadcast back and mixed into each
+  *      block's prefix.
+  * The imperative hashing runs in mapGroups — the documented
+  * last-resort path, justified here because the kernel is a custom
+  * 128-bit hash chain no Catalyst expression composes.
+  */
+object PoiStableHash {
+
+  // ---- event model ----------------------------------------------------
+
+  sealed trait EValue
+  final case class EString(v: String) extends EValue
+  final case class EBigDecimal(v: String) extends EValue
+  final case class EBigInt(v: java.math.BigInteger) extends EValue
+  final case class EBool(v: Boolean) extends EValue
+  final case class EBytes(v: Array[Byte]) extends EValue
+  final case class EInt32(v: Int) extends EValue
+  final case class EArray(v: Seq[EValue]) extends EValue
+
+  sealed trait PoiEvent
+  final case class SetEntity(entityType: String, id: String,
+                             data: Seq[(String, EValue)]) extends PoiEvent
+  final case class RemoveEntity(entityType: String, id: String) extends PoiEvent
+
+  /** entity.go:15-27 — typed value at child(0), variant byte at the
+    * parent slot. */
+  def hashEntityValue(v: EValue, addr: Address, h: FastHasher): Unit = {
+    val variant: Byte = v match {
+      case EString(s) =>
+        // Postgres NUL stripping — entity.go:32-37
+        StableHash.hashString(s.replace("\u0000", ""), addr.child(0), h); 0x1
+      case EInt32(i) =>
+        StableHash.hashI32(i, addr.child(0), h); 0x2
+      case EBigDecimal(s) =>
+        StableHash.hashBigDecimal(StableHash.parseBigDecimal(s), addr.child(0), h); 0x3
+      case EBool(b) =>
+        StableHash.hashBool(b, addr.child(0), h); 0x4
+      case EArray(xs) =>
+        StableHash.hashList(xs.length,
+          (i, a) => hashEntityValue(xs(i), a, h), addr.child(0), h); 0x5
+      case EBytes(bytes) =>
+        StableHash.hashBytes(bytes, addr.child(0), h); 0x6
+      case EBigInt(bi) =>
+        StableHash.hashBigInt(bi, addr.child(0), h); 0x7
+    }
+    h.write(addr, Array[Byte](variant))
+  }
+
+  /** poi/event.go — type at child(0), id at child(1), data map at
+    * child(2) (SetEntity only), variant byte at the parent. */
+  def hashEvent(e: PoiEvent, addr: Address, h: FastHasher): Unit = e match {
+    case SetEntity(tpe, id, data) =>
+      StableHash.hashString(tpe, addr.child(0), h)
+      StableHash.hashString(id, addr.child(1), h)
+      val dataAddr = addr.child(2)
+      data.foreach { case (k, v) =>
+        StableHash.hashMapEntry(
+          (a, ih) => StableHash.hashString(k, a, ih),
+          (a, ih) => hashEntityValue(v, a, ih),
+          dataAddr, h)
+      }
+      h.write(addr, Array[Byte](0x2))
+    case RemoveEntity(tpe, id) =>
+      StableHash.hashString(tpe, addr.child(0), h)
+      StableHash.hashString(id, addr.child(1), h)
+      h.write(addr, Array[Byte](0x1))
+  }
+
+  /** One block's self-contained POI state: events at
+    * [1,0,blockNum,0,i], then the vec-length finalization write at
+    * [1,0,blockNum,0] — poi.go Write + Pause without the prev mixin. */
+  def blockLocal(blockNum: Long, events: Seq[PoiEvent]): FastHasher = {
+    val h = FastHasher()
+    val base = Address.root(1L, 0L, blockNum, 0L)
+    var i = 0
+    events.foreach { e => hashEvent(e, base.child(i.toLong), h); i += 1 }
+    StableHash.hashU64(events.length.toLong, base, h)
+    h
+  }
+
+  /** Reference-faithful sequential chain (testing/small inputs): each
+    * block's Pause(prev) — poi.go:48-73. */
+  def chainSequential(blocks: Seq[(Long, Seq[PoiEvent])]): Seq[(Long, String)] = {
+    var prev: Option[FastHasher] = None
+    blocks.sortBy(_._1).map { case (bn, evs) =>
+      val h = blockLocal(bn, evs)
+      prev.foreach(h.mixin)
+      prev = Some(h)
+      bn -> hex(h.toBytes)
+    }
+  }
+
+  def hex(bytes: Array[Byte]): String =
+    bytes.map("%02x".format(_)).mkString
+
+  // ---- Spark integration ------------------------------------------------
+
+  /** Chained per-block POIs for the standard entity-change stream:
+    * one SetEntity/RemoveEntity per change, entity type `user_state`,
+    * data = {value: BigDecimal, last_op: String}. Events within a block
+    * are ordered by (id, op) — the deterministic stand-in for the
+    * reference's stream arrival order. Output: (block_num, poi) rows.
+    */
+  def poiChain(changes: DataFrame, bundleSize: Long): DataFrame = {
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    val locals: Dataset[PoiLocalRow] = changes
+      .select($"block_num".as[Long], $"id".as[String], $"op".as[String],
+        $"value".cast("decimal(20,2)").cast("string").as[String])
+      .groupByKey(_._1)
+      .mapGroups { (bn, it) =>
+        val events = it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, id, op, value) =>
+          if (op == "DELETE") RemoveEntity("user_state", id)
+          else SetEntity("user_state", id,
+            Seq("last_op" -> EString(op), "value" -> EBigDecimal(value)))
+        }
+        val h = blockLocal(bn, events)
+        PoiLocalRow(bn, bn / bundleSize, h.mixer.v0, h.mixer.v1, h.mixer.v2, h.count)
+      }
+
+    val prefixes: Dataset[PoiPrefixRow] = locals
+      .groupByKey(_.bundle)
+      .flatMapGroups { (bundle, it) =>
+        val rows = it.toSeq.sortBy(_.block_num)
+        var acc: Option[(U192, Long)] = None
+        rows.zipWithIndex.map { case (r, i) =>
+          val local = U192(r.v0, r.v1, r.v2)
+          val next = acc match {
+            case Some((m, c)) => (StableHash.mix(m, local), c + r.cnt)
+            case None => (local, r.cnt)
+          }
+          acc = Some(next)
+          PoiPrefixRow(r.block_num, bundle, next._1.v0, next._1.v1, next._1.v2,
+            next._2, i == rows.length - 1)
+        }.iterator
+      }
+
+    // bundle totals: |bundles| rows only (height / bundleSize — the
+    // same bounded driver set VidAssigner collects)
+    val totals = prefixes.filter(_.is_last).collect().sortBy(_.bundle)
+    val offsets: Map[Long, (U192, Long)] = {
+      var acc: Option[(U192, Long)] = None
+      totals.map { t =>
+        val off = t.bundle -> acc.orNull
+        acc = Some(acc match {
+          case Some((m, c)) => (StableHash.mix(m, U192(t.v0, t.v1, t.v2)), c + t.cnt)
+          case None => (U192(t.v0, t.v1, t.v2), t.cnt)
+        })
+        off
+      }.collect { case (b, o) if o != null => b -> o }.toMap
+    }
+
+    prefixes.map { r =>
+      val (mixer, cnt) = offsets.get(r.bundle) match {
+        case Some((om, oc)) => (StableHash.mix(om, U192(r.v0, r.v1, r.v2)), oc + r.cnt)
+        case None => (U192(r.v0, r.v1, r.v2), r.cnt)
+      }
+      val bytes = new Array[Byte](32)
+      System.arraycopy(mixer.toBytesLE, 0, bytes, 0, 24)
+      var i = 0
+      while (i < 8) { bytes(24 + i) = ((cnt >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      (r.block_num, hex(bytes))
+    }.toDF("block_num", "poi")
+  }
+}

@@ -97,6 +97,15 @@ object GraphLoad {
   def glPoiChain(s: SparkSession, d: String): DataFrame =
     Poi.poiChain(ch(s, d), PoiBlockSize, PoiBlocksPerBundle)
 
+  /** #11b gl_poi_stablehash — graph-node-COMPATIBLE proof of indexing:
+    * xxh3/FldMix FastHasher digests chained across blocks
+    * ([[graft.operators.PoiStableHash]]), verified bit-for-bit against
+    * the reference's own test vectors in StableHashSpec. Rows-only at
+    * the driver (no SQL engine can express the hash); the spec gates
+    * parallel-fold == sequential Pause(prev) equality. */
+  def glPoiStablehash(s: SparkSession, d: String): DataFrame =
+    graft.operators.PoiStableHash.poiChain(ch(s, d), BundleSize)
+
   def glSchemaNormalize(s: SparkSession, d: String): DataFrame = {
     val camel1 = concat(lit("user"), upper(substring(col("event_type"), 1, 1)),
       substring(col("event_type"), 2, 100), lit("ID"))
@@ -433,6 +442,7 @@ object GraphLoad {
     "gl_csv_typed_null" -> (glCsvTypedNull _),
     "gl_poi_block_digest" -> (glPoiBlockDigest _),
     "gl_poi_chain" -> (glPoiChain _),
+    "gl_poi_stablehash" -> (glPoiStablehash _),
     "gl_schema_normalize" -> (glSchemaNormalize _),
     "gl_entity_stats" -> (glEntityStats _),
     "gl_last_block" -> (glLastBlock _),

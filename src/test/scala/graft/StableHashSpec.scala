@@ -1,0 +1,320 @@
+package graft
+
+import java.math.BigInteger
+
+import graft.operators.PoiStableHash
+import graft.operators.PoiStableHash._
+import graft.stablehash.StableHash
+import graft.stablehash.StableHash.{Address, BigDec, FastHasher, U192}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Vector tests against the reference's own stablehash/poi test suites
+  * (stablehash/fast_hasher_test.go, impls_test.go, u192_test.go,
+  * fld_test.go, big_decimal_test.go, poi/poi_test.go) — every expected
+  * value below is copied from those files, so agreement means the POI
+  * digests match graph-node bit-for-bit.
+  */
+class StableHashSpec extends AnyFunSuite {
+
+  private def u192(s: String): U192 = {
+    val b = new BigInteger(s)
+    def limb(i: Int): Long = b.shiftRight(64 * i).and(new BigInteger("FFFFFFFFFFFFFFFF", 16)).longValue()
+    U192(limb(0), limb(1), limb(2))
+  }
+
+  private def fastHash(write: FastHasher => Unit): String = {
+    val h = FastHasher()
+    write(h)
+    h.finishString
+  }
+
+  // ---- u192_test.go ----------------------------------------------------
+
+  test("U192 add with and without wrap") {
+    val max = U192(-1L, -1L, -1L)
+    assert(u192("248") + u192("248") === u192("496"))
+    assert(u192("248") + max === u192("247"))
+    assert(u192("2092367245128893587945263141069222138700785148154678170965").toBigInteger.toString
+      === "2092367245128893587945263141069222138700785148154678170965")
+  }
+
+  test("U192 mul matches BigInteger mod 2^192") {
+    val mod = BigInteger.TWO.pow(192)
+    val cases = Seq(
+      ("248", "249"),
+      ("18446744073709551615", "18446744073709551615"),
+      ("6277101735386680763835789423207666416102355444464034512895", "3"),
+      ("2092367245128893587945263141069222138700785148154678170965",
+        "6277101735386680763835789423207666416102355444464034512895"))
+    cases.foreach { case (a, b) =>
+      val got = (u192(a) * u192(b)).toBigInteger
+      val want = new BigInteger(a).multiply(new BigInteger(b)).mod(mod)
+      assert(got === want, s"$a * $b")
+    }
+  }
+
+  // ---- fld_test.go -------------------------------------------------------
+
+  test("FldMix is commutative and combine-compatible") {
+    def mixed(vals: Seq[(Long, Long)]): U192 =
+      vals.foldLeft(StableHash.MixInit) { case (st, (v, seed)) =>
+        StableHash.mixValue(st, v, 0L, seed)
+      }
+    val a = mixed(Seq((100L, -1L), (10L, 10L), (999L, 100L)))
+    val b = mixed(Seq((10L, 10L), (999L, 100L), (100L, -1L)))
+    assert(a === b)
+    val c = mixed(Seq((999L, 100L), (10L, 10L)))
+    val d = mixed(Seq((100L, -1L)))
+    assert(StableHash.mix(c, d) === b)
+  }
+
+  test("FldMix is associative (the parallel-fold precondition)") {
+    val xs = Seq(U192(3L, 5L, 7L), U192(-11L, 13L, -17L), U192(19L, -23L, 29L))
+    val leftFold = StableHash.mix(StableHash.mix(xs(0), xs(1)), xs(2))
+    val rightFold = StableHash.mix(xs(0), StableHash.mix(xs(1), xs(2)))
+    assert(leftFold === rightFold)
+  }
+
+  // ---- impls_test.go single values ----------------------------------------
+
+  test("FastHash single-value vectors") {
+    def intVec(neg: Boolean, le: Array[Byte]): String =
+      fastHash(h => StableHash.hashInt(neg, le, Address.Root, h))
+    // i8/i16/u8 little-endian encodings per impls.go
+    assert(intVec(neg = true, Array[Byte](4)) === "234333316714235907961649213803594184029")
+    assert(intVec(neg = false, Array[Byte](8)) === "263946226580928315975306067326554590217")
+    assert(intVec(neg = true, Array[Byte](0, 1)) === "2575436948546927940500443723565624388")
+    assert(intVec(neg = false, Array[Byte](0, 1)) === "201589876719799452230445857493583317400")
+    assert(intVec(neg = false, Array[Byte](255.toByte)) === "182395296116387546137591220945749437249")
+  }
+
+  // ---- fast_hasher_test.go structured vectors ------------------------------
+
+  test("FastHash DoubleChild") {
+    assert(fastHash { h =>
+      h.write(Address.Root.child(1), Array.emptyByteArray)
+      h.write(Address.Root.child(1), Array.emptyByteArray)
+    } === "261232071512772414229682083989926651266")
+  }
+
+  test("FastHash optional-field schema evolution") {
+    // One{one: u32(5)} == TwoOptional{one: u32(5), two: None}
+    val one = fastHash(h => StableHash.hashInt(negative = false,
+      Array[Byte](5, 0, 0, 0), Address.Root.child(0), h))
+    assert(one === "102568403942768160221811810082933398928")
+    val two = fastHash { h =>
+      StableHash.hashInt(negative = false, Array[Byte](5, 0, 0, 0), Address.Root.child(0), h)
+      StableHash.hashOptional(None, Address.Root.child(1), h)
+    }
+    assert(two === one)
+  }
+
+  test("FastHash tuple of optional-evolved structs") {
+    val got = fastHash { h =>
+      val t1 = Address.Root.child(0)
+      StableHash.hashInt(negative = false, Array[Byte](5, 0, 0, 0), t1.child(0), h)
+      val t2 = Address.Root.child(1)
+      StableHash.hashInt(negative = false, Array[Byte](5, 0, 0, 0), t2.child(0), h)
+      StableHash.hashOptional(None, t2.child(1), h)
+    }
+    assert(got === "210303380251691017811466509002544125279")
+  }
+
+  test("FastHash default-string schema evolution") {
+    val one = fastHash(h => StableHash.hashString("one", Address.Root.child(0), h))
+    assert(one === "237994494046445339248193596542695086083")
+    val two = fastHash { h =>
+      StableHash.hashString("one", Address.Root.child(0), h)
+      StableHash.hashString("", Address.Root.child(1), h) // empty writes nothing
+    }
+    assert(two === one)
+    val tuple = fastHash { h =>
+      StableHash.hashString("one", Address.Root.child(0).child(0), h)
+      StableHash.hashString("one", Address.Root.child(1).child(0), h)
+      StableHash.hashString("", Address.Root.child(1).child(1), h)
+    }
+    assert(tuple === "337538645577122176555714212704832450090")
+  }
+
+  test("FastHash list vectors") {
+    def listOfU8(xs: Seq[Int]): String = fastHash { h =>
+      StableHash.hashList(xs.length,
+        (i, a) => StableHash.hashU8(xs(i), a, h), Address.Root, h)
+    }
+    assert(listOfU8(Nil) === "320514965852340112707580934281173047643")
+    assert(listOfU8(Seq(0)) === "135263302447443856369810803691068577694")
+    assert(listOfU8(Seq(1)) === "181745098936733907021518655505145702128")
+    assert(listOfU8(Seq(0, 1, 3)) === "227549997251239301319289036454140551565")
+    assert(listOfU8(Seq(3, 0, 1)) === "318064286550914597684751961019563608459")
+  }
+
+  test("FastHash map vector is order-independent") {
+    def mapHash(entries: Seq[(Int, String)]): String = fastHash { h =>
+      entries.foreach { case (k, v) =>
+        StableHash.hashMapEntry(
+          (a, ih) => StableHash.hashInt(negative = false,
+            Array.tabulate(4)(i => ((k >>> (8 * i)) & 0xFF).toByte), a, ih),
+          (a, ih) => StableHash.hashString(v, a, ih),
+          Address.Root, h)
+      }
+    }
+    val first = mapHash(Seq(1 -> "one", 2 -> "two", 3 -> "three"))
+    assert(first === "60093794751952876589018848897648863192")
+    assert(mapHash(Seq(3 -> "three", 1 -> "one", 2 -> "two")) === first)
+    assert(mapHash(Seq(1 -> "X", 2 -> "two", 3 -> "three")) !== first)
+  }
+
+  // ---- big_decimal_test.go -------------------------------------------------
+
+  test("BigDecimal graph-node normalization vectors") {
+    val cases = Seq(
+      ("0.1", "1", 1L), ("0.0", "0", 0L), ("-0.1", "-1", 1L),
+      ("198.98765544", "19898765544", 8L),
+      ("0.00000093937698", "93937698", 14L),
+      ("98765587998098786876.0", "98765587998098786876", 0L),
+      ("98765000000", "98765", -6L), ("-98765000000", "-98765", -6L),
+      ("98765000000.1", "987650000001", 1L),
+      ("-98765000000.2", "-987650000002", 1L),
+      ("0.1234567890123456789012345678901234", "1234567890123456789012345678901234", 34L),
+      ("0.12345678901234567890123456789012344", "1234567890123456789012345678901234", 34L),
+      ("0.12345678901234567890123456789012345", "1234567890123456789012345678901235", 34L),
+      ("0.12345678901234567890123456789012346", "1234567890123456789012345678901235", 34L),
+      ("-0.1234567890123456789012345678901234", "-1234567890123456789012345678901234", 34L),
+      ("-0.12345678901234567890123456789012344", "-12345678901234567890123456789012344", 35L),
+      ("-0.12345678901234567890123456789012345", "-12345678901234567890123456789012345", 35L),
+      ("-0.12345678901234567890123456789012346", "-12345678901234567890123456789012346", 35L),
+      ("-0.123456789012345678901234567890123424", "-12345678901234567890123456789012342", 35L),
+      ("-0.123456789012345678901234567890123425", "-12345678901234567890123456789012342", 35L),
+      ("-0.123456789012345678901234567890123426", "-12345678901234567890123456789012342", 35L),
+      ("12.123456789012345678901234567890124", "1212345678901234567890123456789012", 32L),
+      ("12.123456789012345678901234567890125", "1212345678901234567890123456789013", 32L),
+      ("12.123456789012345678901234567890126", "1212345678901234567890123456789013", 32L),
+      ("-12.1234567890123456789012345678901234", "-12123456789012345678901234567890123", 33L),
+      ("-12.1234567890123456789012345678901235", "-12123456789012345678901234567890123", 33L),
+      ("-12.1234567890123456789012345678901236", "-12123456789012345678901234567890123", 33L),
+      ("1234567890123.123456789012345678901834567890124", "1234567890123123456789012345678902", 21L),
+      ("-1234567890123.123456789012345678901894567890124", "-12345678901231234567890123456789018", 22L),
+      ("1234567890123456789012345678901234", "1234567890123456789012345678901234", 0L),
+      ("12345678901234567890123456789012344", "1234567890123456789012345678901234", -1L),
+      ("12345678901234567890123456789012345", "1234567890123456789012345678901235", -1L),
+      ("12345678901234567890123456789012346", "1234567890123456789012345678901235", -1L),
+      ("-12345678901234567890123456789012345", "-12345678901234567890123456789012345", 0L),
+      ("-123456789012345678901234567890123454", "-12345678901234567890123456789012345", -1L),
+      ("-123456789012345678901234567890123455", "-12345678901234567890123456789012345", -1L),
+      ("-123456789012345678901234567890123456", "-12345678901234567890123456789012345", -1L),
+      ("10000000000000000000000000000000000000000", "1", -40L),
+      ("100000000000000000000000000000000000000001", "1", -41L),
+      ("19999999999999999999999999999999994", "1999999999999999999999999999999999", -1L),
+      ("19999999999999999999999999999999995", "2", -34L),
+      ("19999999999999999999999999999999985", "1999999999999999999999999999999999", -1L),
+      ("1999999999999999999999999999999999", "1999999999999999999999999999999999", 0L),
+      ("199999999999999999999999999999999", "199999999999999999999999999999999", 0L),
+      ("19999999999999999999999999999999999", "2", -34L),
+      ("199999999999999999999999999999999999999999", "2", -41L),
+      ("1444444444444444444444444444444444", "1444444444444444444444444444444444", 0L),
+      ("14444444444444444444444444444444444", "1444444444444444444444444444444444", -1L),
+      ("144444444444444444444444444444444444", "1444444444444444444444444444444444", -2L),
+      ("1555555555555555555555555555555555", "1555555555555555555555555555555555", 0L),
+      ("15555555555555555555555555555555555", "1555555555555555555555555555555556", -1L),
+      ("155555555555555555555555555555555555", "1555555555555555555555555555555556", -2L))
+    cases.foreach { case (in, wantInt, wantScale) =>
+      val got = StableHash.parseBigDecimal(in)
+      assert(got === BigDec(new BigInteger(wantInt), wantScale), s"input $in")
+    }
+  }
+
+  // ---- poi_test.go end-to-end ------------------------------------------------
+
+  test("POI BlockMeta block digest matches the reference vector") {
+    val event = SetEntity("BlockMeta", "day:first:20150730", Seq(
+      "at" -> EString("2015-07-30 00:00:00"),
+      "number" -> EBigInt(BigInteger.ONE),
+      "hash" -> EBytes(java.util.Base64.getDecoder.decode("iOltRTe+pNnAXRJUmQezJWHTvzH0Wq5zTNwRnxNAbLY=")),
+      "parent_hash" -> EBytes(java.util.Base64.getDecoder.decode("1OVnQPh2rvjAELhqQNX1Z0WhGNCQajTmmuyMDbHLj6M=")),
+      "timestamp" -> EString("2015-07-30T15:26:28Z")))
+    // DebugCurrent reads the state BEFORE Pause's vec-length write
+    val h = FastHasher()
+    PoiStableHash.hashEvent(event, Address.root(1L, 0L, 1L, 0L).child(0L), h)
+    assert(PoiStableHash.hex(h.toBytes)
+      === "993dd21dad9750a531331324bb07e2bcd9501521e1b1c7110800000000000000")
+  }
+
+  // ---- xxh3 long-path invariants (no reference vectors reach >240B) ---------
+
+  test("xxh3 length/seed sensitivity across all size paths") {
+    import graft.stablehash.XxHash3
+    val sizes = Seq(0, 1, 3, 4, 8, 9, 16, 17, 100, 128, 129, 200, 240, 241, 500, 1024, 1025, 2500)
+    val hashes = sizes.map { n =>
+      XxHash3.hash128(Array.tabulate(n)(i => (i * 31 + 7).toByte), 42L)
+    }
+    assert(hashes.distinct.length === hashes.length, "size collision")
+    val seeds = Seq(0L, 1L, 42L, -1L).map { s =>
+      XxHash3.hash128(Array.tabulate(300)(_.toByte), s)
+    }
+    assert(seeds.distinct.length === seeds.length, "seed insensitivity")
+    // determinism
+    assert(XxHash3.hash128(Array.tabulate(2500)(_.toByte), 7L)
+      === XxHash3.hash128(Array.tabulate(2500)(_.toByte), 7L))
+  }
+
+  // ---- parallel chain == sequential reference chain ---------------------------
+
+  test("the commutative-fold chain equals the sequential Pause(prev) chain") {
+    val blocks = (1L to 30L).map { bn =>
+      bn -> (0 until (bn % 4).toInt + 1).map { i =>
+        if (i == 3) RemoveEntity("user_state", s"id$i"): PoiEvent
+        else SetEntity("user_state", s"id$i", Seq(
+          "value" -> EBigDecimal(s"$bn.$i"), "last_op" -> EString("UPDATE"))): PoiEvent
+      }
+    }
+    val sequential = PoiStableHash.chainSequential(blocks).toMap
+    // parallel formulation: prefix-fold of per-block locals
+    var acc: Option[(U192, Long)] = None
+    val parallel = blocks.map { case (bn, evs) =>
+      val h = PoiStableHash.blockLocal(bn, evs)
+      val next = acc match {
+        case Some((m, c)) => (StableHash.mix(m, h.mixer), c + h.count)
+        case None => (h.mixer, h.count)
+      }
+      acc = Some(next)
+      val bytes = new Array[Byte](32)
+      System.arraycopy(next._1.toBytesLE, 0, bytes, 0, 24)
+      var i = 0
+      while (i < 8) { bytes(24 + i) = ((next._2 >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      bn -> PoiStableHash.hex(bytes)
+    }.toMap
+    assert(parallel === sequential)
+  }
+}
+
+/** Spark-level gate: the distributed two-shuffle poiChain reproduces the
+  * reference's sequential Pause(prev) chain on the real change stream. */
+class PoiStableHashSparkSpec extends SparkSpec {
+
+  test("gl_poi_stablehash: distributed chain == sequential reference chain") {
+    val changes = graft.sources.EntityChanges.changes(spark, sf)
+    val got = graft.queries.GraphLoad.glPoiStablehash(spark, sf)
+      .collect().map(r => r.getAs[Long]("block_num") -> r.getAs[String]("poi")).toMap
+
+    // rebuild the exact same event stream locally and run the
+    // reference-faithful sequential fold
+    import org.apache.spark.sql.functions._
+    val rows = changes
+      .select(col("block_num"), col("id"), col("op"),
+        col("value").cast("decimal(20,2)").cast("string").as("v"))
+      .collect()
+      .map(r => (r.getAs[Long]("block_num"), r.getAs[String]("id"),
+        r.getAs[String]("op"), r.getAs[String]("v")))
+    val blocks = rows.groupBy(_._1).toSeq.map { case (bn, rs) =>
+      bn -> rs.sortBy(r => (r._2, r._3)).map { case (_, id, op, v) =>
+        if (op == "DELETE") PoiStableHash.RemoveEntity("user_state", id): PoiStableHash.PoiEvent
+        else PoiStableHash.SetEntity("user_state", id, Seq(
+          "last_op" -> PoiStableHash.EString(op),
+          "value" -> PoiStableHash.EBigDecimal(v))): PoiStableHash.PoiEvent
+      }.toSeq
+    }
+    val want = PoiStableHash.chainSequential(blocks).toMap
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+}
