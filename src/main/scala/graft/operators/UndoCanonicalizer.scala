@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch undo/reorg canonicalization of a delivery log (SURVEY.md §2
+  * #4c).
+  *
+  * The reference's sinker refuses `BlockUndoSignal` and demands a
+  * final-blocks-only stream (reference sinker/sinker.go:291-293); the
+  * streaming path here handles live undo signals
+  * ([[graft.streaming.EntityChangeStream.closedVersionsWithUndo]]).
+  * This operator is the BATCH form of the same semantics: given the raw
+  * delivery log (changes in delivery order `seq`) and the undo signals
+  * interleaved with it, recover the canonical change set — a delivered
+  * change survives iff no LATER undo rolled its block back:
+  *
+  *   canonical(c)  ⇔  c.block_num <= min{ u.last_valid : u.seq > c.seq }
+  *
+  * Scale: undo signals are chain reorg events — rare and bounded by
+  * chain behavior, not data volume (same boundedness argument as the
+  * bundle manifest in [[VidAssigner]]). They are collected to the
+  * driver, turned into a literal sorted array, and the survival test
+  * becomes a map-only higher-order-function expression over the full
+  * log: NO shuffle, NO join — the 100 TB plan is a single scan. The
+  * oracle twin recomputes the same set with a correlated anti-range
+  * subquery in DuckDB, so two different algorithms must agree.
+  */
+object UndoCanonicalizer {
+
+  /** `changes` must carry `block_num` and a delivery-order column
+    * `seqCol`; `undos` must carry (`useq`, `last_valid`). Returns the
+    * canonical subset of `changes`. */
+  def canonicalize(spark: SparkSession, changes: DataFrame, undos: DataFrame,
+                   seqCol: String = "block_num"): DataFrame = {
+    // bounded by reorg count, not corpus size (documented above)
+    val u = undos.select(col("useq"), col("last_valid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (u.isEmpty) changes
+    else {
+      val undoArr = array(u.map { case (useq, lv) =>
+        struct(lit(useq).as("useq"), lit(lv).as("lv"))
+      }.toIndexedSeq: _*)
+      val cut = array_min(transform(
+        filter(undoArr, x => x.getField("useq") > col(seqCol)),
+        x => x.getField("lv")))
+      changes.filter(cut.isNull || col("block_num") <= cut)
+    }
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{GraphCsv, Normalize}
-import graft.operators.{Bundler, EntityVersioner, Poi, VidAssigner}
+import graft.operators.{Bundler, EntityVersioner, Poi, UndoCanonicalizer, VidAssigner}
 import graft.sources.EntityChanges
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -120,6 +120,23 @@ object GraphLoad {
       .select(camel1.as("n1"), camel2.as("n2"))
       .select(col("n1"), col("n2"),
         Normalize.toSnake(col("n1")).as("s1"), Normalize.toSnake(col("n2")).as("s2"))
+  }
+
+  /** #4c gl_undo_canonical — batch reorg handling: recover the
+    * canonical change set from a delivery log with interleaved undo
+    * signals ([[UndoCanonicalizer]]). Synthetic undo derivation: every
+    * 97-aligned error event is a `BlockUndoSignal` rolling back to 25
+    * blocks before itself (both sides derive it identically from
+    * `events`). The reference refuses undo signals outright
+    * (sinker/sinker.go:291-293); this is the batch half of the
+    * generalization, the streaming half is
+    * [[graft.streaming.EntityChangeStream.closedVersionsWithUndo]]. */
+  def glUndoCanonical(s: SparkSession, d: String): DataFrame = {
+    val undos = Tables.events(s, d)
+      .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+      .select(col("event_id").as("useq"), (col("event_id") - 25).as("last_valid"))
+    UndoCanonicalizer.canonicalize(s,
+      ch(s, d).select("id", "block_num", "op", "value"), undos)
   }
 
   def glEntityStats(s: SparkSession, d: String): DataFrame =
@@ -421,6 +438,17 @@ object GraphLoad {
          |  COALESCE(CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR), '0') AS value
          |FROM versions WHERE op <> 'DELETE'""".stripMargin,
 
+    "gl_undo_canonical" ->
+      s"""$W, undos AS (
+         |  SELECT event_id AS useq, event_id - 25 AS last_valid
+         |  FROM events WHERE event_type = 'error' AND event_id % 97 = 0
+         |)
+         |SELECT c.id, c.block_num, c.op, c.value
+         |FROM changes c
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM undos u
+         |  WHERE u.useq > c.block_num AND u.last_valid < c.block_num)""".stripMargin,
+
     "gl_jsonl_parse" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
@@ -453,6 +481,7 @@ object GraphLoad {
     "gl_jsonl_parse" -> (glJsonlParse _),
     "gl_generic_tocsv" -> (glGenericTocsv _),
     "gl_change_validation" -> (glChangeValidation _),
+    "gl_undo_canonical" -> (glUndoCanonical _),
     "gl_jsonl_encode" -> (glJsonlEncode _)
   )
 }

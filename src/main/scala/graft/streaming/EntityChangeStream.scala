@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -53,5 +55,94 @@ object EntityChangeStream {
     changes
       .groupByKey(_.id)(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(squash)
+  }
+
+  // -------------------------------------------------------------------
+  // Undo / reorg path (SURVEY.md §2 #39b)
+  //
+  // The reference sinker refuses undo signals outright — it demands a
+  // final-blocks-only stream (reference sinker/sinker.go:291-293,
+  // handleBlockUndoSignal returns an error) — which forces the whole
+  // pipeline to lag the chain head by the finality delay. The streaming
+  // re-expression handles reorgs instead of excluding them:
+  //
+  //   - delivery order is modeled by `seq` (the reference's stream
+  //     cursor): a re-delivered canonical block after an undo has a
+  //     LOWER block number but a HIGHER seq;
+  //   - event time is the block number (1 block = 1s); the watermark
+  //     delay IS the reorg threshold (graph-node's REORG_THRESHOLD):
+  //     versions are emitted append-only once their close block is
+  //     final, everything shallower stays in the state store where an
+  //     undo can still rewrite it;
+  //   - an `UNDO` record (op="UNDO", blockNum=last VALID block B)
+  //     discards state segments that started above B and re-opens the
+  //     version that was live at B. The source fans the global
+  //     BlockUndoSignal out per entity id — it knows exactly which ids
+  //     it delivered changes for above B, so the fan-out is bounded by
+  //     the undone blocks' change count, not the corpus.
+  //
+  // Scale: state per id = open version + closed versions above the
+  // finality horizon, i.e. O(changes per id within the reorg window) —
+  // bounded by chain behavior, not by history. Sharded by id hash like
+  // the batch SCD2 shuffle.
+  // -------------------------------------------------------------------
+
+  case class SeqChange(id: String, seq: Long, blockNum: Long, op: String,
+                       value: Double, ts: Timestamp)
+  /** One version segment held in state; `endBlock` None while open. */
+  case class Segment(startBlock: Long, value: Double, endBlock: Option[Long])
+  case class ReorgState(segments: Seq[Segment])
+
+  /** Event-time encoding: block N = N seconds since epoch. */
+  def blockTs(blockNum: Long): Timestamp = new Timestamp(blockNum * 1000L)
+
+  /** Fan a global undo signal (roll back above `lastValidBlock`) out to
+    * the ids the source delivered changes for above that block. */
+  def undoFor(ids: Seq[String], seq: Long, lastValidBlock: Long): Seq[SeqChange] =
+    ids.map(id => SeqChange(id, seq, lastValidBlock, "UNDO", 0.0, blockTs(lastValidBlock)))
+
+  /** Per-id reorg-aware squash. Changes apply in delivery (`seq`) order;
+    * segments whose close block has passed the watermark are emitted and
+    * dropped; an UNDO rewrites only what is still in state. */
+  def squashWithUndo(id: String, changes: Iterator[SeqChange],
+                     state: GroupState[ReorgState]): Iterator[Version] = {
+    val finalBlock = state.getCurrentWatermarkMs() / 1000L
+    var segs = state.getOption.map(_.segments.toVector).getOrElse(Vector.empty)
+    changes.toSeq.sortBy(_.seq).foreach { c =>
+      if (c.op == "UNDO") {
+        segs = segs.filter(_.startBlock <= c.blockNum).map { s =>
+          if (s.endBlock.exists(_ > c.blockNum)) s.copy(endBlock = None) else s
+        }
+      } else {
+        segs = segs.map(s => if (s.endBlock.isEmpty) s.copy(endBlock = Some(c.blockNum)) else s)
+        if (c.op != "DELETE") segs = segs :+ Segment(c.blockNum, c.value, None)
+      }
+    }
+    val (fin, keep) = segs.partition(_.endBlock.exists(_ <= finalBlock))
+    if (keep.nonEmpty) {
+      state.update(ReorgState(keep))
+      // wake this key when its earliest pending close becomes final, so
+      // idle ids still flush as the watermark advances
+      keep.flatMap(_.endBlock).sorted.headOption.foreach { e =>
+        state.setTimeoutTimestamp(math.max(e * 1000L, state.getCurrentWatermarkMs() + 1L))
+      }
+    } else if (state.exists) state.remove()
+    fin.sortBy(_.startBlock)
+      .map(s => Version(id, s.startBlock, s.endBlock.get, s.value)).iterator
+  }
+
+  /** Reorg-aware closed-version stream: append-only output of versions
+    * whose close block is at least `reorgThresholdBlocks` behind the
+    * newest delivered block. Anything shallower is mutable state that an
+    * undo signal can roll back, so a reorg never corrupts emitted rows. */
+  def closedVersionsWithUndo(changes: Dataset[SeqChange],
+                             reorgThresholdBlocks: Long): Dataset[Version] = {
+    implicit val se = Encoders.product[ReorgState]
+    implicit val ve = Encoders.product[Version]
+    changes
+      .withWatermark("ts", s"$reorgThresholdBlocks seconds")
+      .groupByKey(_.id)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(squashWithUndo)
   }
 }

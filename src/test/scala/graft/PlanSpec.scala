@@ -90,6 +90,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(physical(GraphLoad.glCsvEscapeArray(spark, sf))) === 0)
   }
 
+  test("gl_undo_canonical: survival test is map-only — no shuffle, no join") {
+    val p = physical(GraphLoad.glUndoCanonical(spark, sf))
+    assert(shuffles(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+  }
+
   test("dd_exact: map-side combine before the shuffle") {
     val p = physical(Dedup.ddExact(spark, sf))
     assert(nodes(p, "HashAggregate") === 2, p)

@@ -41,6 +41,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reorg stream emits exactly the batch SCD2 closed versions of the canonical chain") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import EntityChangeStream.{SeqChange, blockTs, undoFor}
+    def ch(id: String, seq: Long, b: Long, op: String, v: Double) =
+      SeqChange(id, seq, b, op, v, blockTs(b))
+
+    val input = MemoryStream[SeqChange]
+    val q = EntityChangeStream.closedVersionsWithUndo(input.toDS(), reorgThresholdBlocks = 5)
+      .writeStream.format("memory").queryName("undo_versions")
+      .outputMode("append").start()
+    try {
+      // delivered chain head reaches block 10, then a 3-block reorg ...
+      input.addData(Seq(
+        ch("u1", 1, 1, "CREATE", 1.0), ch("u2", 2, 2, "CREATE", 2.0),
+        ch("u1", 3, 4, "UPDATE", 1.1), ch("u3", 4, 6, "CREATE", 3.0),
+        ch("u2", 5, 8, "UPDATE", 2.1), ch("u1", 6, 9, "UPDATE", 1.2),
+        ch("u3", 7, 10, "DELETE", 0.0)))
+      q.processAllAvailable()
+      // ... undoes everything above block 7 (fan-out to the delivered ids)
+      input.addData(undoFor(Seq("u1", "u2", "u3"), seq = 8, lastValidBlock = 7))
+      q.processAllAvailable()
+      // canonical replacement blocks, then deletes to close every version
+      input.addData(Seq(
+        ch("u1", 9, 8, "UPDATE", 5.1), ch("u2", 10, 9, "UPDATE", 5.2),
+        ch("u3", 11, 12, "DELETE", 0.0), ch("u1", 12, 13, "DELETE", 0.0),
+        ch("u2", 13, 14, "DELETE", 0.0)))
+      q.processAllAvailable()
+      // sentinels push the watermark far past block 14 and fire timeouts
+      input.addData(Seq(ch("zz", 14, 40, "CREATE", 0.0))); q.processAllAvailable()
+      input.addData(Seq(ch("zz", 15, 41, "UPDATE", 0.0))); q.processAllAvailable()
+
+      val got = spark.table("undo_versions").as[EntityChangeStream.Version]
+        .collect().map(v => (v.id, v.startBlock, v.endBlock, v.value)).toSet
+
+      // batch SCD2 over the CANONICAL chain (reorged blocks 8-10 replaced)
+      val canonical = Seq(
+        ("u1", 1L, "CREATE", 1.0), ("u2", 2L, "CREATE", 2.0),
+        ("u1", 4L, "UPDATE", 1.1), ("u3", 6L, "CREATE", 3.0),
+        ("u1", 8L, "UPDATE", 5.1), ("u2", 9L, "UPDATE", 5.2),
+        ("u3", 12L, "DELETE", 0.0), ("u1", 13L, "DELETE", 0.0),
+        ("u2", 14L, "DELETE", 0.0)
+      ).toDF("id", "block_num", "op", "value")
+      val want = graft.operators.EntityVersioner.scd2Versions(canonical)
+        .filter(col("end_block").isNotNull).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+          r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+      assert(got === want)
+      // versions created by the undone fork must never have been emitted
+      assert(!got.exists { case (_, s, _, v) => s >= 8 && (v == 2.1 || v == 1.2) })
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("bundled csv sink rolls one directory per bundle with all lines") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
