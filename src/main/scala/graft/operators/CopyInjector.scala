@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.sources.GraphqlSchema.EntityDesc
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** COPY-ready injection artifacts (reference
+  * cmd/substreams-sink-graph-load/inject_csv.go, create-indexes.go,
+  * drop-indexes.go).
+  *
+  * The reference's `inject-csv` stage streams bundle CSVs into postgres
+  * with `COPY ... FROM STDIN`, tracking which columns must be
+  * FORCE_NOT_NULL (inject_csv.go:88-106) and loading files in
+  * block-range order so the `vid bigserial` counter assigns
+  * monotonically. There is no postgres in this environment, so the
+  * testable surface is the artifacts themselves: the exact COPY
+  * statement (inject_csv.go:278), the block-range file pruning
+  * (inject_csv.go:305-340), a per-bundle load manifest with the vid
+  * range the serial counter will assign to each file, and a ready-to-run
+  * psql script that drops indexes, \copy's every bundle, and recreates
+  * the indexes (the create/drop-indexes.go flow around a bulk load).
+  *
+  * Scale: every artifact here is metadata — bounded by |bundles| and
+  * |fields|, never by row count. The row-proportional work (rendering
+  * the CSVs) is [[CsvSerializer]] + [[Bundler]], both map-only.
+  */
+object CopyInjector {
+
+  /** FORCE_NOT_NULL column tracking (inject_csv.go:88-106): `id`
+    * always, the range column always, then every non-nullable field —
+    * CSV empty string must load as '' / 0 / false, not NULL. */
+  def nonNullableColumns(desc: EntityDesc): Seq[String] =
+    Seq("id", if (desc.immutable) "block$" else "block_range") ++
+      desc.orderedFields.filter(f => f.name != "id" && !f.nullable).map(_.name)
+
+  /** The COPY statement, same shape as inject_csv.go:278. Column list =
+    * the CSV header ([[CsvSerializer.header]]): `vid` is absent — the
+    * bigserial assigns it in load order, which is what makes file order
+    * part of the contract. */
+  def copyStatement(desc: EntityDesc, pgSchema: String): String = {
+    val dbFields = CsvSerializer.header(desc)
+    val nn = nonNullableColumns(desc)
+    s"""COPY $pgSchema.${desc.name} ("${dbFields.mkString("\",\"")}") FROM STDIN WITH (FORMAT CSV, HEADER, FORCE_NOT_NULL ("${nn.mkString("\",\"")}"))"""
+  }
+
+  /** Bundle CSV object name: the 10-digit zero-padded block range the
+    * reference's loader regex `(\d{10})-(\d{10})` expects
+    * (inject_csv.go:330-340, bundler naming). */
+  def bundleFileName(entity: String, startBlock: Long, stopBlockExcl: Long): String =
+    f"$entity/$startBlock%010d-$stopBlockExcl%010d.csv"
+
+  /** File pruning, the injectFilesToLoad rule (inject_csv.go:305-327):
+    * keep `.csv` files whose range starts before `stopBlock` (0 = no
+    * stop) and ends at or after `desiredStartBlock`; load in ascending
+    * block order. */
+  def filesToLoad(files: Seq[String], desiredStartBlock: Long, stopBlock: Long): Seq[String] = {
+    val rangeRe = raw"(\d{10})-(\d{10})".r.unanchored
+    files.flatMap { f =>
+      f match {
+        case _ if !f.contains(".csv") => None
+        case rangeRe(s, e) =>
+          val (start, end) = (s.toLong, e.toLong)
+          if (stopBlock != 0 && start >= stopBlock) None
+          else if (end < desiredStartBlock) None
+          else Some((start, f))
+        case _ => None
+      }
+    }.sortBy(_._1).map(_._2)
+  }
+
+  /** One manifest line per bundle file: row count and the exact
+    * [vidStart, vidEnd] range the serial counter will assign when the
+    * files load in order. */
+  case class BundleFile(file: String, bundle: Long, nRows: Long,
+                        vidStart: Long, vidEnd: Long)
+
+  /** Everything a load of one entity needs: the COPY statement, the
+    * FORCE_NOT_NULL set, and the ordered per-bundle file list with
+    * predicted vid ranges. */
+  case class LoadManifest(entity: String, pgSchema: String, copySql: String,
+                          nonNullable: Seq[String], files: Seq[BundleFile])
+
+  /** Build the manifest from the serializable rows (SCD2 output or
+    * immutable projection). The aggregation is a map-side-combined
+    * count per bundle; only |bundles| rows reach the driver — the same
+    * boundedness as [[VidAssigner]]'s offset table. */
+  def manifest(rows: DataFrame, desc: EntityDesc, pgSchema: String,
+               bundleSize: Long, blockCol: String = "start_block"): LoadManifest = {
+    val counts = rows
+      .groupBy((col(blockCol) / bundleSize).cast("long").as("bundle")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var nextVid = 1L
+    val files = counts.map { case (b, n) =>
+      val entry = BundleFile(
+        bundleFileName(desc.name, b * bundleSize, (b + 1) * bundleSize),
+        b, n, nextVid, nextVid + n - 1)
+      nextVid += n
+      entry
+    }.toIndexedSeq
+    LoadManifest(desc.name, pgSchema, copyStatement(desc, pgSchema),
+      nonNullableColumns(desc), files)
+  }
+
+  /** Ready-to-run psql script for one entity: drop indexes → ordered
+    * `\copy` per bundle file → recreate indexes → ANALYZE. This is the
+    * drop-indexes / inject-csv / create-indexes command sequence as one
+    * reviewable artifact. */
+  def loadScript(manifest: LoadManifest, desc: EntityDesc): String = {
+    val copyOpts = manifest.copySql.substring(manifest.copySql.indexOf("WITH ("))
+    val target = {
+      val cols = CsvSerializer.header(desc)
+      s""""${manifest.pgSchema}"."${manifest.entity}" ("${cols.mkString("\",\"")}")"""
+    }
+    val copies = manifest.files.map { f =>
+      s"\\copy $target FROM '${f.file}' $copyOpts  -- rows ${f.nRows}, vid [${f.vidStart},${f.vidEnd}]"
+    }
+    (Seq(s"-- bulk load ${manifest.entity} (${manifest.files.map(_.nRows).sum} rows, ${manifest.files.size} bundles)",
+      "-- 1. drop indexes for an index-free COPY (reference drop-indexes.go)") ++
+      DdlGenerator.dropIndexDdls(desc, manifest.pgSchema) ++
+      Seq("-- 2. load bundle CSVs in block order (reference inject_csv.go)") ++
+      copies ++
+      Seq("-- 3. recreate indexes (reference create-indexes.go)") ++
+      DdlGenerator.indexDdls(desc, manifest.pgSchema) ++
+      Seq(s"""ANALYZE "${manifest.pgSchema}"."${manifest.entity}";""")).mkString("\n")
+  }
+}

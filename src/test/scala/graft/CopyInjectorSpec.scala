@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.{CopyInjector, EntityVersioner}
+import graft.sources.{EntityChanges, GraphqlSchema}
+import org.apache.spark.sql.functions._
+
+class CopyInjectorSpec extends SparkSpec {
+
+  private val ents = GraphqlSchema.parse(
+    """type TokenDayData @entity {
+      |  id: ID!
+      |  dailyVolumeUSD: BigDecimal!
+      |  txCount: BigInt
+      |  tags: [String!]!
+      |}
+      |type Transfer @entity(immutable: true) {
+      |  id: ID!
+      |  amount: BigInt!
+      |}""".stripMargin)
+
+  test("copy statement tracks the parsed schema: header order and FORCE_NOT_NULL set") {
+    val sql = CopyInjector.copyStatement(ents.head, "sgd1")
+    // column list is exactly the CSV header (no vid — the serial assigns it)
+    assert(sql.contains(
+      """COPY sgd1.token_day_data ("id","block_range","daily_volume_usd","tags","tx_count") FROM STDIN"""))
+    assert(sql.contains("""FORMAT CSV, HEADER"""))
+    // non-nullable: id + range column + NOT NULL fields, never nullable ones
+    assert(sql.contains("""FORCE_NOT_NULL ("id","block_range","daily_volume_usd","tags")"""))
+    assert(!sql.contains("""FORCE_NOT_NULL ("id","block_range","daily_volume_usd","tags","tx_count")"""))
+  }
+
+  test("immutable entity uses block$ in both column list and FORCE_NOT_NULL") {
+    val sql = CopyInjector.copyStatement(ents(1), "sgd1")
+    assert(sql.contains("""("id","block$","amount")"""))
+    assert(sql.contains("""FORCE_NOT_NULL ("id","block$","amount")"""))
+  }
+
+  test("file pruning follows the reference loader's block-range rule") {
+    val files = Seq(
+      "token_day_data/0000000000-0000001000.csv",
+      "token_day_data/0000001000-0000002000.csv",
+      "token_day_data/0000002000-0000003000.csv",
+      "token_day_data/0000001000-0000002000.csv.tmp", // not .csv-suffixed range? still contains .csv
+      "token_day_data/noise.txt")
+    // start=1500 keeps the file whose range ENDS at/after it; stop=3000 drops ranges starting at/after
+    val picked = CopyInjector.filesToLoad(
+      Seq(files(2), files(0), files(1), files(4)), desiredStartBlock = 1500, stopBlock = 3000)
+    assert(picked === Seq(files(1), files(2)).sorted)
+    // stop=0 means no stop bound
+    val all = CopyInjector.filesToLoad(Seq(files(0), files(1), files(2)), 0, 0)
+    assert(all === Seq(files(0), files(1), files(2)))
+  }
+
+  test("manifest vid ranges are the serial counter's assignment in file order") {
+    val versions = EntityVersioner.scd2Versions(EntityChanges.changes(spark, sf))
+    val m = CopyInjector.manifest(versions, ents.head, "sgd1", bundleSize = 250)
+    val total = versions.count()
+    assert(m.files.map(_.nRows).sum === total)
+    // contiguous, gap-free vid ranges starting at 1, ascending in block order
+    assert(m.files.head.vidStart === 1L)
+    m.files.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(b.vidStart === a.vidEnd + 1, s"$a -> $b")
+        assert(b.bundle > a.bundle)
+      case _ =>
+    }
+    assert(m.files.last.vidEnd === total)
+    m.files.foreach(f => assert(f.vidEnd - f.vidStart + 1 === f.nRows))
+    // file names carry the 10-digit range the loader regex expects
+    m.files.foreach(f => assert(f.file.matches("token_day_data/\\d{10}-\\d{10}\\.csv")))
+    // per-bundle counts match an independent computation
+    val want = versions.groupBy((col("start_block") / 250).cast("long")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(m.files.map(f => f.bundle -> f.nRows).toMap === want)
+  }
+
+  test("load script is drop-indexes, ordered copies, create-indexes, analyze") {
+    val versions = EntityVersioner.scd2Versions(EntityChanges.changes(spark, sf))
+    val m = CopyInjector.manifest(versions, ents.head, "sgd1", bundleSize = 250)
+    val script = CopyInjector.loadScript(m, ents.head)
+    val lines = script.linesIterator.toSeq
+    val dropIdx = lines.indexWhere(_.startsWith("DROP INDEX"))
+    val copyIdx = lines.indexWhere(_.startsWith("\\copy"))
+    val createIdx = lines.indexWhere(_.startsWith("CREATE INDEX"))
+    assert(dropIdx >= 0 && copyIdx > dropIdx && createIdx > copyIdx)
+    assert(lines.count(_.startsWith("\\copy")) === m.files.size)
+    assert(lines.last.startsWith("ANALYZE"))
+    // every copy line loads with the same options as the COPY statement
+    assert(lines.filter(_.startsWith("\\copy"))
+      .forall(_.contains("FORCE_NOT_NULL (\"id\",\"block_range\",\"daily_volume_usd\",\"tags\")")))
+    // drop/create sets mirror each other
+    assert(lines.count(_.startsWith("DROP INDEX")) === lines.count(_.startsWith("CREATE INDEX")))
+  }
+}
