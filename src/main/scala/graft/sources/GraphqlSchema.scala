@@ -54,13 +54,14 @@ object GraphqlSchema {
     def orderedFields: Seq[Field] = fields.values.toSeq.sortBy(_.name)
   }
 
-  /** Scala-side snake_case, same rule set as the column expression
-    * [[graft.functions.Normalize.toSnake]]. */
-  def toSnake(s: String): String =
-    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2")
-      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1_$2")
-      .replaceAll("([a-z])([0-9])", "$1_$2")
-      .toLowerCase
+  /** Scala-side snake_case for schema/field names — full strcase parity
+    * with the reference's configured caser
+    * ([[graft.functions.Normalize.toSnakeExact]], schema/normalize.go).
+    * The column expression [[graft.functions.Normalize.toSnake]] stays
+    * on the documented oracle-portable subset; names the two disagree
+    * on (digit boundaries, delimiters) only arise in schema text, which
+    * is normalized here. */
+  def toSnake(s: String): String = graft.functions.Normalize.toSnakeExact(s)
 
   private val TypeRe: Regex =
     """(?s)type\s+(\w+)([^{]*)\{(.*?)\}""".r

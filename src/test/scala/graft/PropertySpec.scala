@@ -53,8 +53,11 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("property: scala toSnake matches the column expression") {
-    val camel = Gen.nonEmptyListOf(Gen.oneOf("user", "Click", "ID", "V2", "x9", "Big")).map(_.mkString)
+  test("property: scala toSnake matches the column expression on digit-free names") {
+    // digit boundaries intentionally differ: GraphqlSchema.toSnake is
+    // the full-parity caser (splitAfterNumber etc., NormalizeSpec),
+    // the column expression is the DuckDB-portable subset
+    val camel = Gen.nonEmptyListOf(Gen.oneOf("user", "Click", "ID", "API", "Big")).map(_.mkString)
     forAll(Gen.listOfN(8, camel)) { (names: List[String]) =>
       whenever(names.nonEmpty) {
         val viaExpr = names.toDF("s")
