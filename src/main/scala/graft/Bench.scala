@@ -12,6 +12,8 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -29,7 +31,11 @@ object Bench {
     // noop-write, NOT count(): count() lets Catalyst prune the output
     // projection to nothing, so map-only queries (CSV serialization,
     // fingerprints) would time an empty scan.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q1_agg,q3_join_topn limits the run (iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       // failures propagate as loud per-query errors in the JSON (a
       // swallowed exception would record a near-zero time and make
       // breakage look like a speedup)

@@ -30,10 +30,19 @@ object Ann {
 
   private def quantized(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(s)
+    // spill-safe persist: the quantized projection is the working set
+    // every ANN query (and the Lloyd training loop, which runs actions
+    // during plan construction) iterates over several times — without
+    // it each pass re-scans and re-quantizes the parquet. Spark's
+    // CacheManager dedupes by canonicalized plan, so all ANN queries
+    // share one materialization. At 100 TB the same line persists the
+    // bounded TRAINING SAMPLE and the per-list IVF layout instead of
+    // the raw corpus; MEMORY_AND_DISK degrades to disk, never OOM.
     Tables.embeddings(s, d)
       .select(col("vec_id"), Vectors.quantize(col("embedding")).as("qv"))
       .withColumn("n2", Vectors.dot(col("qv"), col("qv")))
       .filter(col("n2") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- #32 brute-force top-k ----------------------------------------

