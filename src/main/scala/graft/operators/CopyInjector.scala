@@ -101,6 +101,20 @@ object CopyInjector {
       nonNullableColumns(desc), files)
   }
 
+  /** `handoff` parity (reference handoff.go:52-57): after a bulk load,
+    * tell graph-node the deployment is indexed up to (blockHash,
+    * blockNum) so indexing can be reassigned. The reference pins
+    * entity_count to 1e6 (a placeholder graph-node recomputes). */
+  def handoffSql(deploymentHash: String, blockHash: String, blockNum: Long,
+                 entityCount: Long = 1000000L): String = {
+    require(deploymentHash.startsWith("Qm"),
+      s"invalid deployment-hash $deploymentHash: should start with 'Qm'")
+    val hash = blockHash.stripPrefix("0x").stripPrefix("0X")
+    s"UPDATE subgraphs.subgraph_deployment set latest_ethereum_block_hash='$hash'," +
+      s"latest_ethereum_block_number=$blockNum,entity_count=$entityCount," +
+      s"firehose_cursor='' where deployment='$deploymentHash'"
+  }
+
   /** Ready-to-run psql script for one entity: drop indexes → ordered
     * `\copy` per bundle file → recreate indexes → ANALYZE. This is the
     * drop-indexes / inject-csv / create-indexes command sequence as one

@@ -158,6 +158,9 @@ object PoiStableHash {
         PoiLocalRow(bn, bn / bundleSize, h.mixer.v0, h.mixer.v1, h.mixer.v2, h.count)
       }
 
+    // spill-safe persist: the bundle-totals collect below and the
+    // returned dataframe both consume this stage — without it the
+    // scan + both shuffles + all xxh3 hashing run TWICE per query
     val prefixes: Dataset[PoiPrefixRow] = locals
       .groupByKey(_.bundle)
       .flatMapGroups { (bundle, it) =>
@@ -174,6 +177,7 @@ object PoiStableHash {
             next._2, i == rows.length - 1)
         }.iterator
       }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // bundle totals: |bundles| rows only (height / bundleSize — the
     // same bounded driver set VidAssigner collects)

@@ -69,6 +69,23 @@ object GraphqlSchema {
   private val FieldRe: Regex =
     """(?m)^\s*(\w+)\s*:\s*(\[?\s*\w+\s*!?\s*\]?\s*!?)\s*(@\w+(\s*\([^)]*\))?)?\s*$""".r
 
+  /** The synthetic proof-of-indexing entity graph-node stores beside
+    * user entities (reference schema/const.go:3, entities.go:108-124):
+    * every schema implicitly carries `poi2$(id: ID!, digest: Bytes!)`. */
+  val PoiEntityName = "poi2$"
+  val poiEntity: EntityDesc = EntityDesc(PoiEntityName, Map(
+    "id" -> Field("id", FieldType.Id, nullable = false, array = false),
+    "digest" -> Field("digest", FieldType.Bytes, nullable = false, array = false)
+  ), immutable = false)
+
+  /** The reference's GetEntitiesFromSchema: the parsed entities plus
+    * the implicit poi2$ (entities.go:104-124). */
+  def parseWithPoi(sdl: String): Seq[EntityDesc] = parse(sdl) :+ poiEntity
+
+  /** `list-entities` parity (reference list-entities.go:25-33): the
+    * names a tocsv run must process, poi2$ included. */
+  def entityNames(sdl: String): Seq[String] = parseWithPoi(sdl).map(_.name)
+
   /** Parse every `@entity` type out of an SDL document. */
   def parse(sdl: String): Seq[EntityDesc] = {
     val noComments = sdl.linesIterator.map(l => l.takeWhile(_ != '#')).mkString("\n")

@@ -74,6 +74,28 @@ class CopyInjectorSpec extends SparkSpec {
     assert(m.files.map(f => f.bundle -> f.nRows).toMap === want)
   }
 
+  test("schema entity listing includes the implicit poi2$ entity") {
+    val names = GraphqlSchema.entityNames(
+      """type TokenDayData @entity { id: ID! }
+        |type Transfer @entity(immutable: true) { id: ID! }""".stripMargin)
+    assert(names === Seq("token_day_data", "transfer", "poi2$"))
+    val poi = GraphqlSchema.parseWithPoi("type A @entity { id: ID! }").last
+    assert(poi.name === "poi2$")
+    assert(poi.fields("digest").fieldType === GraphqlSchema.FieldType.Bytes)
+    assert(!poi.fields("digest").nullable)
+    // the poi table serializes and COPYies like any other entity
+    val sql = CopyInjector.copyStatement(poi, "sgd1")
+    assert(sql.contains("""COPY sgd1.poi2$ ("id","block_range","digest")"""))
+  }
+
+  test("handoff statement matches the reference's deployment update") {
+    val sql = CopyInjector.handoffSql("QmDeployHash", "0xABC123", 1234L)
+    assert(sql === "UPDATE subgraphs.subgraph_deployment set " +
+      "latest_ethereum_block_hash='ABC123',latest_ethereum_block_number=1234," +
+      "entity_count=1000000,firehose_cursor='' where deployment='QmDeployHash'")
+    intercept[IllegalArgumentException](CopyInjector.handoffSql("bad", "0x0", 1L))
+  }
+
   test("load script is drop-indexes, ordered copies, create-indexes, analyze") {
     val versions = EntityVersioner.scd2Versions(EntityChanges.changes(spark, sf))
     val m = CopyInjector.manifest(versions, ents.head, "sgd1", bundleSize = 250)
