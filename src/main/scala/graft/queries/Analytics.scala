@@ -35,6 +35,30 @@ object Analytics {
   private def canon(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(18, scale)).cast("double")
 
+  /** 2-decimal money double → exact integer "cents" (scale-2 fixed
+    * point). `round` before the cast: a bare long cast truncates and
+    * 19.99·100 = 1998.999… would lose a cent. Values are exact 2dp, so
+    * the product is within 1e-10 of an integer and every rounding mode
+    * agrees across engines. */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Scaled-long sum → canonical double output: double(units)/10^scale
+    * is exact-then-one-correctly-rounded-division in BOTH engines while
+    * |sum| < 2^53 — the same bit pattern DuckDB's HUGEINT sum produces.
+    *
+    * WHY fixed point and not decimal for the analytics aggregates:
+    * Spark `Decimal` with precision > 18 boxes a JVM BigDecimal per
+    * value (measured 2× the whole aggregation time); DuckDB sums
+    * decimals in native int128. Summing exact integer units in longs is
+    * the Spark-native equivalent — same exact result, stays inside
+    * whole-stage codegen on primitives. Bounds: with ANSI mode (Spark 4
+    * default) a long sum overflow FAILS LOUDLY rather than wrapping;
+    * headroom is ~9.2e18 scaled units per group (≈ 9e14 currency at
+    * scale 4 — far past 100 TB of rows). The unbounded-typed surface
+    * (gl_typed_bigint/bigdecimal) keeps full decimal by design. */
+  private def fromUnits(c: Column, scale: Int): Column =
+    c.cast("double") / math.pow(10, scale)
+
   /** TPC-H Q1 shape: grouped aggregation with exact decimal sums.
     * Scale: hash-agg with map-side partial aggregation; one shuffle of
     * ~|groups| rows. Survives 100 TB because group cardinality is tiny. */
@@ -43,9 +67,9 @@ object Analytics {
     Tables.lineitem(spark, dir)
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        canon(sum(dec($"l_quantity"))).as("sum_qty"),
-        canon(sum(dec($"l_extendedprice"))).as("sum_base_price"),
-        canon(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount"))), 4)
+        fromUnits(sum(cents($"l_quantity")), 2).as("sum_qty"),
+        fromUnits(sum(cents($"l_extendedprice")), 2).as("sum_base_price"),
+        fromUnits(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4)
           .as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
@@ -54,9 +78,9 @@ object Analytics {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
@@ -77,30 +101,30 @@ object Analytics {
     li.join(ord, $"l_orderkey" === $"o_orderkey")
       .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-      .agg(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
-      .orderBy($"revenue".desc, $"l_orderkey")
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        .as("rev_units"))
+      .orderBy($"rev_units".desc, $"l_orderkey")
       .limit(10)
-      // top-N is selected on the EXACT decimal; only the surviving 10
-      // rows are canonicalized for the hash
+      // top-N is selected on the EXACT integer units; only the
+      // surviving 10 rows are canonicalized for the hash
       .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
-        $"o_orderpriority", canon($"revenue", 4).as("revenue"))
+        $"o_orderpriority", fromUnits($"rev_units", 4).as("revenue"))
   }
 
   val q3JoinTopnSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(CAST(revenue AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |  CAST(rev_units AS DOUBLE)/10000.0 AS revenue
       |FROM (
       |  SELECT l_orderkey,
       |    strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
       |    o_orderpriority,
-      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(38,4)) AS revenue
+      |    SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS rev_units
       |  FROM lineitem
       |  JOIN orders ON l_orderkey = o_orderkey
       |  JOIN customer ON o_custkey = c_custkey
       |  WHERE c_mktsegment = 'BUILDING'
       |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
-      |  ORDER BY revenue DESC, l_orderkey
+      |  ORDER BY rev_units DESC, l_orderkey
       |  LIMIT 10
       |)
       |ORDER BY revenue DESC, l_orderkey""".stripMargin
@@ -124,14 +148,14 @@ object Analytics {
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")
-      .agg(canon(sum(dec($"l_extendedprice") * (lit(1).cast(DecimalType(20, 2)) - dec($"l_discount"))), 4)
+      .agg(fromUnits(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4)
         .as("revenue"))
       .orderBy($"n_name")
   }
 
   val q5MultijoinSql: String =
     """SELECT n_name,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2)) * (CAST(1 AS DECIMAL(20,2)) - CAST(l_discount AS DECIMAL(20,2)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000.0 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -180,7 +204,7 @@ object Analytics {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
-        canon(sum(dec($"value"))).as("session_value"))
+        fromUnits(sum(cents($"value")), 2).as("session_value"))
       .orderBy($"user_id", $"session_id")
   }
 
@@ -199,7 +223,7 @@ object Analytics {
       |  FROM marked
       |)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
-      |  CAST(CAST(SUM(CAST(value AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS session_value
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS session_value
       |FROM sessions
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
@@ -264,7 +288,7 @@ object Analytics {
       .agg(
         grouping_id().as("gid"),
         count(lit(1)).as("n"),
-        canon(sum(dec($"l_extendedprice"))).as("sum_price"))
+        fromUnits(sum(cents($"l_extendedprice")), 2).as("sum_price"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
@@ -276,7 +300,7 @@ object Analytics {
       |       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
       |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
       |       COUNT(*) AS n,
-      |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price
+      |       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_price
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
