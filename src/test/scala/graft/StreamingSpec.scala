@@ -159,6 +159,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session stream finalizes gap-separated sessions matching the batch grouping") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDS().toDF("epoch", "user_id", "value")
+      .select(timestamp_seconds($"epoch").as("ts"), $"user_id", $"value")
+    val q = graft.streaming.SessionStream.sessions(events, "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("session_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      // u1: two sessions (gap > 30 min); u2: one session
+      input.addData(Seq(
+        (t0, "u1", 1.25), (t0 + 600, "u1", 2.00),             // session A
+        (t0 + 600 + 2400, "u2", 5.00),                        // session C
+        (t0 + 600 + 1200, "u1", 0.75)))                       // still session A (gap 1200s < 30m)
+      q.processAllAvailable()
+      input.addData(Seq((t0 + 9000, "u1", 4.50)))             // session B (gap > 30m)
+      q.processAllAvailable()
+      // advance the watermark far past every session end
+      input.addData(Seq((t0 + 100000, "zz", 0.0))); q.processAllAvailable()
+      input.addData(Seq((t0 + 200000, "zz", 0.0))); q.processAllAvailable()
+
+      val rows = spark.table("session_stream")
+        .filter($"user_id" =!= "zz").collect()
+        .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value"))).toSet
+      assert(rows === Set(("u1", 3L, 4.00), ("u1", 1L, 4.50), ("u2", 1L, 5.00)))
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first occurrence of each text") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
