@@ -172,7 +172,9 @@ object Dedup {
       .distinct()
   }
 
-  val ddMinhashLshSql: String = {
+  /** MinHash CTE chain shared by the pair oracle and the cluster
+    * oracle's recursive closure. */
+  private val minhashCtes: String = {
     val mins = (0 until NumPerms)
       .map(i => s"min(${PortableHash.permSql(i, "h")}) AS h$i").mkString(",\n    ")
     val bandRows = (0 until NumPerms / BandRows).map { b =>
@@ -180,17 +182,95 @@ object Dedup {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band, $cat AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH ${Shingles.hashedShinglesCteSql()},
+    s"""${Shingles.hashedShinglesCteSql()},
        |mh AS (
        |  SELECT doc_id,
        |    $mins
        |  FROM hsh GROUP BY doc_id),
        |bands AS (
-       |  $bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+       |  $bandRows),
+       |mh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  val ddMinhashLshSql: String =
+    s"WITH $minhashCtes\nSELECT doc_a, doc_b FROM mh_pairs"
+
+  // ---- #29b near-dup clusters ----------------------------------------
+
+  /** Label-propagation rounds: bounded by the candidate graph's
+    * diameter. Near-dup clusters are dense low-diameter components by
+    * construction; convergence is checked each round and 25 is a hard
+    * backstop, not the expected count (sf0.01 converges in 3). */
+  val MaxCcIters = 25
+
+  /** Connected components by iterative min-label propagation: each
+    * round every node takes the minimum label among itself and its
+    * neighbors; fixpoint = per-component minimum doc_id everywhere.
+    *
+    * Scale: each round is one shuffle-join of the (persisted) edge
+    * list against the current labels plus a map-side-combined min-agg
+    * — no driver-side graph, no adjacency materialization beyond the
+    * edge list. Rounds = component diameter (small for near-dup
+    * clusters); for adversarial diameters the same loop takes
+    * pointer-jumping label tables (log n rounds) without changing the
+    * dataflow shape. Labels persist spill-safe per round, previous
+    * round unpersisted. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src")).distinct()
+      .select(col("src").as("doc_id"), col("src").as("cluster_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var done = false
+    while (!done && iters < MaxCcIters) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dlabel")), "dst")
+        .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
+        .withColumnRenamed("src", "doc_id")
+      val next = labels
+        .join(nmin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only decrease, so "changed" is a strict-inequality count
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), "doc_id")
+        .filter(col("cluster_id") < col("old_label")).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+      done = changed == 0
+    }
+    labels
+  }
+
+  /** #29b dd_cluster — the keep-one-per-cluster step of a dedup
+    * pipeline: connected components over the MinHash-LSH candidate
+    * pairs; every clustered doc maps to its component's minimum doc_id
+    * (the canonical survivor). The oracle recomputes the same
+    * clustering as a DuckDB recursive-CTE transitive closure — a
+    * completely different algorithm that must agree on every label. */
+  def ddCluster(s: SparkSession, d: String): DataFrame =
+    connectedComponents(ddMinhashLsh(s, d))
+
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE $minhashCtes,
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM mh_pairs
+       |  UNION SELECT doc_b, doc_a FROM mh_pairs),
+       |reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s)
+       |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin
 
   // ---- #30 SimHash ----------------------------------------------------
 
@@ -295,6 +375,7 @@ object Dedup {
     "dd_exact" -> (ddExact _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_cluster" -> (ddCluster _),
     "dd_simhash" -> (ddSimhash _),
     "dd_embed_cosine" -> (ddEmbedCosine _)
   )
@@ -303,6 +384,7 @@ object Dedup {
     "dd_exact" -> ddExactSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_cluster" -> ddClusterSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql
   )

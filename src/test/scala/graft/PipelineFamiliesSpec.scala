@@ -35,6 +35,18 @@ class DedupSpec extends SparkSpec {
     assert(dupPairs.subsetOf(got), s"missing ${dupPairs.diff(got).take(5)}")
   }
 
+  test("dd_cluster: min-label propagation resolves chains, cycles, and islands") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
+    // island pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("dd_simhash: identical texts get identical simhash; hamming to dups is 0") {
     import spark.implicits._
     val withText = Tables.documents(spark, sf).select($"doc_id", md5($"text").as("h"))
