@@ -220,9 +220,13 @@ object Dedup {
     * round unpersisted. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // both directions in ONE pass over the pair pipeline (a union of
+    // two selects would compute the whole minhash subtree twice)
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("doc_id"), col("src").as("cluster_id"))
