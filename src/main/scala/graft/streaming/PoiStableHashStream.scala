@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.operators.PoiStableHash
+import graft.operators.PoiStableHash.{EBigDecimal, EString, PoiEvent, RemoveEntity, SetEntity}
+import graft.stablehash.StableHash
+import graft.stablehash.StableHash.U192
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Streaming graph-node-compatible proof of indexing (SURVEY.md §2
+  * #43b) — the live form of `gl_poi_stablehash`: the reference's `run`
+  * stage writes xxh3/FldMix POI digests continuously as blocks close
+  * (reference sinker/sinker.go poiBundler + poi/poi.go:48-101), not
+  * just in batch.
+  *
+  * Two-tier design, mirroring the batch operator's parallel/sequential
+  * split:
+  *
+  *   1. **Distributed**: per-block FastHasher locals accumulate in
+  *      `flatMapGroupsWithState` keyed by block; the event-time timeout
+  *      finalizes a block once the watermark passes it (same protocol
+  *      as [[PoiStream]]). All the xxh3 hashing happens here, sharded.
+  *   2. **Driver fold**: finalized locals are 4 longs per block; a
+  *      `foreachBatch` sink folds them into the running FldMix chain in
+  *      block order — O(closed blocks) tiny rows per micro-batch, the
+  *      streaming analogue of the batch operator's bounded driver fold
+  *      over bundle offsets. Blocks finalize in watermark order, so the
+  *      fold never sees a block before its predecessors.
+  *
+  * The chain state lives in the folder; on restart it must be re-seeded
+  * from the last emitted POI (exactly the reference's cursor/resume
+  * model). StreamingSpec gates stream == sequential reference chain.
+  */
+object PoiStableHashStream {
+
+  case class ChangeEvent(blockNum: Long, id: String, op: String, value: String,
+                         ts: Timestamp)
+  case class OpenBlock(events: List[(String, String, String)])
+  /** One finalized block's local mixer — 4 longs, no payload. */
+  case class BlockLocal(block_num: Long, v0: Long, v1: Long, v2: Long, cnt: Long)
+
+  private def finalizeBlock(blockNum: Long,
+                            state: GroupState[OpenBlock]): Iterator[BlockLocal] = {
+    val evs = state.getOption.map(_.events).getOrElse(Nil)
+    state.remove()
+    if (evs.isEmpty) Iterator.empty
+    else {
+      // same event construction + (id, op) order as the batch operator
+      val events: Seq[PoiEvent] = evs.sortBy(e => (e._1, e._2)).map { case (id, op, v) =>
+        if (op == "DELETE") RemoveEntity("user_state", id): PoiEvent
+        else SetEntity("user_state", id,
+          Seq("last_op" -> EString(op), "value" -> EBigDecimal(v))): PoiEvent
+      }
+      val h = PoiStableHash.blockLocal(blockNum, events)
+      Iterator.single(BlockLocal(blockNum, h.mixer.v0, h.mixer.v1, h.mixer.v2, h.count))
+    }
+  }
+
+  private def accumulate(blockNum: Long, it: Iterator[ChangeEvent],
+                         state: GroupState[OpenBlock]): Iterator[BlockLocal] =
+    if (state.hasTimedOut) finalizeBlock(blockNum, state)
+    else {
+      val prev = state.getOption.map(_.events).getOrElse(Nil)
+      val all = prev ++ it.map(e => (e.id, e.op, e.value))
+      state.update(OpenBlock(all))
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+      Iterator.empty
+    }
+
+  /** `changes` must carry an event-time `ts` with a watermark applied
+    * by the caller (the delay = block-completion horizon). */
+  def blockLocals(changes: Dataset[ChangeEvent]): Dataset[BlockLocal] = {
+    implicit val se = Encoders.product[OpenBlock]
+    implicit val le = Encoders.product[BlockLocal]
+    changes
+      .groupByKey(_.blockNum)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(accumulate)
+  }
+
+  /** Driver-held running chain. Fold input per batch = finalized block
+    * locals (tiny); output = (block_num, chained 32-byte POI hex) in
+    * block order, byte-identical to the batch chain. */
+  final class ChainFolder {
+    private var mixer: Option[U192] = None
+    private var count = 0L
+    def fold(locals: Seq[BlockLocal]): Seq[(Long, String)] =
+      locals.sortBy(_.block_num).map { l =>
+        val local = U192(l.v0, l.v1, l.v2)
+        mixer = Some(mixer.map(m => StableHash.mix(m, local)).getOrElse(local))
+        count += l.cnt
+        val bytes = new Array[Byte](32)
+        System.arraycopy(mixer.get.toBytesLE, 0, bytes, 0, 24)
+        var i = 0
+        while (i < 8) { bytes(24 + i) = ((count >>> (8 * i)) & 0xFF).toByte; i += 1 }
+        l.block_num -> PoiStableHash.hex(bytes)
+      }
+  }
+
+  /** Wire the two tiers: distributed locals → foreachBatch chain fold →
+    * `emit` (a sink callback: object-store append, kafka, test buffer). */
+  def start(changes: Dataset[ChangeEvent], folder: ChainFolder)
+           (emit: Seq[(Long, String)] => Unit): StreamingQuery =
+    blockLocals(changes).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[BlockLocal], _: Long) =>
+        emit(folder.fold(batch.collect().toSeq))
+      }
+      .start()
+}

@@ -215,6 +215,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stablehash poi chain matches the sequential reference chain") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.PoiStableHash
+    import graft.streaming.PoiStableHashStream
+    import graft.streaming.PoiStableHashStream.ChangeEvent
+    def ts(bn: Long) = new java.sql.Timestamp(1700000000000L + bn * 1000)
+
+    val rows = EntityChanges.changes(spark, sf)
+      .select(col("block_num"), col("id"), col("op"),
+        col("value").cast("decimal(20,2)").cast("string").as("v"))
+      .orderBy("block_num").limit(300).collect()
+      .map(r => (r.getAs[Long]("block_num"), r.getAs[String]("id"),
+        r.getAs[String]("op"), r.getAs[String]("v")))
+    val evs = rows.map { case (bn, id, op, v) => ChangeEvent(bn, id, op, v, ts(bn)) }
+
+    val got = scala.collection.mutable.Map[Long, String]()
+    val input = MemoryStream[ChangeEvent]
+    val folder = new PoiStableHashStream.ChainFolder
+    val q = PoiStableHashStream.start(
+      input.toDS().withWatermark("ts", "15 seconds"), folder)(
+      ps => ps.foreach { case (b, p) => got(b) = p })
+    try {
+      val (b1, b2) = evs.splitAt(150)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val maxBn = rows.map(_._1).max
+      input.addData(Seq(ChangeEvent(maxBn + 1000, "x", "UPDATE", "1.00", ts(maxBn + 1000))))
+      q.processAllAvailable()
+      input.addData(Seq(ChangeEvent(maxBn + 2000, "x", "UPDATE", "1.00", ts(maxBn + 2000))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // reference-faithful sequential Pause(prev) chain over the same blocks
+    val blocks = rows.groupBy(_._1).toSeq.map { case (bn, rs) =>
+      bn -> rs.sortBy(r => (r._2, r._3)).map { case (_, id, op, v) =>
+        if (op == "DELETE") PoiStableHash.RemoveEntity("user_state", id): PoiStableHash.PoiEvent
+        else PoiStableHash.SetEntity("user_state", id, Seq(
+          "last_op" -> PoiStableHash.EString(op),
+          "value" -> PoiStableHash.EBigDecimal(v))): PoiStableHash.PoiEvent
+      }.toSeq
+    }
+    val want = PoiStableHash.chainSequential(blocks).toMap
+    want.foreach { case (bn, poi) =>
+      assert(got.get(bn).contains(poi), s"block $bn diverges")
+    }
+    assert(want.nonEmpty && got.size >= want.size)
+  }
+
   test("streaming poi digests match the batch blockDigest once blocks close") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
