@@ -264,15 +264,21 @@ object Dedup {
   def ddCluster(s: SparkSession, d: String): DataFrame =
     connectedComponents(ddMinhashLsh(s, d))
 
-  val ddClusterSql: String =
-    s"""WITH RECURSIVE $minhashCtes,
+  /** MinHash pairs + undirected edges + recursive transitive closure —
+    * the CTE chain behind the cluster oracle, reusable by downstream
+    * composed oracles (tx_curation). Requires `WITH RECURSIVE`. */
+  val clusterCtes: String =
+    s"""$minhashCtes,
        |edges AS (
        |  SELECT doc_a AS s, doc_b AS t FROM mh_pairs
        |  UNION SELECT doc_b, doc_a FROM mh_pairs),
        |reach(s, t) AS (
        |  SELECT s, t FROM edges
        |  UNION
-       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s)
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s WHERE e.t <> r.s)""".stripMargin
+
+  val ddClusterSql: String =
+    s"""WITH RECURSIVE $clusterCtes
        |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
 

@@ -184,9 +184,97 @@ object TextAnalysis {
        |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
        |FROM chunked GROUP BY doc_id, chunk""".stripMargin
 
+  // ---- #34b end-to-end curation -------------------------------------
+
+  /** Curation thresholds: keep docs with ≥ `MinTokens` whitespace
+    * tokens and alpha ratio ≥ `MinAlphaX1000`/1000 (both cut real rows
+    * at every test SF, so the driver exercises each stage). */
+  val MinTokens = 20L
+  val MinAlphaX1000 = 810L
+
+  /** Language guess as ONE expression over a distinct-token array —
+    * the argmax of [[txLangId]] without its intermediate columns
+    * (codegen CSEs the repeated intersects). */
+  def langGuessExpr(wd: Column): Column = {
+    val scores = LangOrder.map(l =>
+      size(array_intersect(wd, typedLit(Stopwords(l)))).cast("long"))
+    val best = greatest(scores: _*)
+    LangOrder.zip(scores).foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, l).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[langGuessExpr]] over a `wd` list column. */
+  def langGuessSqlExpr(wd: String): String = {
+    val score = LangOrder.map { l =>
+      val ws = Stopwords(l).map(w => s"'$w'").mkString(", ")
+      l -> s"CAST(len(list_intersect($wd, [$ws])) AS BIGINT)"
+    }.toMap
+    val best = "greatest(" + LangOrder.map(score).mkString(", ") + ")"
+    LangOrder.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN ${score(l)} = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+  }
+
+  /** #34b tx_curation — the whole training-data curation job as ONE
+    * dataflow, the composition a real corpus build runs: quality gate
+    * (token count + alpha ratio) → near-dup removal (drop every doc
+    * that is not its [[Dedup.ddCluster]] component's minimum) →
+    * per-language corpus stats (docs, BPE-ish tokens, mean alpha
+    * per-mille, all exact integers).
+    *
+    * Scale: the gate and language guess are map-only over the scan;
+    * the near-dup losers arrive as a left-anti join against the
+    * cluster output (pair-bounded, far smaller than the corpus); one
+    * final tiny agg by language. The oracle recomputes every stage in
+    * DuckDB — recursive-CTE clusters included — so the composed
+    * pipeline, not just its pieces, is hash-gated. */
+  def txCuration(s: SparkSession, d: String): DataFrame = {
+    val losers = Dedup.ddCluster(s, d)
+      .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    Tables.documents(s, d)
+      .withColumn("w", toks(col("text")))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .withColumn("n_bpe",
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long"))
+      .withColumn("alpha_x1000", expr(
+        "CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) * 1000 DIV greatest(length(text), 1)"))
+      .filter(col("n_tok") >= MinTokens && col("alpha_x1000") >= MinAlphaX1000)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("lang_guess", langGuessExpr(array_distinct(col("w"))))
+      .groupBy(col("lang_guess"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bpe")).as("n_tokens"),
+        expr("sum(alpha_x1000) DIV count(1)").as("avg_alpha_x1000"))
+  }
+
+  val txCurationSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterCtes},
+       |losers AS (
+       |  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s),
+       |quality AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_bpe,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000
+       |      // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_x1000
+       |  FROM documents),
+       |surv AS (
+       |  SELECT q.*, list_distinct(string_split(q.text, ' ')) AS wd
+       |  FROM quality q
+       |  WHERE q.n_tok >= $MinTokens AND q.alpha_x1000 >= $MinAlphaX1000
+       |    AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = q.doc_id))
+       |SELECT ${langGuessSqlExpr("wd")} AS lang_guess,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_bpe) AS BIGINT) AS n_tokens,
+       |       CAST(SUM(alpha_x1000) AS BIGINT) // COUNT(*) AS avg_alpha_x1000
+       |FROM surv GROUP BY 1""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_curation" -> (txCuration _),
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
@@ -195,6 +283,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_curation" -> txCurationSql,
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
