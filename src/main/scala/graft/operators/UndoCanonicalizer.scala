@@ -47,10 +47,16 @@ object UndoCanonicalizer {
       val sufmin = u.scanRight(Long.MaxValue) { case ((_, lv), acc) =>
         math.min(lv, acc)
       }.init
+      // a run of undos sharing one suffix-min collapses to its LARGEST
+      // useq: for any seq below that boundary the first later undo lies
+      // within the run, whose suffix-min is the shared value. (Keeping
+      // the smallest useq instead would let seqs inside the run fall
+      // through to the NEXT branch's larger cut — caught by the replay
+      // property test.)
       val steps = u.map(_._1).zip(sufmin)
         .foldRight(List.empty[(Long, Long)]) {
           case ((useq, sm), acc) =>
-            if (acc.headOption.exists(_._2 == sm)) (useq, sm) :: acc.tail
+            if (acc.headOption.exists(_._2 == sm)) acc
             else (useq, sm) :: acc
         }
       // chained .when() calls extend ONE flat CaseWhen; no otherwise →

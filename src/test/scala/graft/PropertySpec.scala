@@ -38,6 +38,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: undo canonicalization equals a sequential replay interpreter") {
+    // a delivery log: changes at increasing seq with block == seq, plus
+    // undo signals at random positions rolling back a random depth
+    case class Log(changeSeqs: List[Long], undos: List[(Long, Long)])
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      seqs = (1L to n.toLong).toList
+      undoCount <- Gen.chooseNum(0, 5)
+      undos <- Gen.listOfN(undoCount, for {
+        useq <- Gen.chooseNum(2L, n.toLong)
+        depth <- Gen.chooseNum(1L, 30L)
+      } yield (useq, math.max(0L, useq - depth)))
+    } yield Log(seqs.filterNot(undos.map(_._1).toSet), undos.distinctBy(_._1))
+
+    forAll(gen, n = 15) { (log: Log) =>
+      // sequential replay: walk the merged log in seq order, keeping the
+      // set of live blocks; an undo discards every block above last_valid
+      val merged = (log.changeSeqs.map(s => (s, None: Option[Long])) ++
+        log.undos.map { case (u, lv) => (u, Some(lv)) }).sortBy(_._1)
+      var live = List.empty[Long]
+      merged.foreach {
+        case (s, None)      => live = s :: live
+        case (_, Some(lv))  => live = live.filter(_ <= lv)
+      }
+      val changes = log.changeSeqs.map(s => (s.toString, s, "UPDATE", 1.0))
+        .toDF("id", "block_num", "op", "value")
+      val undos = log.undos.toDF("useq", "last_valid")
+      val got = graft.operators.UndoCanonicalizer
+        .canonicalize(spark, changes, undos)
+        .select("block_num").as[Long].collect().toSet
+      assert(got === live.toSet, s"log: $log")
+    }
+  }
+
   test("property: snake_case normalization is idempotent (digit-free) and lowercase") {
     // digit boundaries are NOT idempotent by design: the reference
     // splits lower→digit but protects upper→digit, so V2→v2→v_2
