@@ -95,9 +95,48 @@ object Multimodal {
     }(enc)
   }
 
+  /** Stub resize "resolution": output payloads carry this many bytes. */
+  val ResizeTarget = 64
+
+  /** Output schema of the resizer — binary in, binary out. */
+  val ResizeSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("orig_len", IntegerType, nullable = false),
+    StructField("resized", BinaryType, nullable = false)
+  ))
+
+  /** STUB resize: evenly-spaced byte subsample down to `target`. A real
+    * deployment decodes, rescales, re-encodes; the sampling keeps the
+    * output deterministic so specs assert exact bytes. */
+  def stubResize(payload: Array[Byte], target: Int): Array[Byte] =
+    if (payload.length <= target) payload
+    else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
+
+  /** #38c mm_resize — the payload-IN / payload-OUT transform shape
+    * (image resize, audio resample, re-encode): a binary column maps to
+    * a smaller binary column with codec init amortized per partition.
+    * What's real: the binary-to-binary schema, the bounded output size
+    * (shuffle/write planning can rely on ≤ `ResizeTarget` bytes/row),
+    * and the per-partition batching. */
+  def mmResize(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.documents(s, d).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(ResizeSchema)
+    in.mapPartitions { rows =>
+      // per-partition codec init would go here (once, not per row)
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row(r.getAs[Long]("doc_id"), payload.length,
+          stubResize(payload, ResizeTarget))
+      }
+    }(enc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
-    "mm_frame_sample" -> (mmFrameSample _)
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_resize" -> (mmResize _)
   )
 
   /** rows-only: the stubbed decode has no SQL twin. */

@@ -144,6 +144,21 @@ class AnnSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
+  test("mm_resize: output payloads are bounded, deterministic byte subsamples") {
+    val rows = Multimodal.mmResize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val resized = r.getAs[Array[Byte]]("resized")
+      val origLen = r.getAs[Int]("orig_len")
+      assert(resized.length === math.min(origLen, Multimodal.ResizeTarget))
+    }
+    // exact bytes for one known payload
+    val p = Array.tabulate(200)(_.toByte)
+    val out = Multimodal.stubResize(p, 64)
+    assert(out.length === 64)
+    assert(out(0) === p(0) && out(63) === p((63L * 200 / 64).toInt))
+  }
+
   test("mm_binary_meta: stub decode matches the payload bytes exactly") {
     val rows = Multimodal.mmBinaryMeta(spark, sf).collect()
     val texts = Tables.documents(spark, sf).collect()
