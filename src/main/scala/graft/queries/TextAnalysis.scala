@@ -271,10 +271,58 @@ object TextAnalysis {
        |       CAST(SUM(alpha_x1000) AS BIGINT) // COUNT(*) AS avg_alpha_x1000
        |FROM surv GROUP BY 1""".stripMargin
 
+  // ---- #34c deterministic data mixing -------------------------------
+
+  /** Per-language keep rates ×1000 — the classic corpus rebalance:
+    * downsample the dominant language, keep the rest (nearly) whole. */
+  val MixRateX1000: Map[String, Long] =
+    Map("en" -> 400L, "es" -> 900L, "de" -> 900L, "fr" -> 900L, "zh" -> 1000L)
+  /** Sampling salt — changing it draws an independent sample. */
+  val MixSalt = "|mix1"
+
+  /** #34c tx_sample_mix — stratified sampling for data mixing, the way
+    * a reproducible pipeline actually does it: keep a doc iff
+    * `hash(doc_id ++ salt) mod 1000 < rate(lang)`. Hash-Bernoulli is
+    * deterministic across runs/engines (no RNG state, no sort), purely
+    * map-side, and composes with any pushdown — the scalable
+    * alternative to `sample()` whose output changes with partitioning.
+    * Output: per-language admitted counts and kept character volume,
+    * all exact integers. */
+  def txSampleMix(s: SparkSession, d: String): DataFrame = {
+    val rate = MixRateX1000.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .withColumn("keep",
+        graft.functions.PortableHash.long60(
+          concat(col("doc_id").cast("string"), lit(MixSalt))) % 1000 < rate)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("chars_kept"))
+  }
+
+  val txSampleMixSql: String = {
+    val rateCase = MixRateX1000
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    val h = graft.functions.PortableHash
+      .long60Sql(s"CAST(doc_id AS VARCHAR) || '$MixSalt'")
+    s"""SELECT lang, COUNT(*) AS n_in,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+       |FROM (
+       |  SELECT lang, n_chars,
+       |    ($h % 1000) < (CASE lang $rateCase ELSE 0 END) AS keep
+       |  FROM documents)
+       |GROUP BY lang""".stripMargin
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_curation" -> (txCuration _),
+    "tx_sample_mix" -> (txSampleMix _),
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
@@ -284,6 +332,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "tx_curation" -> txCurationSql,
+    "tx_sample_mix" -> txSampleMixSql,
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
