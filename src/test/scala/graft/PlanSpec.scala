@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(physical(GraphLoad.glCsvEscapeArray(spark, sf))) === 0)
   }
 
+  test("tx_sample_mix: hash-Bernoulli sampling is one map-side-combined agg") {
+    val p = physical(graft.queries.TextAnalysis.txSampleMix(spark, sf))
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "HashAggregate") === 2, p)
+    assert(bigJoins(p) + crossJoins(p) === 0, p)
+  }
+
+  test("tx_curation: anti-join is broadcast, no cartesian anywhere") {
+    val p = physical(graft.queries.TextAnalysis.txCuration(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // the loser set is pair-bounded → must not arrive via a big shuffle join
+    assert(nodes(p, "BroadcastHashJoin.*LeftAnti") >= 1 || bigJoins(p) === 0, p)
+  }
+
   test("gl_undo_canonical: survival test is map-only — no shuffle, no join") {
     val p = physical(GraphLoad.glUndoCanonical(spark, sf))
     assert(shuffles(p) === 0, p)
