@@ -318,11 +318,38 @@ object TextAnalysis {
        |GROUP BY lang""".stripMargin
   }
 
+  // ---- #34d corpus heavy hitters ------------------------------------
+
+  val TopNgramsK = 20
+
+  /** #34d tx_top_ngrams — the corpus frequency profile every corpus
+    * build inspects (and the calibration input for the dedup family's
+    * df cap): the `TopNgramsK` most document-frequent 3-grams.
+    * Per-doc-distinct shingles → partial+final count agg →
+    * `TakeOrderedAndProject` (per-partition top-k; no global sort
+    * ever materializes the vocabulary). Ties break on the shingle's
+    * binary order — identical in both engines. */
+  def txTopNgrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", toks(col("text")))
+      .select(explode(graft.functions.Shingles.fromTokens(col("w"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(TopNgramsK)
+
+  val txTopNgramsSql: String =
+    s"""WITH ${graft.functions.Shingles.shinglesCteSql()}
+       |SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df
+       |FROM sh GROUP BY s
+       |ORDER BY df DESC, shingle
+       |LIMIT $TopNgramsK""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
+    "tx_top_ngrams" -> (txTopNgrams _),
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
@@ -333,6 +360,7 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
+    "tx_top_ngrams" -> txTopNgramsSql,
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
