@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{AsofJoin, EntityVersioner, UndoCanonicalizer}
+import graft.queries.Dedup
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the core operators: empty frames,
+  * single rows, all-tombstone streams, unseen-id deletes. Every case
+  * here is a shape the reference's sequential code hits naturally and
+  * a distributed rewrite can silently mishandle. */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val changeCols = Seq("id", "block_num", "op", "value")
+
+  private def changes(rows: (String, Long, String, Double)*) =
+    rows.toDF(changeCols: _*)
+
+  test("scd2 on an empty change stream is empty, not an error") {
+    val empty = changes()
+    assert(EntityVersioner.scd2Versions(empty).count() === 0)
+    assert(EntityVersioner.squashLatest(empty).count() === 0)
+    assert(EntityVersioner.deleteTombstone(empty).count() === 0)
+  }
+
+  test("a single CREATE yields one open version and survives the squash") {
+    val one = changes(("a", 5L, "CREATE", 1.0))
+    val v = EntityVersioner.scd2Versions(one).collect()
+    assert(v.length === 1)
+    assert(v.head.getAs[Any]("end_block") == null)
+    assert(EntityVersioner.squashLatest(one).count() === 1)
+  }
+
+  test("an id whose last change is DELETE leaves history but no live state") {
+    val cs = changes(("a", 1L, "CREATE", 1.0), ("a", 2L, "DELETE", 0.0))
+    val hist = EntityVersioner.scd2Versions(cs).collect()
+    assert(hist.length === 1 && hist.head.getAs[Long]("end_block") === 2L)
+    assert(EntityVersioner.squashLatest(cs).count() === 0)
+    val tomb = EntityVersioner.deleteTombstone(cs).collect()
+    assert(tomb.length === 1 && tomb.head.getAs[String]("id") === "a")
+  }
+
+  test("DELETE for an id never seen emits nothing anywhere") {
+    val cs = changes(("ghost", 7L, "DELETE", 0.0))
+    assert(EntityVersioner.scd2Versions(cs).count() === 0)
+    assert(EntityVersioner.squashLatest(cs).count() === 0)
+    assert(EntityVersioner.deleteTombstone(cs).count() === 0)
+  }
+
+  test("undo canonicalization with no undo signals is the identity") {
+    val cs = changes(("a", 1L, "CREATE", 1.0), ("b", 2L, "UPDATE", 2.0))
+    val undos = Seq.empty[(Long, Long)].toDF("useq", "last_valid")
+    assert(UndoCanonicalizer.canonicalize(spark, cs, undos).count() === 2)
+  }
+
+  test("an undo rolling back before every change cancels the whole log") {
+    val cs = changes(("a", 5L, "CREATE", 1.0), ("b", 6L, "UPDATE", 2.0))
+    val undos = Seq((100L, 0L)).toDF("useq", "last_valid")
+    assert(UndoCanonicalizer.canonicalize(spark, cs, undos).count() === 0)
+  }
+
+  test("connected components of an empty pair set is empty") {
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(none).count() === 0)
+  }
+
+  test("as-of join with an empty right side carries nulls, not errors") {
+    val left = Seq((1L, "u", 10L)).toDF("event_id", "user_id", "t")
+    val right = Seq.empty[(String, Long, Double)].toDF("user_id", "t", "value")
+    val out = AsofJoin.asofJoin(left, right, "user_id", "t", "user_id", "t", Seq("value"))
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Any]("asof_value") == null)
+  }
+
+  test("shingling a document shorter than the n-gram width is empty, not null") {
+    import graft.functions.Shingles
+    val out = Seq(("ab cd")).toDF("text")
+      .withColumn("w", Shingles.tokens($"text"))
+      .select(Shingles.fromTokens($"w").as("sh"), Shingles.hashedFromTokens($"w").as("hs"))
+      .collect().head
+    assert(out.getAs[Seq[String]]("sh") === Seq.empty)
+    assert(out.getAs[Seq[Long]]("hs") === Seq.empty)
+  }
+}
