@@ -344,12 +344,54 @@ object TextAnalysis {
        |ORDER BY df DESC, shingle
        |LIMIT $TopNgramsK""".stripMargin
 
+  // ---- #34e test-set decontamination --------------------------------
+
+  /** Contamination n-gram width — wide enough that sharing one is
+    * verbatim leakage, not phrase reuse (the published decontamination
+    * recipe uses 8-13-gram overlap). */
+  val DecontamN = 8
+  /** Synthetic benchmark derivation: every 10th doc stands in for the
+    * held-out eval set (production passes a real benchmark table). */
+  val BenchMod = 10L
+
+  /** #34e tx_decontaminate — eval-set leakage detection, the check
+    * every training pipeline runs before shipping a corpus: a corpus
+    * doc is contaminated iff it shares any `DecontamN`-gram with a
+    * benchmark doc. Reports each contaminated doc with its count of
+    * distinct leaked n-grams.
+    *
+    * Scale: the benchmark's distinct shingle set is eval-set-sized
+    * (tiny against the corpus) → AQE broadcasts it and the corpus side
+    * is a map-only probe; one agg by doc for the hit counts. The
+    * shingle index is persisted spill-safe across its two consumers. */
+  def txDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("w", toks(col("text")))
+      .select(col("doc_id"),
+        explode(graft.functions.Shingles.fromTokens(col("w"), DecontamN)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = sh.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
+    sh.filter(col("doc_id") % BenchMod =!= 0)
+      .join(bench, "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_hit_ngrams"))
+  }
+
+  val txDecontaminateSql: String =
+    s"""WITH ${graft.functions.Shingles.shinglesCteSql(DecontamN)},
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0)
+       |SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_hit_ngrams
+       |FROM sh JOIN bench USING (s)
+       |WHERE doc_id % $BenchMod <> 0
+       |GROUP BY doc_id""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
     "tx_top_ngrams" -> (txTopNgrams _),
+    "tx_decontaminate" -> (txDecontaminate _),
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
     "tx_lang_id" -> (txLangId _),
@@ -361,6 +403,7 @@ object TextAnalysis {
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
     "tx_top_ngrams" -> txTopNgramsSql,
+    "tx_decontaminate" -> txDecontaminateSql,
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,
     "tx_lang_id" -> txLangIdSql,
