@@ -82,10 +82,19 @@ object PoiStableHashStream {
 
   /** Driver-held running chain. Fold input per batch = finalized block
     * locals (tiny); output = (block_num, chained 32-byte POI hex) in
-    * block order, byte-identical to the batch chain. */
-  final class ChainFolder {
-    private var mixer: Option[U192] = None
-    private var count = 0L
+    * block order, byte-identical to the batch chain.
+    *
+    * Restart: construct with the state recovered beside the last
+    * emitted POI (`seeded`) — the mixer/count pair IS the resume
+    * cursor, exactly the reference's cursor-next-to-output model. The
+    * upstream stateful operator replays from its checkpoint, so blocks
+    * already folded must not be re-emitted; the sink records
+    * (mixer, count, last block) atomically with the POI it writes. */
+  final class ChainFolder(seed: Option[(U192, Long)] = None) {
+    private var mixer: Option[U192] = seed.map(_._1)
+    private var count = seed.map(_._2).getOrElse(0L)
+    /** Current resume cursor: chain state after the last folded block. */
+    def cursor: Option[(U192, Long)] = mixer.map(m => (m, count))
     def fold(locals: Seq[BlockLocal]): Seq[(Long, String)] =
       locals.sortBy(_.block_num).map { l =>
         val local = U192(l.v0, l.v1, l.v2)

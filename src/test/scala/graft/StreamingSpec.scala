@@ -262,6 +262,26 @@ class StreamingSpec extends SparkSpec {
       assert(got.get(bn).contains(poi), s"block $bn diverges")
     }
     assert(want.nonEmpty && got.size >= want.size)
+
+    // restart equivalence: a folder seeded with the cursor taken after
+    // any prefix continues the chain bit-for-bit
+    val locals = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (bn, rs) =>
+      val evs = rs.sortBy(r => (r._2, r._3)).map { case (_, id, op, v) =>
+        if (op == "DELETE") PoiStableHash.RemoveEntity("user_state", id): PoiStableHash.PoiEvent
+        else PoiStableHash.SetEntity("user_state", id, Seq(
+          "last_op" -> PoiStableHash.EString(op),
+          "value" -> PoiStableHash.EBigDecimal(v))): PoiStableHash.PoiEvent
+      }.toSeq
+      val h = PoiStableHash.blockLocal(bn, evs)
+      PoiStableHashStream.BlockLocal(bn, h.mixer.v0, h.mixer.v1, h.mixer.v2, h.count)
+    }
+    val (front, back) = locals.splitAt(locals.length / 2)
+    val f1 = new PoiStableHashStream.ChainFolder()
+    val prefix = f1.fold(front)
+    val resumed = new PoiStableHashStream.ChainFolder(f1.cursor).fold(back)
+    (prefix ++ resumed).foreach { case (bn, poi) =>
+      assert(want(bn) === poi, s"resumed chain diverges at block $bn")
+    }
   }
 
   test("streaming poi digests match the batch blockDigest once blocks close") {
