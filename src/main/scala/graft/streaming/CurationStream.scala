@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus curation (SURVEY.md §2 #42b) — the continuous form
+  * of `tx_curation`'s gate+dedup front half: documents stream in, the
+  * quality gate drops junk statelessly, a watermark-bounded exact
+  * dedup admits only first occurrences, and per-event-time-window
+  * per-language admission stats finalize at the watermark.
+  *
+  * Spark-first: this is a CHAIN of two stateful operators
+  * (`dropDuplicatesWithinWatermark` → windowed aggregation) in one
+  * query — supported natively since Spark 3.5, no foreachBatch glue.
+  * State: dedup keys age out at the watermark horizon; window state
+  * closes per window. Both shard by their own keys.
+  */
+object CurationStream {
+
+  val MinTokens = 5L
+
+  /** `docs` needs (ts: timestamp, doc_id, text, lang). */
+  def curatedStats(docs: DataFrame, watermarkDelay: String,
+                   windowDuration: String): DataFrame =
+    docs
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .filter(col("n_tok") >= MinTokens)
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_hash")
+      .groupBy(window(col("ts"), windowDuration), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("lang"),
+        col("n_docs"), col("n_tokens"))
+}

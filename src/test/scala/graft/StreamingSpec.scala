@@ -190,6 +190,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curation stream chains dedup into windowed stats and drops junk + dups") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, String)]
+    val docs = input.toDS().toDF("epoch", "doc_id", "text", "lang")
+      .select(timestamp_seconds($"epoch").as("ts"), $"doc_id", $"text", $"lang")
+    val q = graft.streaming.CurationStream
+      .curatedStats(docs, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L // window-aligned
+      val good = "one two three four five six"
+      input.addData(Seq(
+        (t0 + 10, 1L, good, "en"),
+        (t0 + 20, 2L, "too short", "en"),          // fails the gate
+        (t0 + 30, 3L, good, "en"),                 // duplicate of 1
+        (t0 + 40, 4L, good + " seven", "fr")))
+      q.processAllAvailable()
+      // watermark far past the first window -> stats finalize
+      input.addData(Seq((t0 + 7200, 9L, good + " x y z", "de"))); q.processAllAvailable()
+      input.addData(Seq((t0 + 14400, 10L, good + " p q r", "de"))); q.processAllAvailable()
+
+      val rows = spark.table("curation_stream").collect()
+        .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("n_tokens")))
+      // first window: exactly one EN doc (dup + junk dropped), one FR doc
+      assert(rows.contains(("en", 1L, 6L)), rows.mkString(", "))
+      assert(rows.contains(("fr", 1L, 7L)), rows.mkString(", "))
+      assert(!rows.exists { case (l, n, _) => l == "en" && n > 1 })
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first occurrence of each text") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
