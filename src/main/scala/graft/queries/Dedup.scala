@@ -58,11 +58,18 @@ object Dedup {
 
   // ---- shared shingle index -----------------------------------------
 
-  /** Exploded (doc_id, shingle-hash) inverted-index rows. */
+  /** Exploded (doc_id, shingle-hash) inverted-index rows.
+    *
+    * Persisted spill-safe: every member of the dedup family (jaccard,
+    * minhash, simhash, clusters) starts from this index, and Spark's
+    * CacheManager substitutes the one materialization into any plan
+    * containing it — the corpus is tokenized and hashed ONCE per
+    * session, exactly how a production pipeline stages its index. */
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", Shingles.tokens(col("text")))
       .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Capped shingle buckets: shingle → sorted doc list, buckets larger
     * than the df cap dropped.
@@ -77,11 +84,7 @@ object Dedup {
     * and the list agg hash-partition on the same key, so the big
     * exploded set still shuffles exactly once. */
   private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
-    // spill-safe persist: the exploded index feeds both the hot-shingle
-    // count and the bucket build; without it the scan+tokenize+md5 runs
-    // twice. Disk-backed like a shuffle intermediate — never OOM.
-    val sh = shingleIndex(s, d)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = shingleIndex(s, d) // persisted — feeds the count AND the bucket build
     // anti-join against the HOT set, not an equi-join against the cold
     // set: hot shingles (df > cap) are the Zipf head — a tiny fraction
     // of the vocabulary — so the anti side broadcasts under AQE and the
