@@ -95,6 +95,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reorg stream matches batch on randomized reorg scenarios") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import EntityChangeStream.{SeqChange, blockTs, undoFor}
+    val rnd = new scala.util.Random(7)
+
+    (1 to 3).foreach { scenario =>
+      // random canonical chain with a mid-stream reorg of random depth
+      val ids = (1 to 4).map(i => s"e$i")
+      val headBlock = 10 + rnd.nextInt(10)
+      val depth = 1 + rnd.nextInt(4)
+      val lastValid = headBlock - depth
+      var seq = 0L
+      def next(): Long = { seq += 1; seq }
+      def chg(b: Long) = {
+        val id = ids(rnd.nextInt(ids.length))
+        val op = if (rnd.nextInt(5) == 0) "DELETE" else "UPDATE"
+        SeqChange(id, next(), b, op, (b * 10 + scenario).toDouble, blockTs(b))
+      }
+      val preReorg = (1L to headBlock).map(chg)                 // delivered fork
+      val undone = preReorg.filter(_.blockNum > lastValid)
+      val undoSeq = next()                                      // undo sits between fork and replacement
+      val replacement = ((lastValid + 1) to headBlock)
+        .map(b => chg(b)) ++ Seq(chg(headBlock + 1))            // canonical blocks
+      // close every version, then push the watermark far ahead
+      val closers = ids.zipWithIndex.map { case (id, i) =>
+        SeqChange(id, next() + 100, headBlock + 10 + i, "DELETE", 0.0,
+          blockTs(headBlock + 10 + i))
+      }
+      val sentinels = Seq(
+        SeqChange("zz", 9000, 500, "UPDATE", 0.0, blockTs(500)),
+        SeqChange("zz", 9001, 600, "UPDATE", 0.0, blockTs(600)))
+
+      val input = MemoryStream[SeqChange]
+      val q = EntityChangeStream.closedVersionsWithUndo(input.toDS(), 6)
+        .writeStream.format("memory").queryName(s"undo_rand_$scenario")
+        .outputMode("append").start()
+      try {
+        input.addData(preReorg); q.processAllAvailable()
+        input.addData(undoFor(undone.map(_.id).distinct, undoSeq, lastValid))
+        q.processAllAvailable()
+        input.addData(replacement); q.processAllAvailable()
+        input.addData(closers); q.processAllAvailable()
+        sentinels.foreach { sn => input.addData(Seq(sn)); q.processAllAvailable() }
+
+        val got = spark.table(s"undo_rand_$scenario").as[EntityChangeStream.Version]
+          .collect().map(v => (v.id, v.startBlock, v.endBlock, v.value)).toSet
+        val canonical = (preReorg.filter(_.blockNum <= lastValid) ++
+          replacement ++ closers)
+          .map(c => (c.id, c.blockNum, c.op, c.value))
+          .toDF("id", "block_num", "op", "value")
+        val want = graft.operators.EntityVersioner.scd2Versions(canonical)
+          .filter(col("end_block").isNotNull).collect()
+          .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+            r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+        assert(got === want, s"scenario $scenario (head=$headBlock depth=$depth)")
+      } finally q.stop()
+    }
+  }
+
   test("bundled csv sink rolls one directory per bundle with all lines") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
