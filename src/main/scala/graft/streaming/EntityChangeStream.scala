@@ -108,7 +108,15 @@ object EntityChangeStream {
                      state: GroupState[ReorgState]): Iterator[Version] = {
     val finalBlock = state.getCurrentWatermarkMs() / 1000L
     var segs = state.getOption.map(_.segments.toVector).getOrElse(Vector.empty)
-    changes.toSeq.sortBy(_.seq).foreach { c =>
+    // explicit late-row guard (flatMapGroupsWithState does not drop
+    // late data): a change at-or-below the finality horizon, or an
+    // undo rolling back BELOW it, would rewrite versions already
+    // emitted append-only. The cursor contract forbids such
+    // deliveries; enforce it here. An undo to exactly the horizon
+    // (discard everything non-final) is legitimate.
+    changes.filter(c => c.blockNum > finalBlock ||
+        (c.op == "UNDO" && c.blockNum >= finalBlock))
+      .toSeq.sortBy(_.seq).foreach { c =>
       if (c.op == "UNDO") {
         segs = segs.filter(_.startBlock <= c.blockNum).map { s =>
           if (s.endBlock.exists(_ > c.blockNum)) s.copy(endBlock = None) else s

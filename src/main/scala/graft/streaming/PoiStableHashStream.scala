@@ -62,11 +62,19 @@ object PoiStableHashStream {
                          state: GroupState[OpenBlock]): Iterator[BlockLocal] =
     if (state.hasTimedOut) finalizeBlock(blockNum, state)
     else {
+      // explicit late-row guard: flatMapGroupsWithState does not drop
+      // late data itself, and a straggler for a finalized block would
+      // re-emit a second local and corrupt the downstream chain fold
+      val wm = state.getCurrentWatermarkMs()
+      val onTime = it.filter(_.ts.getTime > wm)
       val prev = state.getOption.map(_.events).getOrElse(Nil)
-      val all = prev ++ it.map(e => (e.id, e.op, e.value))
-      state.update(OpenBlock(all))
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-      Iterator.empty
+      val all = prev ++ onTime.map(e => (e.id, e.op, e.value))
+      if (all.isEmpty) Iterator.empty
+      else {
+        state.update(OpenBlock(all))
+        state.setTimeoutTimestamp(wm + 1)
+        Iterator.empty
+      }
     }
 
   /** `changes` must carry an event-time `ts` with a watermark applied

@@ -47,13 +47,22 @@ object PoiStream {
                          state: GroupState[OpenBlock]): Iterator[BlockDigest] =
     if (state.hasTimedOut) finalize(block, state)
     else {
+      // flatMapGroupsWithState does NOT auto-drop late rows (unlike
+      // aggregations/dedup) — an event arriving after its block
+      // finalized would re-open the key and emit a second, partial
+      // digest. Enforce the watermark contract explicitly.
+      val wm = state.getCurrentWatermarkMs()
+      val onTime = it.filter(_.ts.getTime > wm)
       val prev = state.getOption.map(_.events).getOrElse(Nil)
-      val all = prev ++ it.map(e => (e.blockNum, e.repr))
-      state.update(OpenBlock(all))
-      // finalize when the watermark passes the newest event of this
-      // block by the block-completion horizon
-      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
-      Iterator.empty
+      val all = prev ++ onTime.map(e => (e.blockNum, e.repr))
+      if (all.isEmpty) Iterator.empty
+      else {
+        state.update(OpenBlock(all))
+        // finalize when the watermark passes the newest event of this
+        // block by the block-completion horizon
+        state.setTimeoutTimestamp(wm + 1)
+        Iterator.empty
+      }
     }
 
   /** `events` must carry an event-time `ts` with a watermark applied by

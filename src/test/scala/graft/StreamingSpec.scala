@@ -95,6 +95,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late rows below the watermark cannot rewrite finalized streaming state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.PoiStream
+    import graft.streaming.PoiStream.BlockEvent
+    def ev(block: Long, bn: Long, repr: String) =
+      BlockEvent(block, bn, repr, new java.sql.Timestamp(1700000000000L + bn * 1000))
+    val input = MemoryStream[BlockEvent]
+    val withWm = input.toDS().withWatermark("ts", "5 seconds").as[BlockEvent]
+    val q = PoiStream.blockDigests(withWm)
+      .writeStream.format("memory").queryName("late_poi")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1, 10, "a"), ev(1, 11, "b"))); q.processAllAvailable()
+      // advance the watermark far past block 1 -> digest finalizes
+      input.addData(Seq(ev(9, 90, "x"))); q.processAllAvailable()
+      input.addData(Seq(ev(10, 100, "y"))); q.processAllAvailable()
+      // a LATE straggler for block 1 must not resurrect it
+      input.addData(Seq(ev(1, 12, "late"))); q.processAllAvailable()
+      input.addData(Seq(ev(11, 110, "z"))); q.processAllAvailable()
+      input.addData(Seq(ev(12, 120, "w"))); q.processAllAvailable()
+
+      val b1 = spark.table("late_poi").filter($"block" === 1).collect()
+      assert(b1.length === 1, b1.mkString(", "))
+      assert(b1.head.getAs[Int]("nEvents") === 2)
+      assert(b1.head.getAs[String]("digest") === PoiStream.digestOf(
+        Seq((10L, "a"), (11L, "b"))))
+    } finally q.stop()
+  }
+
   test("reorg stream matches batch on randomized reorg scenarios") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
