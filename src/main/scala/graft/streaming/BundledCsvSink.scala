@@ -29,16 +29,38 @@ object BundledCsvSink {
         GraphCsv.typedText(col("value").cast("decimal(20,2)"), "BigDecimal", nullable = false)))
       .select(col("bundle"), col("line"))
 
+  /** Idempotent per-batch write. `foreachBatch` is at-least-once: on
+    * recovery the last in-flight micro-batch replays with the SAME
+    * batch id, so a commit marker per id turns replays into no-ops —
+    * the write-then-mark protocol the reference's bundler uses for
+    * object-store uploads. (The residual window is a crash BETWEEN the
+    * data write and the marker; closing it entirely needs
+    * stage-and-rename, which the marker layout leaves room for.)
+    * Returns false when the batch was already committed. */
+  def writeBatch(batch: DataFrame, batchId: Long, outDir: String,
+                 bundleSize: Long): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(outDir, s"_committed/batch-$batchId")
+    val fs = marker.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      toCsvLines(batch, bundleSize)
+        .repartition(col("bundle"))
+        .write.mode("append").partitionBy("bundle").text(outDir)
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Start the sink: each micro-batch appends its lines under the
-    * bundle partition directories. */
+    * bundle partition directories, exactly once per batch id. */
   def start(changes: DataFrame, outDir: String, checkpointDir: String,
             bundleSize: Long): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        toCsvLines(batch, bundleSize)
-          .repartition(col("bundle"))
-          .write.mode("append").partitionBy("bundle").text(outDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, batchId, outDir, bundleSize): Unit
       }
       .start()
 }

@@ -208,6 +208,15 @@ class StreamingSpec extends SparkSpec {
     // spot-check line shape: id,block,value
     val line = written.limit(1).collect().head.getString(0)
     assert(line.split(",").length === 3)
+
+    // replaying a committed batch id (restart recovery) is a no-op
+    val replay = allChanges.take(50).toDF()
+      .select(col("id"), col("blockNum").as("block_num"), col("op"), col("value"))
+    assert(!BundledCsvSink.writeBatch(replay, 0L, out, 250))
+    assert(spark.read.text(out).count() === allChanges.size)
+    // a NEW batch id still writes
+    assert(BundledCsvSink.writeBatch(replay, 999L, out, 250))
+    assert(spark.read.text(out).count() === allChanges.size + 50)
   }
 
   test("windowed stats finalize on watermark and drop late data") {
