@@ -104,6 +104,17 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "BroadcastHashJoin.*LeftAnti") >= 1 || bigJoins(p) === 0, p)
   }
 
+  test("tx_top_ngrams: per-partition top-k, never a global sort of the vocabulary") {
+    val p = physical(graft.queries.TextAnalysis.txTopNgrams(spark, sf))
+    assert(nodes(p, "TakeOrderedAndProject") === 1, p)
+    assert(nodes(p, "Sort \\[") === 0, p) // no standalone global sort node
+  }
+
+  test("tx_decontaminate: benchmark probe joins without a cartesian") {
+    val p = physical(graft.queries.TextAnalysis.txDecontaminate(spark, sf))
+    assert(crossJoins(p) === 0, p)
+  }
+
   test("gl_undo_canonical: survival test is map-only — no shuffle, no join") {
     val p = physical(GraphLoad.glUndoCanonical(spark, sf))
     assert(shuffles(p) === 0, p)
