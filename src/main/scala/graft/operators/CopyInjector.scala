@@ -57,7 +57,8 @@ object CopyInjector {
     val rangeRe = raw"(\d{10})-(\d{10})".r.unanchored
     files.flatMap { f =>
       f match {
-        case _ if !f.contains(".csv") => None
+        // suffix, not containment: `.csv.tmp` crash leftovers must not load
+        case _ if !f.endsWith(".csv") => None
         case rangeRe(s, e) =>
           val (start, end) = (s.toLong, e.toLong)
           if (stopBlock != 0 && start >= stopBlock) None

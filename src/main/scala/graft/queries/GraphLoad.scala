@@ -103,8 +103,16 @@ object GraphLoad {
     * the reference's own test vectors in StableHashSpec. Rows-only at
     * the driver (no SQL engine can express the hash); the spec gates
     * parallel-fold == sequential Pause(prev) equality. */
+  // memoized per (session, dir): poiChain persists its prefix stage and
+  // typed-lambda plans never canonicalize equal across calls, so a
+  // fresh build per invocation would leave one orphaned cache entry
+  // each time (session-lifetime; the memo pins exactly one)
+  private val poiChainMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def glPoiStablehash(s: SparkSession, d: String): DataFrame =
-    graft.operators.PoiStableHash.poiChain(ch(s, d), BundleSize)
+    poiChainMemo.getOrElseUpdate((s, d),
+      graft.operators.PoiStableHash.poiChain(ch(s, d), BundleSize))
 
   def glSchemaNormalize(s: SparkSession, d: String): DataFrame = {
     val camel1 = concat(lit("user"), upper(substring(col("event_type"), 1, 1)),

@@ -66,13 +66,18 @@ object PoiStableHashStream {
       // late data itself, and a straggler for a finalized block would
       // re-emit a second local and corrupt the downstream chain fold
       val wm = state.getCurrentWatermarkMs()
-      val onTime = it.filter(_.ts.getTime > wm)
+      val onTime = it.filter(_.ts.getTime > wm).toSeq
       val prev = state.getOption.map(_.events).getOrElse(Nil)
       val all = prev ++ onTime.map(e => (e.id, e.op, e.value))
-      if (all.isEmpty) Iterator.empty
+      if (onTime.isEmpty) Iterator.empty
       else {
         state.update(OpenBlock(all))
-        state.setTimeoutTimestamp(wm + 1)
+        // finalize when the watermark passes the block's OWN event
+        // time (ts = blockTs(blockNum), constant per block) — a wm+1
+        // timeout could close the block inside the watermark horizon,
+        // where an on-time straggler could re-open it and a second
+        // BlockLocal would corrupt every later chained POI
+        state.setTimeoutTimestamp(onTime.map(_.ts.getTime).max + 1)
         Iterator.empty
       }
     }
@@ -92,27 +97,58 @@ object PoiStableHashStream {
     * locals (tiny); output = (block_num, chained 32-byte POI hex) in
     * block order, byte-identical to the batch chain.
     *
-    * Restart: construct with the state recovered beside the last
-    * emitted POI (`seeded`) — the mixer/count pair IS the resume
-    * cursor, exactly the reference's cursor-next-to-output model. The
-    * upstream stateful operator replays from its checkpoint, so blocks
-    * already folded must not be re-emitted; the sink records
-    * (mixer, count, last block) atomically with the POI it writes. */
-  final class ChainFolder(seed: Option[(U192, Long)] = None) {
+    * Retry/restart safety: `foreachBatch` is at-least-once, so the
+    * cursor must not advance until the batch's POIs are durably
+    * emitted. `foldAndEmit` computes from the committed cursor (pure —
+    * a failed emit leaves the cursor untouched and the retry
+    * recomputes identically) and commits cursor + batch id only after
+    * `emit` returns. On restart, construct with the (mixer, count,
+    * batchId) triple the sink recorded atomically beside its last
+    * write — the reference's cursor-next-to-output model — and a
+    * replay of an already-committed batch id becomes a no-op. */
+  final class ChainFolder(seed: Option[(U192, Long)] = None,
+                          seedBatchId: Long = -1L) {
     private var mixer: Option[U192] = seed.map(_._1)
     private var count = seed.map(_._2).getOrElse(0L)
-    /** Current resume cursor: chain state after the last folded block. */
+    private var committedBatch: Long = seedBatchId
+
+    /** Committed resume cursor: chain state after the last committed
+      * batch (persist together with [[committedBatchId]]). */
     def cursor: Option[(U192, Long)] = mixer.map(m => (m, count))
-    def fold(locals: Seq[BlockLocal]): Seq[(Long, String)] =
-      locals.sortBy(_.block_num).map { l =>
+    def committedBatchId: Long = committedBatch
+
+    private def compute(locals: Seq[BlockLocal])
+        : (Seq[(Long, String)], Option[U192], Long) = {
+      var m = mixer
+      var c = count
+      val out = locals.sortBy(_.block_num).map { l =>
         val local = U192(l.v0, l.v1, l.v2)
-        mixer = Some(mixer.map(m => StableHash.mix(m, local)).getOrElse(local))
-        count += l.cnt
+        m = Some(m.map(x => StableHash.mix(x, local)).getOrElse(local))
+        c += l.cnt
         val bytes = new Array[Byte](32)
-        System.arraycopy(mixer.get.toBytesLE, 0, bytes, 0, 24)
+        System.arraycopy(m.get.toBytesLE, 0, bytes, 0, 24)
         var i = 0
-        while (i < 8) { bytes(24 + i) = ((count >>> (8 * i)) & 0xFF).toByte; i += 1 }
+        while (i < 8) { bytes(24 + i) = ((c >>> (8 * i)) & 0xFF).toByte; i += 1 }
         l.block_num -> PoiStableHash.hex(bytes)
+      }
+      (out, m, c)
+    }
+
+    /** Immediate-commit fold (batch/spec use where delivery is exact). */
+    def fold(locals: Seq[BlockLocal]): Seq[(Long, String)] = {
+      val (out, m, c) = compute(locals)
+      mixer = m; count = c
+      out
+    }
+
+    /** At-least-once-safe fold: replays of committed ids no-op; a
+      * throwing `emit` leaves the cursor unchanged for the retry. */
+    def foldAndEmit(batchId: Long, locals: Seq[BlockLocal])
+                   (emit: Seq[(Long, String)] => Unit): Unit =
+      if (batchId > committedBatch) {
+        val (out, m, c) = compute(locals)
+        emit(out)
+        mixer = m; count = c; committedBatch = batchId
       }
   }
 
@@ -122,8 +158,8 @@ object PoiStableHashStream {
            (emit: Seq[(Long, String)] => Unit): StreamingQuery =
     blockLocals(changes).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: Dataset[BlockLocal], _: Long) =>
-        emit(folder.fold(batch.collect().toSeq))
+      .foreachBatch { (batch: Dataset[BlockLocal], batchId: Long) =>
+        folder.foldAndEmit(batchId, batch.collect().toSeq)(emit)
       }
       .start()
 }

@@ -52,21 +52,30 @@ object PoiStream {
       // finalized would re-open the key and emit a second, partial
       // digest. Enforce the watermark contract explicitly.
       val wm = state.getCurrentWatermarkMs()
-      val onTime = it.filter(_.ts.getTime > wm)
+      val onTime = it.filter(_.ts.getTime > wm).toSeq
       val prev = state.getOption.map(_.events).getOrElse(Nil)
       val all = prev ++ onTime.map(e => (e.blockNum, e.repr))
-      if (all.isEmpty) Iterator.empty
+      if (onTime.isEmpty) Iterator.empty
       else {
         state.update(OpenBlock(all))
-        // finalize when the watermark passes the newest event of this
-        // block by the block-completion horizon
-        state.setTimeoutTimestamp(wm + 1)
+        // finalize when the watermark passes the BLOCK'S OWN event
+        // time (constant per block — see blockDigests' contract), not
+        // merely when it next advances: a wm+1 timeout would let a
+        // block finalize while still inside the watermark horizon and
+        // an on-time straggler could then re-open it and emit a
+        // second, partial digest
+        state.setTimeoutTimestamp(onTime.map(_.ts.getTime).max + 1)
         Iterator.empty
       }
     }
 
   /** `events` must carry an event-time `ts` with a watermark applied by
-    * the caller (the delay IS the block-completion horizon). */
+    * the caller (the delay IS the block-completion horizon), and every
+    * event of one block must carry the BLOCK'S timestamp — constant
+    * within the block. That contract is what makes finalization safe:
+    * the block closes exactly when the watermark passes its timestamp,
+    * at which point any straggler for it is by definition late and the
+    * guard drops it. */
   def blockDigests(events: Dataset[BlockEvent]): Dataset[BlockDigest] = {
     implicit val se = Encoders.product[OpenBlock]
     implicit val de = Encoders.product[BlockDigest]

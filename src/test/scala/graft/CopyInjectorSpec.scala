@@ -42,9 +42,11 @@ class CopyInjectorSpec extends SparkSpec {
       "token_day_data/0000002000-0000003000.csv",
       "token_day_data/0000001000-0000002000.csv.tmp", // not .csv-suffixed range? still contains .csv
       "token_day_data/noise.txt")
-    // start=1500 keeps the file whose range ENDS at/after it; stop=3000 drops ranges starting at/after
+    // start=1500 keeps the file whose range ENDS at/after it; stop=3000 drops
+    // ranges starting at/after; the .csv.tmp crash leftover must be skipped
     val picked = CopyInjector.filesToLoad(
-      Seq(files(2), files(0), files(1), files(4)), desiredStartBlock = 1500, stopBlock = 3000)
+      Seq(files(2), files(0), files(1), files(3), files(4)),
+      desiredStartBlock = 1500, stopBlock = 3000)
     assert(picked === Seq(files(1), files(2)).sorted)
     // stop=0 means no stop bound
     val all = CopyInjector.filesToLoad(Seq(files(0), files(1), files(2)), 0, 0)

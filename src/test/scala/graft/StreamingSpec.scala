@@ -100,8 +100,9 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.PoiStream
     import graft.streaming.PoiStream.BlockEvent
+    // block-constant event time, per the blockDigests contract
     def ev(block: Long, bn: Long, repr: String) =
-      BlockEvent(block, bn, repr, new java.sql.Timestamp(1700000000000L + bn * 1000))
+      BlockEvent(block, bn, repr, new java.sql.Timestamp(1700000000000L + block * 10000))
     val input = MemoryStream[BlockEvent]
     val withWm = input.toDS().withWatermark("ts", "5 seconds").as[BlockEvent]
     val q = PoiStream.blockDigests(withWm)
@@ -414,6 +415,23 @@ class StreamingSpec extends SparkSpec {
     (prefix ++ resumed).foreach { case (bn, poi) =>
       assert(want(bn) === poi, s"resumed chain diverges at block $bn")
     }
+
+    // at-least-once safety: a failed emit leaves the cursor untouched
+    // (the retry recomputes identically), and a replayed committed
+    // batch id is a no-op
+    val f2 = new PoiStableHashStream.ChainFolder()
+    var emitted = List.empty[Seq[(Long, String)]]
+    intercept[RuntimeException] {
+      f2.foldAndEmit(0L, front)(_ => throw new RuntimeException("sink down"))
+    }
+    f2.foldAndEmit(0L, front)(out => emitted ::= out) // retry succeeds
+    f2.foldAndEmit(0L, front)(out => emitted ::= out) // replay no-ops
+    f2.foldAndEmit(1L, back)(out => emitted ::= out)
+    assert(emitted.length === 2)
+    emitted.flatten.foreach { case (bn, poi) =>
+      assert(want(bn) === poi, s"retried chain diverges at block $bn")
+    }
+    assert(f2.committedBatchId === 1L)
   }
 
   test("streaming poi digests match the batch blockDigest once blocks close") {
@@ -421,14 +439,15 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.PoiStream
     import graft.streaming.PoiStream.BlockEvent
-    // one event per block_num, ts = blockNum seconds; block = blockNum/10
+    // block = blockNum/10; every event carries its BLOCK's timestamp
+    // (constant within the block — the blockDigests contract)
     val changes = EntityChanges.changes(spark, sf)
       .orderBy("block_num").limit(300).collect().map { r =>
       val bn = r.getAs[Long]("block_num")
       BlockEvent(bn / 10, bn,
         s"${r.getAs[String]("op")}:${r.getAs[String]("id")}:" +
           new java.math.BigDecimal(r.getAs[Double]("value")).setScale(2, java.math.RoundingMode.HALF_UP),
-        new java.sql.Timestamp(1700000000000L + bn * 1000))
+        new java.sql.Timestamp(1700000000000L + (bn / 10) * 10000))
     }.toSeq
     val input = MemoryStream[BlockEvent]
     val withWm = input.toDS().withWatermark("ts", "15 seconds").as[BlockEvent]
