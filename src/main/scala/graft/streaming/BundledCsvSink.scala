@@ -29,24 +29,56 @@ object BundledCsvSink {
         GraphCsv.typedText(col("value").cast("decimal(20,2)"), "BigDecimal", nullable = false)))
       .select(col("bundle"), col("line"))
 
-  /** Idempotent per-batch write. `foreachBatch` is at-least-once: on
+  /** Exactly-once per-batch write. `foreachBatch` is at-least-once: on
     * recovery the last in-flight micro-batch replays with the SAME
-    * batch id, so a commit marker per id turns replays into no-ops —
-    * the write-then-mark protocol the reference's bundler uses for
-    * object-store uploads. (The residual window is a crash BETWEEN the
-    * data write and the marker; closing it entirely needs
-    * stage-and-rename, which the marker layout leaves room for.)
-    * Returns false when the batch was already committed. */
+    * batch id. Protocol (the reference bundler's write-then-upload,
+    * made idempotent):
+    *
+    *   1. committed marker present → no-op;
+    *   2. sweep any `batch-<id>-*` files a previously crashed attempt
+    *      already moved into the bundle dirs (they carry the batch id
+    *      in their name precisely so a replay can find them);
+    *   3. write the batch under `_staging/batch-<id>` (overwrite);
+    *   4. move every part file into its final bundle dir under a
+    *      batch-prefixed name;
+    *   5. write the committed marker.
+    *
+    * A crash at any step leaves either a marker (done) or replayable
+    * debris keyed by batch id (redone cleanly). Returns false when the
+    * batch was already committed. */
   def writeBatch(batch: DataFrame, batchId: Long, outDir: String,
                  bundleSize: Long): Boolean = {
-    val marker = new org.apache.hadoop.fs.Path(outDir, s"_committed/batch-$batchId")
+    import org.apache.hadoop.fs.Path
+    val out = new Path(outDir)
+    val marker = new Path(outDir, s"_committed/batch-$batchId")
     val fs = marker.getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) false
     else {
+      val prefix = s"batch-$batchId-"
+      if (fs.exists(out)) {
+        fs.listStatus(out).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("bundle=")).foreach { d =>
+          fs.listStatus(d.getPath)
+            .filter(_.getPath.getName.startsWith(prefix))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+      }
+      val staging = new Path(outDir, s"_staging/batch-$batchId")
       toCsvLines(batch, bundleSize)
         .repartition(col("bundle"))
-        .write.mode("append").partitionBy("bundle").text(outDir)
+        .write.mode("overwrite").partitionBy("bundle").text(staging.toString)
+      fs.listStatus(staging).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("bundle=")).foreach { d =>
+        val dest = new Path(out, d.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .foreach { f =>
+            fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName))
+          }
+      }
+      fs.delete(staging, true)
       fs.mkdirs(marker.getParent)
       fs.create(marker, true).close()
       true

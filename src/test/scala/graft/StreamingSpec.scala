@@ -218,6 +218,13 @@ class StreamingSpec extends SparkSpec {
     // a NEW batch id still writes
     assert(BundledCsvSink.writeBatch(replay, 999L, out, 250))
     assert(spark.read.text(out).count() === allChanges.size + 50)
+    // crash-between-write-and-marker: simulate by deleting the marker
+    // and replaying — the batch-prefixed files are swept, not doubled
+    val markerPath = new org.apache.hadoop.fs.Path(out, "_committed/batch-999")
+    val fs = markerPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(markerPath, false)
+    assert(BundledCsvSink.writeBatch(replay, 999L, out, 250))
+    assert(spark.read.text(out).count() === allChanges.size + 50)
   }
 
   test("windowed stats finalize on watermark and drop late data") {
