@@ -264,8 +264,15 @@ object Dedup {
     * (the canonical survivor). The oracle recomputes the same
     * clustering as a DuckDB recursive-CTE transitive closure — a
     * completely different algorithm that must agree on every label. */
+  // memoized per (session, dir): the label-propagation loop runs real
+  // jobs at build time and persists its edge/label stages; dd_cluster
+  // and tx_curation both consume the result, so one build serves both
+  // (plan-level cache reuse can't dedupe the loop's per-call persists)
+  private val clusterMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def ddCluster(s: SparkSession, d: String): DataFrame =
-    connectedComponents(ddMinhashLsh(s, d))
+    clusterMemo.getOrElseUpdate((s, d), connectedComponents(ddMinhashLsh(s, d)))
 
   /** MinHash pairs + undirected edges + recursive transitive closure —
     * the CTE chain behind the cluster oracle, reusable by downstream
