@@ -145,8 +145,7 @@ object Ann {
     * k×dims centroid table collected to the driver each round (k·dims
     * doubles — bounded, broadcastable). At real scale this trains on a
     * bounded SAMPLE — the pattern is identical. */
-  private val centroidMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Array[Array[Long]]]
+  private val centroidMemo = new graft.SessionMemo[Array[Array[Long]]]
 
   private def trainCentroids(e: DataFrame, spark: SparkSession): Array[Array[Long]] = {
     import spark.implicits._
@@ -188,7 +187,7 @@ object Ann {
     // train once per session+corpus: the Lloyd rounds are real jobs at
     // build time, and a trained coarse quantizer is a session-scoped
     // artifact (the k×dims table), not per-query work
-    val cents = Ann.centroidMemo.getOrElseUpdate((s, d), trainCentroids(e, s))
+    val cents = Ann.centroidMemo.getOrBuild(s, d)(trainCentroids(e, s))
     val corpus = e.withColumn("cent", assignExpr(cents))
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))

@@ -268,11 +268,10 @@ object Dedup {
   // jobs at build time and persists its edge/label stages; dd_cluster
   // and tx_curation both consume the result, so one build serves both
   // (plan-level cache reuse can't dedupe the loop's per-call persists)
-  private val clusterMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val clusterMemo = new graft.SessionMemo[DataFrame]
 
   def ddCluster(s: SparkSession, d: String): DataFrame =
-    clusterMemo.getOrElseUpdate((s, d), connectedComponents(ddMinhashLsh(s, d)))
+    clusterMemo.getOrBuild(s, d)(connectedComponents(ddMinhashLsh(s, d)))
 
   /** MinHash pairs + undirected edges + recursive transitive closure —
     * the CTE chain behind the cluster oracle, reusable by downstream

@@ -107,11 +107,10 @@ object GraphLoad {
   // typed-lambda plans never canonicalize equal across calls, so a
   // fresh build per invocation would leave one orphaned cache entry
   // each time (session-lifetime; the memo pins exactly one)
-  private val poiChainMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val poiChainMemo = new graft.SessionMemo[DataFrame]
 
   def glPoiStablehash(s: SparkSession, d: String): DataFrame =
-    poiChainMemo.getOrElseUpdate((s, d),
+    poiChainMemo.getOrBuild(s, d)(
       graft.operators.PoiStableHash.poiChain(ch(s, d), BundleSize))
 
   def glSchemaNormalize(s: SparkSession, d: String): DataFrame = {

@@ -56,14 +56,6 @@ object BundledCsvSink {
     if (fs.exists(marker)) false
     else {
       val prefix = s"batch-$batchId-"
-      if (fs.exists(out)) {
-        fs.listStatus(out).filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith("bundle=")).foreach { d =>
-          fs.listStatus(d.getPath)
-            .filter(_.getPath.getName.startsWith(prefix))
-            .foreach(f => fs.delete(f.getPath, false))
-        }
-      }
       val staging = new Path(outDir, s"_staging/batch-$batchId")
       toCsvLines(batch, bundleSize)
         .repartition(col("bundle"))
@@ -71,15 +63,29 @@ object BundledCsvSink {
       fs.listStatus(staging).filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("bundle=")).foreach { d =>
         val dest = new Path(out, d.getPath.getName)
-        fs.mkdirs(dest)
+        if (!fs.mkdirs(dest))
+          throw new java.io.IOException(s"mkdirs failed: $dest")
+        // sweep only THIS batch's destination dirs: a crashed attempt
+        // can only have moved files into dirs of the same bundle set
+        // (same data, same ids), so the replay sweep is O(batch
+        // bundles), never a scan of the whole output
+        fs.listStatus(dest)
+          .filter(_.getPath.getName.startsWith(prefix))
+          .foreach(f => fs.delete(f.getPath, false))
         fs.listStatus(d.getPath)
           .filter(_.getPath.getName.startsWith("part-"))
           .foreach { f =>
-            fs.rename(f.getPath, new Path(dest, prefix + f.getPath.getName))
+            val to = new Path(dest, prefix + f.getPath.getName)
+            // Hadoop rename reports most failures by RETURNING FALSE;
+            // ignoring it would delete the staged file below, mark the
+            // batch committed, and silently lose its rows
+            if (!fs.rename(f.getPath, to))
+              throw new java.io.IOException(s"rename failed: ${f.getPath} -> $to")
           }
       }
       fs.delete(staging, true)
-      fs.mkdirs(marker.getParent)
+      if (!fs.mkdirs(marker.getParent))
+        throw new java.io.IOException(s"mkdirs failed: ${marker.getParent}")
       fs.create(marker, true).close()
       true
     }
