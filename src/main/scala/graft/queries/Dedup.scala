@@ -98,6 +98,10 @@ object Dedup {
     sh.join(hot, Seq("h"), "left_anti")
       .groupBy(col("h")).agg(collect_list(col("doc_id")).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
+      // persisted: the jaccard query consumes the buckets twice (pair
+      // generation AND per-doc sizes); exchange reuse covers the
+      // shuffle but not the anti-join + list-agg stages above it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   // ---- #28 n-gram Jaccard -------------------------------------------
