@@ -93,7 +93,11 @@ object EntityVersioner {
     * bundle (+ |live ids| state rows) per increment and windowing the
     * whole chain; the correctness gate IS the full-history oracle. */
   def scd2Incremental(changes: DataFrame, splitBlock: Long): DataFrame = {
+    // persisted: closed history AND the open-version re-feed both read
+    // this window's output — exchange reuse shares the shuffle but
+    // would run the WindowExec twice
     val prior = scd2Versions(changes.filter(col("block_num") < splitBlock))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val closedHistory = prior.filter(col("end_block").isNotNull)
     val openAsChanges = prior.filter(col("end_block").isNull)
       .select(col("id"), col("start_block").as("block_num"),
