@@ -139,8 +139,11 @@ class PlanSpec extends SparkSpec {
       "no join side may be force-broadcast")
     // every collect_list aggregate must sit ABOVE the cold-shingle join:
     // hot shingles are dropped by a counted filter before any list
-    // buffer exists, so buffers are bounded by DfCap
-    val collectAggs = df.queryExecution.optimizedPlan.collect {
+    // buffer exists, so buffers are bounded by DfCap. Walk the ANALYZED
+    // plan: once the persisted buckets materialize, CacheManager
+    // substitutes an InMemoryRelation into the optimized plan and the
+    // aggregate's build shape is no longer visible there.
+    val collectAggs = df.queryExecution.analyzed.collect {
       case a: Aggregate if a.aggregateExpressions.exists(
         _.exists(_.isInstanceOf[CollectList])) => a
     }
