@@ -138,13 +138,18 @@ object GraphLoad {
     * (sinker/sinker.go:291-293); this is the batch half of the
     * generalization, the streaming half is
     * [[graft.streaming.EntityChangeStream.closedVersionsWithUndo]]. */
-  def glUndoCanonical(s: SparkSession, d: String): DataFrame = {
-    val undos = Tables.events(s, d)
-      .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
-      .select(col("event_id").as("useq"), (col("event_id") - 25).as("last_valid"))
-    UndoCanonicalizer.canonicalize(s,
-      ch(s, d).select("id", "block_num", "op", "value"), undos)
-  }
+  // memoized per (session, dir): construction collects the (tiny,
+  // reorg-bounded) undo list — one job that need not rerun per call
+  private val undoCanonicalMemo = new graft.SessionMemo[DataFrame]
+
+  def glUndoCanonical(s: SparkSession, d: String): DataFrame =
+    undoCanonicalMemo.getOrBuild(s, d) {
+      val undos = Tables.events(s, d)
+        .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("useq"), (col("event_id") - 25).as("last_valid"))
+      UndoCanonicalizer.canonicalize(s,
+        ch(s, d).select("id", "block_num", "op", "value"), undos)
+    }
 
   def glEntityStats(s: SparkSession, d: String): DataFrame =
     ch(s, d).groupBy(col("op"))
