@@ -44,15 +44,19 @@ object CopyInjector {
   }
 
   /** Bundle CSV object name: the 10-digit zero-padded block range the
-    * reference's loader regex `(\d{10})-(\d{10})` expects
-    * (inject_csv.go:330-340, bundler naming). */
+    * reference's loader regex `(\d{10})-(\d{10})` expects. The end
+    * block is INCLUSIVE — the reference names `start-(stop-1)`
+    * (bundler/writer/common.go:30, csvprocessor/writer.go:327) —
+    * which is what makes the loader's `end < desiredStart` prune drop
+    * a fully-loaded bundle on a boundary resume instead of re-copying
+    * it. */
   def bundleFileName(entity: String, startBlock: Long, stopBlockExcl: Long): String =
-    f"$entity/$startBlock%010d-$stopBlockExcl%010d.csv"
+    f"$entity/$startBlock%010d-${stopBlockExcl - 1}%010d.csv"
 
   /** File pruning, the injectFilesToLoad rule (inject_csv.go:305-327):
     * keep `.csv` files whose range starts before `stopBlock` (0 = no
-    * stop) and ends at or after `desiredStartBlock`; load in ascending
-    * block order. */
+    * stop) and whose INCLUSIVE end is at or after `desiredStartBlock`;
+    * load in ascending block order. */
   def filesToLoad(files: Seq[String], desiredStartBlock: Long, stopBlock: Long): Seq[String] = {
     val rangeRe = raw"(\d{10})-(\d{10})".r.unanchored
     files.flatMap { f =>
@@ -87,8 +91,10 @@ object CopyInjector {
     * boundedness as [[VidAssigner]]'s offset table. */
   def manifest(rows: DataFrame, desc: EntityDesc, pgSchema: String,
                bundleSize: Long, blockCol: String = "start_block"): LoadManifest = {
+    // integer div, not `/`: double division misbuckets block numbers
+    // within rounding distance of 2^53
     val counts = rows
-      .groupBy((col(blockCol) / bundleSize).cast("long").as("bundle")).count()
+      .groupBy(expr(s"$blockCol div $bundleSize").as("bundle")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var nextVid = 1L
     val files = counts.map { case (b, n) =>

@@ -146,7 +146,10 @@ object PoiStableHash {
 
     val locals: Dataset[PoiLocalRow] = changes
       .select($"block_num".as[Long], $"id".as[String], $"op".as[String],
-        $"value".cast("decimal(20,2)").cast("string").as[String])
+        // coalesce: a NULL value would reach parseBigDecimal as a null
+        // string and NPE inside mapGroups; "0" mirrors the CSV typed
+        // default the gl oracles use for non-nullable decimals
+        coalesce($"value".cast("decimal(20,2)").cast("string"), lit("0")).as[String])
       .groupByKey(_._1)
       .mapGroups { (bn, it) =>
         val events = it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, id, op, value) =>
@@ -199,11 +202,7 @@ object PoiStableHash {
         case Some((om, oc)) => (StableHash.mix(om, U192(r.v0, r.v1, r.v2)), oc + r.cnt)
         case None => (U192(r.v0, r.v1, r.v2), r.cnt)
       }
-      val bytes = new Array[Byte](32)
-      System.arraycopy(mixer.toBytesLE, 0, bytes, 0, 24)
-      var i = 0
-      while (i < 8) { bytes(24 + i) = ((cnt >>> (8 * i)) & 0xFF).toByte; i += 1 }
-      (r.block_num, hex(bytes))
+      (r.block_num, hex(StableHash.FastHasher.from(mixer, cnt).toBytes))
     }.toDF("block_num", "poi")
   }
 }

@@ -26,12 +26,16 @@ object Analytics {
     * different numeric reprs (`str(Decimal)` keeps trailing zeros,
     * `repr(float)` doesn't), so decimal OUTPUT columns hash-mismatch
     * even when value-identical. Route through an int64-backed decimal
-    * (≤18 digits, so the unscaled value is exact in a double) and then
-    * to double: `double(unscaled) / double(10^scale)` is one correctly
-    * rounded division in both engines → bit-identical doubles.
-    * The aggregation itself stays exact decimal; only the final
-    * presentation is converted. Oracle twins apply the same two casts.
-    */
+    * and then to double; both engines produce the same bits while the
+    * UNSCALED value stays below 2^53 (≈9.0e15 — exact in a double;
+    * past it, Spark's single correctly-rounded conversion and DuckDB's
+    * two-step int64→double→divide can differ by 1 ulp). Every canon'd
+    * aggregate here is orders of magnitude under that bound at the
+    * test scales; columns that could approach it use the fixed-point
+    * [[fromUnits]] path, which is the identical two-step arithmetic in
+    * both engines by construction. The aggregation itself stays exact
+    * decimal; only the final presentation is converted. Oracle twins
+    * apply the same two casts. */
   private def canon(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(18, scale)).cast("double")
 

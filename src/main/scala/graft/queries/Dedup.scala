@@ -259,6 +259,12 @@ object Dedup {
       iters += 1
       done = changed == 0
     }
+    // a silent exit at the iteration cap would return WRONG labels for
+    // any component deeper than the cap — fail loudly instead
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge within $MaxCcIters rounds " +
+        "(component diameter exceeds the cap; raise MaxCcIters or switch " +
+        "to pointer-jumping label tables)")
     labels
   }
 

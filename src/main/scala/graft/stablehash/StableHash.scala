@@ -173,6 +173,10 @@ object StableHash {
 
   object FastHasher {
     def apply(): FastHasher = new FastHasher(MixInit, 0L)
+    /** Rebuild from serialized state — the distributed POI paths carry
+      * (mixer, count) through shuffles/folds and re-enter here so the
+      * 32-byte ToBytes layout lives in exactly one place. */
+    def from(mixer: U192, count: Long): FastHasher = new FastHasher(mixer, count)
     def fromBytes(b: Array[Byte]): FastHasher = {
       require(b.length == 32, s"accepting exactly 32 bytes, got ${b.length}")
       var count = 0L

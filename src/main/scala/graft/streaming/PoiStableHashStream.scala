@@ -125,11 +125,7 @@ object PoiStableHashStream {
         val local = U192(l.v0, l.v1, l.v2)
         m = Some(m.map(x => StableHash.mix(x, local)).getOrElse(local))
         c += l.cnt
-        val bytes = new Array[Byte](32)
-        System.arraycopy(m.get.toBytesLE, 0, bytes, 0, 24)
-        var i = 0
-        while (i < 8) { bytes(24 + i) = ((c >>> (8 * i)) & 0xFF).toByte; i += 1 }
-        l.block_num -> PoiStableHash.hex(bytes)
+        l.block_num -> PoiStableHash.hex(StableHash.FastHasher.from(m.get, c).toBytes)
       }
       (out, m, c)
     }

@@ -51,6 +51,12 @@ class CopyInjectorSpec extends SparkSpec {
     // stop=0 means no stop bound
     val all = CopyInjector.filesToLoad(Seq(files(0), files(1), files(2)), 0, 0)
     assert(all === Seq(files(0), files(1), files(2)))
+    // boundary resume: the name's end block is INCLUSIVE (reference
+    // bundler/writer/common.go:30), so a bundle covering 0..999 must
+    // NOT reload when resuming from block 1000
+    val done = "token_day_data/0000000000-0000000999.csv"
+    assert(CopyInjector.filesToLoad(Seq(done), desiredStartBlock = 1000, stopBlock = 0).isEmpty)
+    assert(CopyInjector.filesToLoad(Seq(done), desiredStartBlock = 999, stopBlock = 0) === Seq(done))
   }
 
   test("manifest vid ranges are the serial counter's assignment in file order") {
@@ -68,8 +74,11 @@ class CopyInjectorSpec extends SparkSpec {
     }
     assert(m.files.last.vidEnd === total)
     m.files.foreach(f => assert(f.vidEnd - f.vidStart + 1 === f.nRows))
-    // file names carry the 10-digit range the loader regex expects
+    // file names carry the 10-digit range the loader regex expects,
+    // with the reference's INCLUSIVE end block
     m.files.foreach(f => assert(f.file.matches("token_day_data/\\d{10}-\\d{10}\\.csv")))
+    assert(m.files.head.file ===
+      f"token_day_data/${m.files.head.bundle * 250}%010d-${m.files.head.bundle * 250 + 249}%010d.csv")
     // per-bundle counts match an independent computation
     val want = versions.groupBy((col("start_block") / 250).cast("long")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
