@@ -207,24 +207,33 @@ object Dedup {
 
   // ---- #29b near-dup clusters ----------------------------------------
 
-  /** Label-propagation rounds: bounded by the candidate graph's
-    * diameter. Near-dup clusters are dense low-diameter components by
-    * construction; convergence is checked each round and 25 is a hard
-    * backstop, not the expected count (sf0.01 converges in 3). */
+  /** Convergence backstop for the CC loop. With pointer jumping each
+    * round roughly halves the remaining label-tree depth after a
+    * neighbor-propagation step, so rounds ≈ log2(diameter) + 2 — 25
+    * covers diameters past 10^6; sf0.01 converges in 3. */
   val MaxCcIters = 25
 
-  /** Connected components by iterative min-label propagation: each
-    * round every node takes the minimum label among itself and its
-    * neighbors; fixpoint = per-component minimum doc_id everywhere.
+  /** Connected components by min-label propagation WITH pointer
+    * jumping: each round every node takes the minimum label among
+    * itself and its neighbors (one hop through the edge list), then
+    * follows its label one hop through the label table itself
+    * (`l(v) := l(l(v))`, path doubling). Fixpoint = per-component
+    * minimum doc_id everywhere.
     *
     * Scale: each round is one shuffle-join of the (persisted) edge
-    * list against the current labels plus a map-side-combined min-agg
-    * — no driver-side graph, no adjacency materialization beyond the
-    * edge list. Rounds = component diameter (small for near-dup
-    * clusters); for adversarial diameters the same loop takes
-    * pointer-jumping label tables (log n rounds) without changing the
-    * dataflow shape. Labels persist spill-safe per round, previous
-    * round unpersisted. */
+    * list against the current labels plus a map-side-combined min-agg,
+    * plus one |nodes|-sized label self-join for the jump — no
+    * driver-side graph, no adjacency materialization beyond the edge
+    * list. The jump costs one extra bounded shuffle per round and cuts
+    * rounds from O(diameter) to O(log diameter) — the difference
+    * between 3 and 10^6 rounds on an adversarial chain-shaped
+    * component (DedupSpec pins a 200-node path). Per-round label
+    * frames are eagerly localCheckpoint-ed — see the loop comment —
+    * which both stores them spill-safe and truncates lineage.
+    *
+    * Invariant used by the jump join: every label value is some node's
+    * doc_id (init is self; every update is a min over node labels), so
+    * the label table always resolves `cluster_id` as a `doc_id`. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both directions in ONE pass over the pair pipeline (a union of
@@ -235,9 +244,16 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (not persist): the jump self-join reads the
+    // round's labels on BOTH sides, so the round-k logical plan would
+    // contain the round-(k-1) plan TWICE — 2^k lineage growth that
+    // persist() does not stop (it caches data, not the plan). Eager
+    // localCheckpoint truncates lineage to the materialized blocks each
+    // round — the standard pattern for iterative Spark graph
+    // algorithms (GraphFrames checkpoints its CC loop the same way).
     var labels = edges.select(col("src")).distinct()
       .select(col("src").as("doc_id"), col("src").as("cluster_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 0
     var done = false
     while (!done && iters < MaxCcIters) {
@@ -245,16 +261,28 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .withColumnRenamed("src", "doc_id")
-      val next = labels
+      // checkpointed: read twice by the jump self-join below — without
+      // it the edge-join + agg subtree would run twice a round AND the
+      // plan would double per round
+      val prop = labels
         .join(nmin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
+      // pointer jump: l(v) := min(l(v), l(l(v))). Labels are node ids
+      // (invariant above) so the self-join resolves; left join +
+      // coalesce only as defense in depth. least() is also defensive —
+      // monotonicity already gives l(l(v)) <= l(v).
+      val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
+      val next = prop
+        .join(parent, prop("cluster_id") === parent("p_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
       // labels only decrease, so "changed" is a strict-inequality count
       val changed = next
         .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), "doc_id")
         .filter(col("cluster_id") < col("old_label")).count()
-      labels.unpersist()
       labels = next
       iters += 1
       done = changed == 0
@@ -263,8 +291,8 @@ object Dedup {
     // any component deeper than the cap — fail loudly instead
     if (!done) throw new IllegalStateException(
       s"connectedComponents did not converge within $MaxCcIters rounds " +
-        "(component diameter exceeds the cap; raise MaxCcIters or switch " +
-        "to pointer-jumping label tables)")
+        "(pointer-jumping CC should cover diameters past 10^6 at 25; " +
+        "this indicates a non-decreasing-label bug, not a deep graph)")
     labels
   }
 

@@ -47,6 +47,17 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("dd_cluster: pointer jumping resolves a 200-node chain within the round cap") {
+    import spark.implicits._
+    // diameter 199 — pure neighbor propagation needs 199 rounds and
+    // would hit MaxCcIters (25); path doubling converges in ~log2(199)
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    assert(got.length === 200)
+    assert(got.forall(_._2 === 0L))
+  }
+
   test("dd_simhash: identical texts get identical simhash; hamming to dups is 0") {
     import spark.implicits._
     val withText = Tables.documents(spark, sf).select($"doc_id", md5($"text").as("h"))
