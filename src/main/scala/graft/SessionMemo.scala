@@ -28,5 +28,40 @@ final class SessionMemo[V] {
     map.synchronized(map.getOrElseUpdate((s, key), build))
   }
 
-  def invalidate(s: SparkSession, key: String): Unit = map.remove((s, key))
+  /** Drop the artifact for (session, key); the next consumer rebuilds.
+    * Returns true when an entry was present. Dropping the reference
+    * does not eagerly free cached/checkpointed blocks — Spark's block
+    * manager evicts them under memory pressure once unreferenced. */
+  def invalidate(s: SparkSession, key: String): Boolean =
+    map.remove((s, key)).isDefined
+}
+
+/** Registry of the library's named memos, so a caller who rewrote a
+  * source dir mid-session can invalidate the derived artifacts for
+  * exactly that (session, dir) without knowing which operator objects
+  * hold them: `SessionMemo.invalidateAll(spark, dir)`, or one by name
+  * (names == the query keys the artifacts back). */
+object SessionMemo {
+  private val registry = TrieMap.empty[String, SessionMemo[_]]
+
+  /** Create a memo registered under `name` (idempotent per name —
+    * operator objects are singletons, so each name binds once). */
+  def named[V](name: String): SessionMemo[V] = {
+    val m = new SessionMemo[V]
+    registry.putIfAbsent(name, m)
+      .fold(m)(_.asInstanceOf[SessionMemo[V]])
+  }
+
+  /** Invalidate one named artifact for (session, key). False when the
+    * name is unknown or nothing was memoized. */
+  def invalidate(s: SparkSession, key: String, name: String): Boolean =
+    registry.get(name).exists(_.invalidate(s, key))
+
+  /** Invalidate every registered artifact for (session, key); returns
+    * the names that actually held an entry. */
+  def invalidateAll(s: SparkSession, key: String): Seq[String] =
+    registry.toSeq.collect { case (n, m) if m.invalidate(s, key) => n }.sorted
+
+  /** Registered artifact names (diagnostics). */
+  def names: Seq[String] = registry.keys.toSeq.sorted
 }

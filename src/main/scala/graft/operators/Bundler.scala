@@ -77,4 +77,67 @@ object Bundler {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bundle")
       .parquet(compactedDir)
+
+  /** In-place compaction by stage-and-swap: rewrite the store into
+    * `<store>.compact.tmp`, then swap it in with two checked renames.
+    * Readers either see the old store or the new one — never a
+    * half-written mix — and a crash at ANY step is recoverable:
+    *
+    *   - crash while staging → `.tmp` lacks `_SUCCESS`; next run
+    *     deletes the debris and restages;
+    *   - crash between the two swap renames (the only window where the
+    *     store path is absent) → `.tmp` is complete and `_SUCCESS`-
+    *     marked; next run (or [[recoverCompaction]]) finishes the swap;
+    *   - crash before the final cleanup → `.compact.old` remains; next
+    *     run deletes it.
+    *
+    * Rename results are CHECKED — Hadoop reports most failures by
+    * returning false, and ignoring that here would drop the store. */
+  def compactBundlesInPlace(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, maxRecordsPerFile: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val store = new Path(storeDir)
+    val tmp = new Path(storeDir + ".compact.tmp")
+    val old = new Path(storeDir + ".compact.old")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (recoverCompaction(spark, storeDir)) return
+    // fresh attempt: clear debris from any prior crashed attempt
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    compactBundles(spark, storeDir, tmp.toString, maxRecordsPerFile)
+    // integrity gate before the swap — a lost task/partition would
+    // otherwise silently shrink the store
+    val before = spark.read.parquet(storeDir).count()
+    val after = spark.read.parquet(tmp.toString).count()
+    if (before != after) throw new java.io.IOException(
+      s"compaction row count mismatch: store=$before compacted=$after; leaving store untouched")
+    if (!fs.rename(store, old))
+      throw new java.io.IOException(s"rename failed: $store -> $old")
+    if (!fs.rename(tmp, store))
+      throw new java.io.IOException(
+        s"rename failed: $tmp -> $store (store preserved at $old)")
+    fs.delete(old, true)
+  }
+
+  /** Finish a compaction swap interrupted between its two renames:
+    * store absent + complete (`_SUCCESS`-marked) staged rewrite present
+    * → move the staged rewrite in. Returns true when a swap was
+    * completed (store is now the compacted data), false when there was
+    * nothing to recover. Called automatically by
+    * [[compactBundlesInPlace]]. */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val store = new Path(storeDir)
+    val tmp = new Path(storeDir + ".compact.tmp")
+    val old = new Path(storeDir + ".compact.old")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+    if (!fs.exists(store) && tmpComplete) {
+      if (!fs.rename(tmp, store))
+        throw new java.io.IOException(s"rename failed: $tmp -> $store")
+      fs.delete(old, true)
+      true
+    } else false
+  }
 }

@@ -145,7 +145,7 @@ object Ann {
     * k×dims centroid table collected to the driver each round (k·dims
     * doubles — bounded, broadcastable). At real scale this trains on a
     * bounded SAMPLE — the pattern is identical. */
-  private val centroidMemo = new graft.SessionMemo[Array[Array[Long]]]
+  private val centroidMemo = graft.SessionMemo.named[Array[Array[Long]]]("ann_ivf_centroids")
 
   private def trainCentroids(e: DataFrame, spark: SparkSession): Array[Array[Long]] = {
     import spark.implicits._

@@ -306,7 +306,7 @@ object Dedup {
   // jobs at build time and persists its edge/label stages; dd_cluster
   // and tx_curation both consume the result, so one build serves both
   // (plan-level cache reuse can't dedupe the loop's per-call persists)
-  private val clusterMemo = new graft.SessionMemo[DataFrame]
+  private val clusterMemo = graft.SessionMemo.named[DataFrame]("dd_cluster")
 
   def ddCluster(s: SparkSession, d: String): DataFrame =
     clusterMemo.getOrBuild(s, d)(connectedComponents(ddMinhashLsh(s, d)))

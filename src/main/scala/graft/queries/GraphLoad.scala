@@ -107,7 +107,7 @@ object GraphLoad {
   // typed-lambda plans never canonicalize equal across calls, so a
   // fresh build per invocation would leave one orphaned cache entry
   // each time (session-lifetime; the memo pins exactly one)
-  private val poiChainMemo = new graft.SessionMemo[DataFrame]
+  private val poiChainMemo = graft.SessionMemo.named[DataFrame]("gl_poi_chain")
 
   def glPoiStablehash(s: SparkSession, d: String): DataFrame =
     poiChainMemo.getOrBuild(s, d)(
@@ -140,7 +140,7 @@ object GraphLoad {
     * [[graft.streaming.EntityChangeStream.closedVersionsWithUndo]]. */
   // memoized per (session, dir): construction collects the (tiny,
   // reorg-bounded) undo list — one job that need not rerun per call
-  private val undoCanonicalMemo = new graft.SessionMemo[DataFrame]
+  private val undoCanonicalMemo = graft.SessionMemo.named[DataFrame]("gl_undo_canonical")
 
   def glUndoCanonical(s: SparkSession, d: String): DataFrame =
     undoCanonicalMemo.getOrBuild(s, d) {

@@ -49,4 +49,45 @@ class BundledWriteSpec extends SparkSpec {
     assert(filesPerBundle(compacted).values.forall(_ === 1), filesPerBundle(compacted).toString)
     assert(spark.read.parquet(compacted).count() === changes.count())
   }
+
+  test("in-place compaction swaps atomically and leaves no staging debris") {
+    val store = java.nio.file.Files.createTempDirectory("graft_inplace").toString
+    val changes = EntityChanges.changes(spark, sf)
+      .withColumn("bundle", expr("block_num div 250"))
+    (0 until 4).foreach { i =>
+      changes.filter(col("block_num") % 4 === i)
+        .repartition(2)
+        .write.mode("append").partitionBy("bundle").parquet(store)
+    }
+    val want = changes.count()
+    Bundler.compactBundlesInPlace(spark, store, maxRecordsPerFile = 1000000)
+    assert(spark.read.parquet(store).count() === want)
+    val perBundle = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .filter(_.getName.startsWith("bundle="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perBundle.values.forall(_ === 1), perBundle.toString)
+    // swap cleanup: neither the staged rewrite nor the displaced store remain
+    assert(!new java.io.File(store + ".compact.tmp").exists())
+    assert(!new java.io.File(store + ".compact.old").exists())
+  }
+
+  test("a crash between the swap renames is recovered, not recompacted") {
+    import org.apache.hadoop.fs.Path
+    val store = java.nio.file.Files.createTempDirectory("graft_recover").toString
+    val changes = EntityChanges.changes(spark, sf)
+      .withColumn("bundle", expr("block_num div 250"))
+    changes.write.mode("overwrite").partitionBy("bundle").parquet(store)
+    val want = changes.count()
+    // stage a complete rewrite, then simulate the crash window: store
+    // renamed away, staged rewrite not yet moved in
+    Bundler.compactBundles(spark, store, store + ".compact.tmp", maxRecordsPerFile = 1000000)
+    val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new Path(store), new Path(store + ".compact.old")))
+    assert(Bundler.recoverCompaction(spark, store))
+    assert(spark.read.parquet(store).count() === want)
+    assert(!new java.io.File(store + ".compact.tmp").exists())
+    assert(!new java.io.File(store + ".compact.old").exists())
+    // idempotent: nothing left to recover
+    assert(!Bundler.recoverCompaction(spark, store))
+  }
 }

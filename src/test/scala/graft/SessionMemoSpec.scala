@@ -38,4 +38,32 @@ class SessionMemoSpec extends SparkSpec {
     assert(results.forall(_ === 42L))
     assert(builds.get() === 1)
   }
+
+  test("named registry invalidates artifacts per (session, key) across operators") {
+    val m1 = SessionMemo.named[Int]("spec_artifact_a")
+    val m2 = SessionMemo.named[Int]("spec_artifact_b")
+    // idempotent: re-registering a name returns the same memo
+    assert(SessionMemo.named[Int]("spec_artifact_a") eq m1)
+    m1.getOrBuild(spark, "/d1")(1)
+    m2.getOrBuild(spark, "/d1")(2)
+    m1.getOrBuild(spark, "/d2")(3)
+    // targeted: one name, one key
+    assert(SessionMemo.invalidate(spark, "/d1", "spec_artifact_a"))
+    assert(!SessionMemo.invalidate(spark, "/d1", "spec_artifact_a")) // already gone
+    assert(!SessionMemo.invalidate(spark, "/d1", "no_such_artifact"))
+    var rebuilt = false
+    m1.getOrBuild(spark, "/d1") { rebuilt = true; 9 }
+    assert(rebuilt)
+    // sweep: every registered artifact for one key; other keys untouched
+    val hit = SessionMemo.invalidateAll(spark, "/d1")
+    assert(hit.contains("spec_artifact_a") && hit.contains("spec_artifact_b"))
+    var d2rebuilt = false
+    assert(m1.getOrBuild(spark, "/d2") { d2rebuilt = true; 0 } === 3)
+    assert(!d2rebuilt)
+    // the operator memos are registered under their query keys (touch
+    // the objects first — registration happens at object init)
+    locally { graft.queries.Dedup; graft.queries.Ann; graft.queries.GraphLoad }
+    Seq("dd_cluster", "ann_ivf_centroids", "gl_poi_chain", "gl_undo_canonical")
+      .foreach(n => assert(SessionMemo.names.contains(n), n))
+  }
 }
