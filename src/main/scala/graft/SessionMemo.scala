@@ -42,25 +42,36 @@ final class SessionMemo[V] {
   * hold them: `SessionMemo.invalidateAll(spark, dir)`, or one by name
   * (names == the query keys the artifacts back). */
 object SessionMemo {
-  private val registry = TrieMap.empty[String, SessionMemo[_]]
+  private val registry =
+    TrieMap.empty[String, (SessionMemo[_], Class[_])]
 
   /** Create a memo registered under `name` (idempotent per name —
-    * operator objects are singletons, so each name binds once). */
-  def named[V](name: String): SessionMemo[V] = {
+    * operator objects are singletons, so each name binds once).
+    * Re-registering a name with a DIFFERENT value type fails here,
+    * at the registration site — the erased cast would otherwise let
+    * two operators silently share one memo and surface as a
+    * ClassCastException far from the collision. */
+  def named[V](name: String)(implicit ct: scala.reflect.ClassTag[V]): SessionMemo[V] = {
     val m = new SessionMemo[V]
-    registry.putIfAbsent(name, m)
-      .fold(m)(_.asInstanceOf[SessionMemo[V]])
+    registry.putIfAbsent(name, (m, ct.runtimeClass)) match {
+      case None => m
+      case Some((existing, cls)) =>
+        require(cls == ct.runtimeClass,
+          s"memo name '$name' already registered with value type ${cls.getName}, " +
+            s"requested ${ct.runtimeClass.getName}")
+        existing.asInstanceOf[SessionMemo[V]]
+    }
   }
 
   /** Invalidate one named artifact for (session, key). False when the
     * name is unknown or nothing was memoized. */
   def invalidate(s: SparkSession, key: String, name: String): Boolean =
-    registry.get(name).exists(_.invalidate(s, key))
+    registry.get(name).exists(_._1.invalidate(s, key))
 
   /** Invalidate every registered artifact for (session, key); returns
     * the names that actually held an entry. */
   def invalidateAll(s: SparkSession, key: String): Seq[String] =
-    registry.toSeq.collect { case (n, m) if m.invalidate(s, key) => n }.sorted
+    registry.toSeq.collect { case (n, (m, _)) if m.invalidate(s, key) => n }.sorted
 
   /** Registered artifact names (diagnostics). */
   def names: Seq[String] = registry.keys.toSeq.sorted

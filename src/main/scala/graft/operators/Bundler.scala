@@ -78,18 +78,38 @@ object Bundler {
       .partitionBy("bundle")
       .parquet(compactedDir)
 
+  /** Marker written inside the staged rewrite AFTER the row-count gate
+    * passes. Our own marker, not Hadoop's `_SUCCESS` — deployments
+    * commonly disable `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * on object stores, and recovery must not depend on that setting;
+    * it also proves the integrity gate ran, which `_SUCCESS` (written
+    * at job commit, before the gate) does not. */
+  private val StagedMarker = "_graft_staged"
+
   /** In-place compaction by stage-and-swap: rewrite the store into
-    * `<store>.compact.tmp`, then swap it in with two checked renames.
-    * Readers either see the old store or the new one — never a
-    * half-written mix — and a crash at ANY step is recoverable:
+    * `<store>.compact.tmp`, verify row counts, then swap it in with two
+    * checked renames. Readers either see the old store or the new one —
+    * never a half-written mix — and a crash at ANY step is recoverable:
     *
-    *   - crash while staging → `.tmp` lacks `_SUCCESS`; next run
-    *     deletes the debris and restages;
+    *   - crash while staging or before the integrity gate → `.tmp`
+    *     lacks the [[StagedMarker]]; next run deletes the debris and
+    *     restages;
     *   - crash between the two swap renames (the only window where the
-    *     store path is absent) → `.tmp` is complete and `_SUCCESS`-
-    *     marked; next run (or [[recoverCompaction]]) finishes the swap;
+    *     store path is absent) → `.tmp` is complete and marker-gated;
+    *     next run (or [[recoverCompaction]]) finishes the swap;
     *   - crash before the final cleanup → `.compact.old` remains; next
     *     run deletes it.
+    *
+    * If the store is absent and no complete staged rewrite exists this
+    * ABORTS rather than touching anything — deleting `.tmp` in that
+    * state could destroy the only copy of the data.
+    *
+    * Writer exclusion is the caller's contract: compaction is a
+    * maintenance operation on a quiesced store. An append landing
+    * between the staging read and the swap rename would be carried to
+    * `.compact.old` and deleted with it — pause the streaming sink (or
+    * any other writer) for the duration, exactly as the reference's
+    * loader assumes exclusive ownership of its bundle directory.
     *
     * Rename results are CHECKED — Hadoop reports most failures by
     * returning false, and ignoring that here would drop the store. */
@@ -101,6 +121,10 @@ object Bundler {
     val old = new Path(storeDir + ".compact.old")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (recoverCompaction(spark, storeDir)) return
+    if (!fs.exists(store)) throw new java.io.IOException(
+      s"store $store is absent and no complete staged rewrite exists — " +
+        "refusing to proceed (a half-staged .compact.tmp may be all that remains; " +
+        "inspect it manually rather than letting a fresh attempt delete it)")
     // fresh attempt: clear debris from any prior crashed attempt
     fs.delete(tmp, true)
     fs.delete(old, true)
@@ -111,20 +135,21 @@ object Bundler {
     val after = spark.read.parquet(tmp.toString).count()
     if (before != after) throw new java.io.IOException(
       s"compaction row count mismatch: store=$before compacted=$after; leaving store untouched")
+    fs.create(new Path(tmp, StagedMarker), true).close()
     if (!fs.rename(store, old))
       throw new java.io.IOException(s"rename failed: $store -> $old")
     if (!fs.rename(tmp, store))
       throw new java.io.IOException(
         s"rename failed: $tmp -> $store (store preserved at $old)")
+    fs.delete(new Path(store, StagedMarker), false)
     fs.delete(old, true)
   }
 
   /** Finish a compaction swap interrupted between its two renames:
-    * store absent + complete (`_SUCCESS`-marked) staged rewrite present
-    * → move the staged rewrite in. Returns true when a swap was
-    * completed (store is now the compacted data), false when there was
-    * nothing to recover. Called automatically by
-    * [[compactBundlesInPlace]]. */
+    * store absent + complete (marker-gated) staged rewrite present →
+    * move the staged rewrite in. Returns true when a swap was completed
+    * (store is now the compacted data), false when there was nothing to
+    * recover. Called automatically by [[compactBundlesInPlace]]. */
   def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
                         storeDir: String): Boolean = {
     import org.apache.hadoop.fs.Path
@@ -132,10 +157,11 @@ object Bundler {
     val tmp = new Path(storeDir + ".compact.tmp")
     val old = new Path(storeDir + ".compact.old")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmpComplete = fs.exists(new Path(tmp, "_SUCCESS"))
+    val tmpComplete = fs.exists(new Path(tmp, StagedMarker))
     if (!fs.exists(store) && tmpComplete) {
       if (!fs.rename(tmp, store))
         throw new java.io.IOException(s"rename failed: $tmp -> $store")
+      fs.delete(new Path(store, StagedMarker), false)
       fs.delete(old, true)
       true
     } else false

@@ -92,9 +92,11 @@ object CopyInjector {
   def manifest(rows: DataFrame, desc: EntityDesc, pgSchema: String,
                bundleSize: Long, blockCol: String = "start_block"): LoadManifest = {
     // integer div, not `/`: double division misbuckets block numbers
-    // within rounding distance of 2^53
+    // within rounding distance of 2^53. Backtick-quoted so column
+    // names col() would accept (spaces, reserved words) survive the
+    // SQL round trip.
     val counts = rows
-      .groupBy(expr(s"$blockCol div $bundleSize").as("bundle")).count()
+      .groupBy(expr(s"`$blockCol` div $bundleSize").as("bundle")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var nextVid = 1L
     val files = counts.map { case (b, n) =>

@@ -134,6 +134,16 @@ object PoiStableHash {
 
   // ---- Spark integration ------------------------------------------------
 
+  /** Canonical text of the non-nullable decimal `value` column: the
+    * decimal(20,2) rendering with NULL mapped to "0", the typed-CSV
+    * default the gl oracles use for non-nullable decimals. EVERY POI
+    * surface — the batch chain, the streaming locals, and the spec
+    * reference reconstructions — must extract the value through this
+    * one definition, or stream and batch digests silently diverge on a
+    * NULL input (and parseBigDecimal NPEs on a null string). */
+  def valueText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    coalesce(c.cast("decimal(20,2)").cast("string"), lit("0"))
+
   /** Chained per-block POIs for the standard entity-change stream:
     * one SetEntity/RemoveEntity per change, entity type `user_state`,
     * data = {value: BigDecimal, last_op: String}. Events within a block
@@ -146,10 +156,7 @@ object PoiStableHash {
 
     val locals: Dataset[PoiLocalRow] = changes
       .select($"block_num".as[Long], $"id".as[String], $"op".as[String],
-        // coalesce: a NULL value would reach parseBigDecimal as a null
-        // string and NPE inside mapGroups; "0" mirrors the CSV typed
-        // default the gl oracles use for non-nullable decimals
-        coalesce($"value".cast("decimal(20,2)").cast("string"), lit("0")).as[String])
+        valueText($"value").as[String])
       .groupByKey(_._1)
       .mapGroups { (bn, it) =>
         val events = it.toSeq.sortBy(r => (r._2, r._3)).map { case (_, id, op, value) =>

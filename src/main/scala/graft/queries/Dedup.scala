@@ -228,8 +228,8 @@ object Dedup {
     * rounds from O(diameter) to O(log diameter) — the difference
     * between 3 and 10^6 rounds on an adversarial chain-shaped
     * component (DedupSpec pins a 200-node path). Per-round label
-    * frames are eagerly localCheckpoint-ed — see the loop comment —
-    * which both stores them spill-safe and truncates lineage.
+    * frames are snapshotted into persisted row RDDs — see the loop
+    * comment — keeping exactly two label tables live at any time.
     *
     * Invariant used by the jump join: every label value is some node's
     * doc_id (init is self; every update is a min over node labels), so
@@ -244,16 +244,25 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (not persist): the jump self-join reads the
-    // round's labels on BOTH sides, so the round-k logical plan would
-    // contain the round-(k-1) plan TWICE — 2^k lineage growth that
-    // persist() does not stop (it caches data, not the plan). Eager
-    // localCheckpoint truncates lineage to the materialized blocks each
-    // round — the standard pattern for iterative Spark graph
-    // algorithms (GraphFrames checkpoints its CC loop the same way).
-    var labels = edges.select(col("src")).distinct()
-      .select(col("src").as("doc_id"), col("src").as("cluster_id"))
-      .localCheckpoint(true)
+    // snap: materialize a label frame into a PERSISTED row RDD and
+    // wrap it in a fresh, constant-size logical plan. Needed because
+    // the jump self-join reads the round's labels on BOTH sides, so
+    // the round-k logical plan would contain the round-(k-1) plan
+    // TWICE — 2^k plan growth that persist() does not stop (it caches
+    // data, not the plan). Unlike localCheckpoint, the snapshot keeps
+    // lineage replayable (a lost executor recomputes back through the
+    // persisted edge list to the source — no permanent "checkpoint
+    // block not found" for the session-memoized result), and the RDD
+    // handle lets each round release its predecessor, bounding live
+    // storage to two label tables + the edge list.
+    val spark = pairs.sparkSession
+    def snap(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val r = df.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      r.count(): Unit // materialize now, so the source plan runs exactly once
+      (spark.createDataFrame(r, df.schema), r)
+    }
+    var (labels, labelsRdd) = snap(edges.select(col("src")).distinct()
+      .select(col("src").as("doc_id"), col("src").as("cluster_id")))
     var iters = 0
     var done = false
     while (!done && iters < MaxCcIters) {
@@ -261,29 +270,27 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("cluster_id").as("dlabel")), "dst")
         .groupBy(col("src")).agg(min(col("dlabel")).as("nlabel"))
         .withColumnRenamed("src", "doc_id")
-      // checkpointed: read twice by the jump self-join below — without
-      // it the edge-join + agg subtree would run twice a round AND the
-      // plan would double per round
-      val prop = labels
+      val (prop, propRdd) = snap(labels
         .join(nmin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id")))
       // pointer jump: l(v) := min(l(v), l(l(v))). Labels are node ids
       // (invariant above) so the self-join resolves; left join +
       // coalesce only as defense in depth. least() is also defensive —
       // monotonicity already gives l(l(v)) <= l(v).
       val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
-      val next = prop
+      val (next, nextRdd) = snap(prop
         .join(parent, prop("cluster_id") === parent("p_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id")))
       // labels only decrease, so "changed" is a strict-inequality count
       val changed = next
         .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), "doc_id")
         .filter(col("cluster_id") < col("old_label")).count()
+      propRdd.unpersist(blocking = false)
+      labelsRdd.unpersist(blocking = false)
       labels = next
+      labelsRdd = nextRdd
       iters += 1
       done = changed == 0
     }

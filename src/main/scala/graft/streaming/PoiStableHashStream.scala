@@ -51,7 +51,11 @@ object PoiStableHashStream {
       val events: Seq[PoiEvent] = evs.sortBy(e => (e._1, e._2)).map { case (id, op, v) =>
         if (op == "DELETE") RemoveEntity("user_state", id): PoiEvent
         else SetEntity("user_state", id,
-          Seq("last_op" -> EString(op), "value" -> EBigDecimal(v))): PoiEvent
+          // null → "0" mirrors the batch extraction's valueText default
+          // (PoiStableHash.valueText); without it a NULL-valued change
+          // NPEs here and stream/batch POIs diverge
+          Seq("last_op" -> EString(op),
+            "value" -> EBigDecimal(Option(v).getOrElse("0")))): PoiEvent
       }
       val h = PoiStableHash.blockLocal(blockNum, events)
       Iterator.single(BlockLocal(blockNum, h.mixer.v0, h.mixer.v1, h.mixer.v2, h.count))

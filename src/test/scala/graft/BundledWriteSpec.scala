@@ -78,10 +78,12 @@ class BundledWriteSpec extends SparkSpec {
       .withColumn("bundle", expr("block_num div 250"))
     changes.write.mode("overwrite").partitionBy("bundle").parquet(store)
     val want = changes.count()
-    // stage a complete rewrite, then simulate the crash window: store
-    // renamed away, staged rewrite not yet moved in
+    // stage a complete rewrite (with the post-gate marker, as the real
+    // crash window has it), then simulate the crash: store renamed
+    // away, staged rewrite not yet moved in
     Bundler.compactBundles(spark, store, store + ".compact.tmp", maxRecordsPerFile = 1000000)
     val fs = new Path(store).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(store + ".compact.tmp", "_graft_staged"), true).close()
     assert(fs.rename(new Path(store), new Path(store + ".compact.old")))
     assert(Bundler.recoverCompaction(spark, store))
     assert(spark.read.parquet(store).count() === want)
@@ -89,5 +91,20 @@ class BundledWriteSpec extends SparkSpec {
     assert(!new java.io.File(store + ".compact.old").exists())
     // idempotent: nothing left to recover
     assert(!Bundler.recoverCompaction(spark, store))
+  }
+
+  test("compaction refuses to touch a half-staged rewrite when the store is absent") {
+    val store = java.nio.file.Files.createTempDirectory("graft_absent").toString + "/store"
+    // a .tmp WITHOUT the completion marker next to a missing store: the
+    // tmp may be the only copy of the data — must abort, not delete it
+    val tmp = new java.io.File(store + ".compact.tmp")
+    assert(tmp.mkdirs())
+    java.nio.file.Files.writeString(tmp.toPath.resolve("part-00000.parquet"), "x")
+    assert(!Bundler.recoverCompaction(spark, store)) // no marker → not recoverable
+    val ex = intercept[java.io.IOException] {
+      Bundler.compactBundlesInPlace(spark, store, maxRecordsPerFile = 1000000)
+    }
+    assert(ex.getMessage.contains("refusing to proceed"), ex.getMessage)
+    assert(tmp.exists(), "the half-staged rewrite must be preserved for inspection")
   }
 }

@@ -301,7 +301,7 @@ class PoiStableHashSparkSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rows = changes
       .select(col("block_num"), col("id"), col("op"),
-        col("value").cast("decimal(20,2)").cast("string").as("v"))
+        PoiStableHash.valueText(col("value")).as("v"))
       .collect()
       .map(r => (r.getAs[Long]("block_num"), r.getAs[String]("id"),
         r.getAs[String]("op"), r.getAs[String]("v")))

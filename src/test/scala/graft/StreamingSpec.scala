@@ -365,7 +365,7 @@ class StreamingSpec extends SparkSpec {
 
     val rows = EntityChanges.changes(spark, sf)
       .select(col("block_num"), col("id"), col("op"),
-        col("value").cast("decimal(20,2)").cast("string").as("v"))
+        PoiStableHash.valueText(col("value")).as("v"))
       .orderBy("block_num").limit(300).collect()
       .map(r => (r.getAs[Long]("block_num"), r.getAs[String]("id"),
         r.getAs[String]("op"), r.getAs[String]("v")))
