@@ -385,9 +385,72 @@ object TextAnalysis {
        |WHERE doc_id % $BenchMod <> 0
        |GROUP BY doc_id""".stripMargin
 
+  // ---- #34f intra-document repetition --------------------------------
+
+  /** #34f tx_repetition — Gopher-style intra-document repetition
+    * metrics over token bigrams (Rae et al. 2021 §A1.1 use the same
+    * family of filters — fraction of content inside repeated n-grams —
+    * to drop boilerplate/spam before training):
+    *
+    *   - `top_bigram_x1000`: share of bigram positions occupied by the
+    *     single most frequent bigram;
+    *   - `dup_bigram_x1000`: share of bigram positions whose bigram
+    *     occurs more than once in the document.
+    *
+    * Both exact integer per-milles (FP-free, oracle-portable). Docs
+    * with fewer than two tokens have no bigrams and are excluded.
+    *
+    * Scale: explode to one row per bigram position (bounded by doc
+    * length), one map-side-combined count per (doc, bigram), one tiny
+    * per-doc agg — the same two-shuffle shape as the dedup family's
+    * index build, no corpus-wide state. */
+  def txRepetition(s: SparkSession, d: String): DataFrame =
+    repetitionMetrics(Tables.documents(s, d))
+
+  /** The metric computation over any (doc_id, text) frame — split out
+    * so specs can assert exact scores on constructed inputs. */
+  def repetitionMetrics(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", toks(col("text")))
+      .withColumn("n_tok", size(col("w")).cast("long"))
+      .filter(col("n_tok") >= 2)
+      .select(col("doc_id"), col("n_tok"), col("w"),
+        posexplode(col("w")).as(Seq("i", "t1")))
+      // i is 0-based and element_at 1-based: position i pairs with i+2
+      .filter(col("i") < col("n_tok") - 1)
+      .select(col("doc_id"), col("n_tok"),
+        concat_ws(" ", col("t1"), element_at(col("w"), col("i") + lit(2))).as("g"))
+      .groupBy(col("doc_id"), col("n_tok"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_tok"))
+      .agg(max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("top_cnt * 1000 DIV (n_tok - 1)").as("top_bigram_x1000"),
+        expr("dup_cnt * 1000 DIV (n_tok - 1)").as("dup_bigram_x1000"))
+
+  val txRepetitionSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, n_tok, w[i] || ' ' || w[i + 1] AS g
+       |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+       |  WHERE n_tok >= 2),
+       |counts AS (
+       |  SELECT doc_id, n_tok, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3)
+       |SELECT doc_id, n_tok,
+       |  CAST(MAX(cnt) AS BIGINT) * 1000 // (n_tok - 1) AS top_bigram_x1000,
+       |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) * 1000
+       |    // (n_tok - 1) AS dup_bigram_x1000
+       |FROM counts GROUP BY doc_id, n_tok""".stripMargin
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_repetition" -> (txRepetition _),
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
     "tx_top_ngrams" -> (txTopNgrams _),
@@ -400,6 +463,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_repetition" -> txRepetitionSql,
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
     "tx_top_ngrams" -> txTopNgramsSql,

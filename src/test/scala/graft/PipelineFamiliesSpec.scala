@@ -58,6 +58,29 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._2 === 0L))
   }
 
+  test("tx_repetition: constructed repetition scores exactly") {
+    import spark.implicits._
+    // "a b a b a b": 5 bigram slots — "a b"×3, "b a"×2 → top 3/5, dup 5/5
+    // "x y z": 2 distinct bigrams → top 1/2, dup 0
+    // "solo": no bigrams → excluded
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val rows = graft.queries.TextAnalysis.repetitionMetrics(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("top_bigram_x1000"), r.getAs[Long]("dup_bigram_x1000")))).toMap
+    assert(rows === Map(1L -> ((600L, 1000L)), 2L -> ((500L, 0L))))
+    // the real operator over the corpus: per-milles bounded, and the top
+    // bigram's share never exceeds the duplicated share unless unique
+    val real = graft.queries.TextAnalysis.txRepetition(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val top = r.getAs[Long]("top_bigram_x1000")
+      val dup = r.getAs[Long]("dup_bigram_x1000")
+      assert(top >= 0 && top <= 1000 && dup >= 0 && dup <= 1000, r.toString)
+    }
+  }
+
   test("dd_simhash: identical texts get identical simhash; hamming to dups is 0") {
     import spark.implicits._
     val withText = Tables.documents(spark, sf).select($"doc_id", md5($"text").as("h"))
