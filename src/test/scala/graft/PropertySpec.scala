@@ -158,4 +158,42 @@ class PropertySpec extends SparkSpec {
         Option(r.get(r.fieldIndex("asof_v"))).map(_.asInstanceOf[Long])).toMap
     assert(got === Map(100L -> None, 101L -> Some(7L), 102L -> None))
   }
+
+  test("property: connected components equal a union-find oracle on random graphs") {
+    case class G(n: Int, edges: List[(Long, Long)])
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      raw <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield G(n, raw.filter(e => e._1 != e._2).distinct)
+
+    forAll(gen, n = 5) { (g: G) =>
+      whenever(g.edges.nonEmpty) {
+        val pairs = g.edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+          .distinct.toDF("doc_a", "doc_b")
+        val got = graft.queries.Dedup.connectedComponents(pairs).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+        // local union-find with min-root union: each root ends as its
+        // component's minimum node id — exactly the operator's label
+        val parent = Array.tabulate(g.n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        g.edges.foreach { case (a, b) =>
+          val ra = find(a.toInt); val rb = find(b.toInt)
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = g.edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = touched.map(v => v -> find(v.toInt).toLong).toMap
+        assert(got === want)
+      }
+    }
+  }
 }
