@@ -429,6 +429,27 @@ object TextAnalysis {
         expr("top_cnt * 1000 DIV (n_tok - 1)").as("top_bigram_x1000"),
         expr("dup_cnt * 1000 DIV (n_tok - 1)").as("dup_bigram_x1000"))
 
+  /** `dup_bigram_x1000` as ONE stateless expression over the text
+    * column — the per-row form of [[repetitionMetrics]] for streaming
+    * gates, where a per-doc explode+agg would be a needless stateful
+    * shuffle (the metric is fully contained in the row). O(len²)
+    * comparisons per row, bounded by doc length; 0 for docs without
+    * bigrams. PipelineFamiliesSpec pins equivalence with the
+    * distributed aggregation on the corpus. */
+  def dupBigramX1000Expr(text: Column): Column = {
+    val w = toks(text)
+    val n = size(w)
+    val g = transform(sequence(lit(1), n - lit(1)), i =>
+      concat_ws(" ", element_at(w, i), element_at(w, i + lit(1))))
+    val dup = size(filter(g, x => size(filter(g, y => y === x)) > lit(1)))
+    // ints are exact in the double division here (dup*1000 ≤ ~1e6), so
+    // floor == integer DIV; sequence(1, n-1) would go DESCENDING for
+    // n<2, hence the guard evaluates the gram array only when n ≥ 2
+    when(n >= 2,
+      floor(dup.cast("long") * lit(1000L) / (n - lit(1)).cast("long")).cast("long"))
+      .otherwise(lit(0L))
+  }
+
   val txRepetitionSql: String =
     s"""WITH base AS (
        |  SELECT doc_id, string_split(text, ' ') AS w,

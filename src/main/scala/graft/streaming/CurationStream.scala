@@ -5,19 +5,27 @@ import org.apache.spark.sql.functions._
 
 /** Streaming corpus curation (SURVEY.md §2 #42b) — the continuous form
   * of `tx_curation`'s gate+dedup front half: documents stream in, the
-  * quality gate drops junk statelessly, a watermark-bounded exact
-  * dedup admits only first occurrences, and per-event-time-window
-  * per-language admission stats finalize at the watermark.
+  * quality and repetition gates drop junk statelessly, a
+  * watermark-bounded exact dedup admits only first occurrences, and
+  * per-event-time-window per-language admission stats finalize at the
+  * watermark.
   *
   * Spark-first: this is a CHAIN of two stateful operators
   * (`dropDuplicatesWithinWatermark` → windowed aggregation) in one
   * query — supported natively since Spark 3.5, no foreachBatch glue.
-  * State: dedup keys age out at the watermark horizon; window state
-  * closes per window. Both shard by their own keys.
+  * The gates stay STATELESS (per-row expressions, including the
+  * repetition metric via [[graft.queries.TextAnalysis.dupBigramX1000Expr]]
+  * — the per-doc metric is fully contained in the row, so no third
+  * stateful operator is needed). State: dedup keys age out at the
+  * watermark horizon; window state closes per window. Both shard by
+  * their own keys.
   */
 object CurationStream {
 
   val MinTokens = 5L
+  /** Drop docs whose duplicated-bigram share exceeds this per-mille —
+    * the streaming twin of the batch `tx_repetition` cut. */
+  val MaxDupBigramX1000 = 500L
 
   /** `docs` needs (ts: timestamp, doc_id, text, lang). */
   def curatedStats(docs: DataFrame, watermarkDelay: String,
@@ -26,6 +34,8 @@ object CurationStream {
       .withWatermark("ts", watermarkDelay)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
       .filter(col("n_tok") >= MinTokens)
+      .filter(graft.queries.TextAnalysis.dupBigramX1000Expr(col("text"))
+        <= MaxDupBigramX1000)
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_hash")
       .groupBy(window(col("ts"), windowDuration), col("lang"))

@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("tx_repetition: stateless expression form equals the distributed aggregation") {
+    // the streaming gate's per-row expression and the batch
+    // explode+agg are two implementations of the same metric — they
+    // must agree on every corpus doc (incl. 0 for bigram-less docs)
+    val viaAgg = graft.queries.TextAnalysis.txRepetition(spark, sf)
+      .select(col("doc_id"), col("dup_bigram_x1000")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.queries.TextAnalysis.dupBigramX1000Expr(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // agg form excludes n_tok<2 docs; expr form maps them to 0
+    viaAgg.foreach { case (id, v) => assert(viaExpr(id) === v, s"doc $id") }
+    (viaExpr.keySet -- viaAgg.keySet).foreach(id => assert(viaExpr(id) === 0L, s"doc $id"))
+  }
+
   test("dd_simhash: identical texts get identical simhash; hamming to dups is 0") {
     import spark.implicits._
     val withText = Tables.documents(spark, sf).select($"doc_id", md5($"text").as("h"))

@@ -312,9 +312,12 @@ class StreamingSpec extends SparkSpec {
       val good = "one two three four five six"
       input.addData(Seq(
         (t0 + 10, 1L, good, "en"),
-        (t0 + 20, 2L, "too short", "en"),          // fails the gate
+        (t0 + 20, 2L, "too short", "en"),          // fails the token gate
         (t0 + 30, 3L, good, "en"),                 // duplicate of 1
-        (t0 + 40, 4L, good + " seven", "fr")))
+        (t0 + 40, 4L, good + " seven", "fr"),
+        // passes the token gate but every bigram repeats (dup share
+        // 1000 > MaxDupBigramX1000) — the repetition gate drops it
+        (t0 + 50, 5L, "spam ham spam ham spam ham spam ham", "en")))
       q.processAllAvailable()
       // watermark far past the first window -> stats finalize
       input.addData(Seq((t0 + 7200, 9L, good + " x y z", "de"))); q.processAllAvailable()
