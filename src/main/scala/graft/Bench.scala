@@ -33,24 +33,32 @@ object Bench {
     // fingerprints) would time an empty scan.
     // SPARK_GRAFT_ONLY=q1_agg,q3_join_topn limits the run (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
-      // failures propagate as loud per-query errors in the JSON (a
-      // swallowed exception would record a near-zero time and make
-      // breakage look like a speedup). Min-of-3 by default: host noise
-      // showed 5-10x spikes on single sub-second queries, and one
-      // spiked run out of two still lands in a min-of-2 total.
-      val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-      val times = (1 to runs).map { _ =>
+    // failures propagate as loud per-query errors in the JSON (a
+    // swallowed exception would record a near-zero time and make
+    // breakage look like a speedup). Min-of-3 by default: host noise
+    // showed 5-10x spikes on single sub-second queries, and one
+    // spiked run out of two still lands in a min-of-2 total.
+    // Passes are INTERLEAVED (pass 1 runs every query, then pass 2,
+    // then pass 3) rather than back-to-back per query: a sustained
+    // host-load burst then poisons at most one pass of each query
+    // instead of all runs of whichever query it lands on — the
+    // per-query min stays a clean-window measurement.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val timed: Seq[Seq[(String, Either[String, Double])]] = (1 to runs).map { _ =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try {
+        name -> (try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage)
-        }
+        })
       }
+    }
+    val results = queries.map { case (name, _) =>
+      val times = timed.map(pass => pass.find(_._1 == name).get._2)
       name -> times.collect { case Right(t) => t }.minOption
         .toRight(times.collectFirst { case Left(e) => e }.getOrElse("unknown"))
     }

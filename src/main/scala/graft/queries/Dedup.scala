@@ -391,6 +391,53 @@ object Dedup {
        |SELECT doc_id, simhash, (simhash >> 56) & 255 AS band FROM sim""".stripMargin
   }
 
+  // ---- #27b chunk-level duplication profile --------------------------
+
+  /** #27b dd_chunk_dup — substring-level duplication, the profile the
+    * "deduplicating training data" recipes cut on: documents often
+    * share PARAGRAPHS (templates, quotes, syndication) without being
+    * whole-document near-dups, and doc-level Jaccard misses them. The
+    * content-defined chunks (TextAnalysis #37b — boundaries chosen by
+    * content, so shared passages align across shifted copies) stand in
+    * for suffix-array substrings at cluster scale: a chunk fingerprint
+    * occurring more than once corpus-wide (intra- OR inter-document)
+    * marks duplicated text. Per doc: chunk/word totals and the exact
+    * per-mille share of each inside duplicated chunks.
+    *
+    * Scale: one map-side-combined count over the (persisted) chunk
+    * table to occurrence counts, then a fingerprint equi-join back —
+    * both shuffles key on chunk_fp, so the big table moves once — and
+    * a per-doc agg. No pair generation at all: cost is linear in
+    * chunks where pairwise dedup is quadratic in duplicates. */
+  def ddChunkDup(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.txChunkFingerprint(s, d)
+    val occ = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_occ"))
+    chunks.join(occ, "chunk_fp")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_words")).as("n_words"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_occ") > 1, col("n_words")).otherwise(0L)).as("dup_words"))
+      .select(col("doc_id"), col("n_chunks"), col("n_words"),
+        expr("dup_chunks * 1000 DIV n_chunks").as("dup_chunk_x1000"),
+        expr("dup_words * 1000 DIV greatest(n_words, 1)").as("dup_word_x1000"))
+  }
+
+  val ddChunkDupSql: String =
+    s"""WITH ${graft.queries.TextAnalysis.chunkCtesSql},
+       |occ AS (
+       |  SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_occ FROM chunks GROUP BY chunk_fp)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_words,
+       |  CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000
+       |    // CAST(COUNT(*) AS BIGINT) AS dup_chunk_x1000,
+       |  CAST(SUM(CASE WHEN n_occ > 1 THEN n_words ELSE 0 END) AS BIGINT) * 1000
+       |    // greatest(CAST(SUM(n_words) AS BIGINT), 1) AS dup_word_x1000
+       |FROM chunks JOIN occ USING (chunk_fp)
+       |GROUP BY doc_id""".stripMargin
+
   // ---- #31 embedding cosine near-dup --------------------------------
 
   /** Near-dup by quantized cosine >= tau, blocked by the 8-plane
@@ -437,6 +484,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact" -> (ddExact _),
+    "dd_chunk_dup" -> (ddChunkDup _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_cluster" -> (ddCluster _),
@@ -446,6 +494,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_exact" -> ddExactSql,
+    "dd_chunk_dup" -> ddChunkDupSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_cluster" -> ddClusterSql,

@@ -142,7 +142,17 @@ object TextAnalysis {
     * doc), digest each chunk in order. Scale: the window partitions by
     * doc_id — high cardinality, bounded doc length. */
   def txChunkFingerprint(s: SparkSession, d: String): DataFrame =
+    chunkIndex(s, d)
+
+  /** The corpus chunk table, persisted spill-safe: tx_chunk_fingerprint
+    * emits it and dd_chunk_dup consumes it twice (occurrence count +
+    * per-doc rollup) — CacheManager substitutes the one
+    * materialization into every plan containing it, so the corpus is
+    * chunked ONCE per session (same staging pattern as the dedup
+    * family's shingle index). */
+  private def chunkIndex(s: SparkSession, d: String): DataFrame =
     chunkFingerprints(Tables.documents(s, d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** The chunker over any (doc_id, text) frame — split out so specs
     * can assert shift-resilience on constructed inputs. */
@@ -168,8 +178,11 @@ object TextAnalysis {
           x => x.getField("w")), " ")).as("chunk_fp"))
   }
 
-  val txChunkFingerprintSql: String =
-    s"""WITH words AS (
+  /** The chunk table as a CTE chain (`... chunks`) — shared by the
+    * tx_chunk_fingerprint oracle and dd_chunk_dup's (which rolls the
+    * same chunks up per doc). */
+  val chunkCtesSql: String =
+    s"""words AS (
        |  SELECT doc_id, i - 1 AS pos, w[i] AS word,
        |    CASE WHEN ${graft.functions.PortableHash.long60Sql("w[i]")} % $ChunkDivisor = 0
        |         THEN 1 ELSE 0 END AS boundary
@@ -179,10 +192,15 @@ object TextAnalysis {
        |  SELECT doc_id, pos, word,
        |    CAST(COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
-       |  FROM words)
-       |SELECT doc_id, chunk, COUNT(*) AS n_words,
-       |       md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
-       |FROM chunked GROUP BY doc_id, chunk""".stripMargin
+       |  FROM words),
+       |chunks AS (
+       |  SELECT doc_id, chunk, COUNT(*) AS n_words,
+       |         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
+       |  FROM chunked GROUP BY doc_id, chunk)""".stripMargin
+
+  val txChunkFingerprintSql: String =
+    s"""WITH $chunkCtesSql
+       |SELECT doc_id, chunk, n_words, chunk_fp FROM chunks""".stripMargin
 
   // ---- #34b end-to-end curation -------------------------------------
 
@@ -468,9 +486,131 @@ object TextAnalysis {
        |    // (n_tok - 1) AS dup_bigram_x1000
        |FROM counts GROUP BY doc_id, n_tok""".stripMargin
 
+  // ---- #34g unigram-LM commonness score ------------------------------
+
+  /** #34g tx_rarity — the cheap unigram-LM quality proxy (the CCNet
+    * family scores documents with a language model and cuts the
+    * tails; the unigram form is the FP-free, one-pass version): per
+    * doc, the mean corpus relative frequency of its token positions.
+    * High = built from boilerplate-common words; low = rare/garbled
+    * vocabulary. Both tails are what a curation pipeline inspects.
+    *
+    * Exactness: per-token relative frequency is quantized to integer
+    * parts-per-billion via decimal(38) cross-multiplication (cnt·10⁹
+    * overflows int64 on a 100 TB corpus where cnt can approach total ≈
+    * 10¹³), then summed as plain longs — order-independent, so Spark
+    * and DuckDB agree bit-for-bit where any log-space double sum
+    * would diverge on FP association.
+    *
+    * Scale: one map-side-combined count to the vocabulary-sized `tf`
+    * table, its global total folded back via a one-row broadcast
+    * cross-join; then one token→frequency equi-join (the probe side's
+    * hot stopword keys are perfectly splittable — one build row per
+    * key — so AQE skew handling applies) and one per-doc agg. */
+  def txRarity(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+    val tf = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total"))
+    val rel = tf.crossJoin(broadcast(total))
+      .select(col("t"),
+        expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000000 DIV total AS BIGINT)")
+          .as("freq_x1e9"))
+    words.join(rel, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("freq_x1e9")).as("sum_freq"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("sum_freq DIV n_tok").as("mean_freq_x1e9"))
+  }
+
+  val txRaritySql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY t),
+      |rel AS (
+      |  SELECT t, CAST(CAST(cnt AS HUGEINT) * 1000000000
+      |    // (SELECT SUM(cnt) FROM tf) AS BIGINT) AS freq_x1e9
+      |  FROM tf)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |       CAST(SUM(freq_x1e9) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_freq_x1e9
+      |FROM words JOIN rel USING (t)
+      |GROUP BY doc_id""".stripMargin
+
+  // ---- #34h PII scrubbing --------------------------------------------
+
+  /** Portable (Java-regex ∩ RE2) PII patterns. No lookaround, no
+    * backreferences — those diverge between engines. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhonePattern = "\\+[0-9]{7,15}"
+
+  /** The synthetic corpus is PII-free word soup, so scrubbing it raw
+    * would be vacuous (every count zero — indistinguishable from a
+    * broken regex). A deterministic contact blurb derived from doc_id
+    * is appended instead: residues 3/5/7 vary which PII kinds each doc
+    * carries, so counts differ per doc and the oracle check has teeth.
+    * Production drops this derivation and scrubs `text` directly. */
+  def withSyntheticPii(docs: DataFrame): DataFrame =
+    docs.withColumn("pii_text", concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" reach user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" call +1555"), (col("doc_id") % 100000 + 1000000).cast("string")))
+        .otherwise(lit(""))))
+
+  /** #34h tx_pii_scrub — the redaction pass every shipped corpus runs:
+    * detect emails / IPv4 addresses / international phone numbers,
+    * replace them with typed placeholder tokens, report per-doc match
+    * counts and the scrubbed text's fingerprint (the hash gates the
+    * REPLACEMENT semantics cross-engine, not just detection).
+    * Map-only — scan-speed at 100 TB, composes with any pushdown. */
+  def txPiiScrub(s: SparkSession, d: String): DataFrame =
+    piiScrub(withSyntheticPii(Tables.documents(s, d)), col("pii_text"))
+
+  /** The scrubber over any text column — split out so specs can gate
+    * planted PII inputs. Replacement order: emails first (their local
+    * part may embed digit runs), then IPv4, then phones — the
+    * patterns cannot overlap after the earlier passes. */
+  def piiScrub(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long").as("n_phone"),
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+        EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>"))
+        .as("scrubbed_md5"))
+
+  val txPiiScrubSql: String = {
+    val pii =
+      s"""text
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         |    || CASE WHEN doc_id % 5 = 0
+         |         THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |         THEN ' call +1555' || CAST(doc_id % 100000 + 1000000 AS VARCHAR) ELSE '' END""".stripMargin
+    s"""WITH p AS (SELECT doc_id, $pii AS t FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EmailPattern', '<EMAIL>', 'g'), '$Ipv4Pattern', '<IP>', 'g'),
+       |    '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM p""".stripMargin
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_rarity" -> (txRarity _),
+    "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
@@ -484,6 +624,8 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_rarity" -> txRaritySql,
+    "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
