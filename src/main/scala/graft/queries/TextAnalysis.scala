@@ -142,17 +142,11 @@ object TextAnalysis {
     * doc), digest each chunk in order. Scale: the window partitions by
     * doc_id — high cardinality, bounded doc length. */
   def txChunkFingerprint(s: SparkSession, d: String): DataFrame =
-    chunkIndex(s, d)
-
-  /** The corpus chunk table, persisted spill-safe: tx_chunk_fingerprint
-    * emits it and dd_chunk_dup consumes it twice (occurrence count +
-    * per-doc rollup) — CacheManager substitutes the one
-    * materialization into every plan containing it, so the corpus is
-    * chunked ONCE per session (same staging pattern as the dedup
-    * family's shingle index). */
-  private def chunkIndex(s: SparkSession, d: String): DataFrame =
     chunkFingerprints(Tables.documents(s, d))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  // NO persist here: this is a benched single-consumer entry point, and
+  // a cache would silently turn later bench passes into cache scans.
+  // dd_chunk_dup, which consumes the chunk table twice, stages its own
+  // memoized persisted copy (Dedup.chunkTable).
 
   /** The chunker over any (doc_id, text) frame — split out so specs
     * can assert shift-resilience on constructed inputs. */
@@ -418,10 +412,14 @@ object TextAnalysis {
     * Both exact integer per-milles (FP-free, oracle-portable). Docs
     * with fewer than two tokens have no bigrams and are excluded.
     *
-    * Scale: explode to one row per bigram position (bounded by doc
-    * length), one map-side-combined count per (doc, bigram), one tiny
-    * per-doc agg — the same two-shuffle shape as the dedup family's
-    * index build, no corpus-wide state. */
+    * Scale: build the bigram array in-row, then explode to one row per
+    * bigram position (bounded by doc length), one map-side-combined
+    * count per (doc, bigram), one tiny per-doc agg — the same
+    * two-shuffle shape as the dedup family's index build, no
+    * corpus-wide state. The bigram array is materialized BEFORE the
+    * explode: a `posexplode(w)` + `element_at(w, i+2)` formulation
+    * makes GenerateExec emit the whole token array with every bigram
+    * row — O(len²) bytes of pre-shuffle allocation per doc. */
   def txRepetition(s: SparkSession, d: String): DataFrame =
     repetitionMetrics(Tables.documents(s, d))
 
@@ -432,12 +430,13 @@ object TextAnalysis {
       .withColumn("w", toks(col("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .filter(col("n_tok") >= 2)
-      .select(col("doc_id"), col("n_tok"), col("w"),
-        posexplode(col("w")).as(Seq("i", "t1")))
-      // i is 0-based and element_at 1-based: position i pairs with i+2
-      .filter(col("i") < col("n_tok") - 1)
+      // w is a materialized column, so element_at inside the lambda is
+      // an O(1) array access (an INLINE split here would re-evaluate
+      // per element — the round-1 O(n²) lambda trap)
       .select(col("doc_id"), col("n_tok"),
-        concat_ws(" ", col("t1"), element_at(col("w"), col("i") + lit(2))).as("g"))
+        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
+          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + lit(1)))))
+          .as("g"))
       .groupBy(col("doc_id"), col("n_tok"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"), col("n_tok"))
@@ -502,23 +501,36 @@ object TextAnalysis {
     * and DuckDB agree bit-for-bit where any log-space double sum
     * would diverge on FP association.
     *
-    * Scale: one map-side-combined count to the vocabulary-sized `tf`
-    * table, its global total folded back via a one-row broadcast
-    * cross-join; then one token→frequency equi-join (the probe side's
-    * hot stopword keys are perfectly splittable — one build row per
-    * key — so AQE skew handling applies) and one per-doc agg. */
-  def txRarity(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    * Scale: ONE explode collapses immediately (map-side combine) to
+    * (doc, token, in-doc count) — distinct tokens per doc, far fewer
+    * rows than token positions — and everything downstream derives
+    * from that: the vocabulary `tf` re-aggregates it, the global total
+    * folds back via a one-row broadcast cross-join, and the
+    * token→frequency equi-join probes with (doc, token) pairs instead
+    * of positions (position counts ride along as `c`, the weighted sum
+    * `Σ c·freq` is position-exact). The corpus is scanned and
+    * tokenized once, and the big join's probe side shrinks by the
+    * mean in-doc token multiplicity; hot stopword keys stay perfectly
+    * splittable (one build row per key) for AQE skew handling. */
+  def txRarity(s: SparkSession, d: String): DataFrame =
+    rarityScores(Tables.documents(s, d))
+
+  /** The scorer over any (doc_id, text) frame — split out so specs can
+    * assert exact parts-per-billion on a constructed vocabulary. */
+  def rarityScores(docs: DataFrame): DataFrame = {
+    val docTf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-    val tf = words.groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val tf = docTf.groupBy(col("t")).agg(sum(col("c")).as("cnt"))
     val total = tf.agg(sum(col("cnt")).as("total"))
     val rel = tf.crossJoin(broadcast(total))
       .select(col("t"),
         expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000000 DIV total AS BIGINT)")
           .as("freq_x1e9"))
-    words.join(rel, "t")
+    docTf.join(rel, "t")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok"), sum(col("freq_x1e9")).as("sum_freq"))
+      .agg(sum(col("c")).as("n_tok"),
+        sum(col("c") * col("freq_x1e9")).as("sum_freq"))
       .select(col("doc_id"), col("n_tok"),
         expr("sum_freq DIV n_tok").as("mean_freq_x1e9"))
   }
@@ -535,6 +547,60 @@ object TextAnalysis {
       |       CAST(SUM(freq_x1e9) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mean_freq_x1e9
       |FROM words JOIN rel USING (t)
       |GROUP BY doc_id""".stripMargin
+
+  // ---- #34i sequence packing -----------------------------------------
+
+  /** Packing parameters: shard count ≈ writer parallelism (each shard
+    * is one independent output stream; raise with cluster size), token
+    * budget = the training sequence length. */
+  val PackShards = 8
+  val PackBudget = 256L
+
+  /** #34i tx_pack — deterministic sequence packing: every pre-training
+    * pipeline concatenates documents into fixed token-budget training
+    * sequences. Start-offset policy: docs are laid out in doc_id order
+    * within their shard, and a doc belongs to the sequence its first
+    * token lands in (a boundary-crossing doc stays with its start —
+    * the bin sum may exceed the budget by at most one doc's tail,
+    * which the tokenizer truncates downstream). Fully deterministic:
+    * shard and order derive from doc_id alone, so the layout is
+    * reproducible across runs and engines — no RNG, no
+    * partition-order dependence.
+    *
+    * Scale: `text` is projected away BEFORE the shuffle — only
+    * (doc_id, shard, n_tok) moves, ~24 bytes/doc. The prefix sum runs
+    * per shard (one window partition each, external-sort spill-safe);
+    * shards = writer parallelism, so the window's parallelism is
+    * exactly the sink's. No global ordering anywhere. */
+  def txPack(s: SparkSession, d: String): DataFrame =
+    packSequences(Tables.documents(s, d), PackShards, PackBudget)
+
+  /** The packer over any (doc_id, text) frame — split out so specs can
+    * assert exact offsets on constructed inputs. */
+  def packSequences(docs: DataFrame, shards: Int, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val prior = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tok"))
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(prior), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok DIV $budget").as("seq_in_shard"))
+  }
+
+  val txPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |  FROM documents)
+       |SELECT doc_id, shard, n_tok,
+       |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok,
+       |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    // $PackBudget AS seq_in_shard
+       |FROM t""".stripMargin
 
   // ---- #34h PII scrubbing --------------------------------------------
 
@@ -574,41 +640,47 @@ object TextAnalysis {
 
   /** The scrubber over any text column — split out so specs can gate
     * planted PII inputs. Replacement order: emails first (their local
-    * part may embed digit runs), then IPv4, then phones — the
-    * patterns cannot overlap after the earlier passes. */
-  def piiScrub(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame =
+    * part may embed digit runs), then IPv4, then phones. Each kind is
+    * COUNTED on the text remaining after the earlier replacement
+    * passes, so `n_*` are exactly the replacements performed (an
+    * IPv4- or phone-shaped run inside an email's local/domain part is
+    * neither counted nor substituted) and the counts are mutually
+    * consistent with `scrubbed_md5`. */
+  def piiScrub(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_email"),
-      size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"),
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long").as("n_phone"),
-      md5(regexp_replace(regexp_replace(regexp_replace(text,
-        EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>"))
-        .as("scrubbed_md5"))
+      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0))).cast("long").as("n_phone"),
+      md5(regexp_replace(afterIp, PhonePattern, "<PHONE>")).as("scrubbed_md5"))
+  }
 
+  // NB: the synthetic-PII fragment is ONE interpolated line. A
+  // multi-line fragment whose lines start with `||` gets its first `|`
+  // eaten by the OUTER template's .stripMargin (double-strip), turning
+  // string concat into bitwise OR — the round-3 oracle breakage.
   val txPiiScrubSql: String = {
-    val pii =
-      s"""text
-         |    || CASE WHEN doc_id % 3 = 0
-         |         THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
-         |    || CASE WHEN doc_id % 5 = 0
-         |         THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
-         |    || CASE WHEN doc_id % 7 = 0
-         |         THEN ' call +1555' || CAST(doc_id % 100000 + 1000000 AS VARCHAR) ELSE '' END""".stripMargin
-    s"""WITH p AS (SELECT doc_id, $pii AS t FROM documents)
+    val pii = "text" +
+      " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END" +
+      " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END" +
+      " || CASE WHEN doc_id % 7 = 0 THEN ' call +1555' || CAST(doc_id % 100000 + 1000000 AS VARCHAR) ELSE '' END"
+    s"""WITH p AS (SELECT doc_id, $pii AS t FROM documents),
+       |e AS (SELECT doc_id, t, regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g') AS t1 FROM p),
+       |i AS (SELECT doc_id, t, t1, regexp_replace(t1, '$Ipv4Pattern', '<IP>', 'g') AS t2 FROM e)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_email,
-       |  CAST(len(regexp_extract_all(t, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
-       |  CAST(len(regexp_extract_all(t, '$PhonePattern')) AS BIGINT) AS n_phone,
-       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
-       |    '$EmailPattern', '<EMAIL>', 'g'), '$Ipv4Pattern', '<IP>', 'g'),
-       |    '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
-       |FROM p""".stripMargin
+       |  CAST(len(regexp_extract_all(t1, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(t2, '$PhonePattern')) AS BIGINT) AS n_phone,
+       |  md5(regexp_replace(t2, '$PhonePattern', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM i""".stripMargin
   }
 
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pack" -> (txPack _),
     "tx_rarity" -> (txRarity _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
@@ -624,6 +696,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_pack" -> txPackSql,
     "tx_rarity" -> txRaritySql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,

@@ -115,6 +115,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dd_chunk_dup: planted duplicate passage scores 1000, unique text 0") {
+    import spark.implicits._
+    // docs 1 and 2 are exact copies (every chunk duplicated corpus-wide);
+    // doc 3 shares no vocabulary, so no chunk can collide
+    val passage = Tables.documents(spark, sf).limit(1)
+      .collect().head.getAs[String]("text")
+    val unique = (1 to 80).map(i => s"uniqueword$i").mkString(" ")
+    val docs = Seq((1L, passage), (2L, passage), (3L, unique))
+      .toDF("doc_id", "text")
+    val got = Dedup.chunkDupProfile(TextAnalysis.chunkFingerprints(docs))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_chunk_x1000"), r.getAs[Long]("dup_word_x1000")))).toMap
+    assert(got(1L) === ((1000L, 1000L)))
+    assert(got(2L) === ((1000L, 1000L)))
+    assert(got(3L) === ((0L, 0L)))
+    // corpus invariants: shares bounded, word totals cover the corpus
+    val real = Dedup.ddChunkDup(spark, sf).collect()
+    assert(real.length === Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      val c = r.getAs[Long]("dup_chunk_x1000"); val w = r.getAs[Long]("dup_word_x1000")
+      assert(c >= 0 && c <= 1000 && w >= 0 && w <= 1000, r.toString)
+    }
+  }
+
   test("dd_embed_cosine finds planted near-identical vectors at the 0.95 cut") {
     import spark.implicits._
     graft.plans.GraftExtensions.ensureRegistered(spark)
@@ -156,6 +181,115 @@ class TextAnalysisSpec extends SparkSpec {
     val langs = (TextAnalysis.LangOrder :+ "und").toSet
     TextAnalysis.txLangId(spark, sf).collect().foreach { r =>
       assert(langs.contains(r.getAs[String]("lang_guess")))
+    }
+  }
+
+  test("tx_rarity: exact parts-per-billion on a constructed vocabulary") {
+    import spark.implicits._
+    // corpus tokens: a×5, b×1, c×1, d×1 → total 8;
+    // freq(a) = 5e9 DIV 8 = 625_000_000, freq(b|c|d) = 125_000_000
+    val docs = Seq((1L, "a a a a"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.rarityScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("mean_freq_x1e9")))).toMap
+    assert(got(1L) === ((4L, 625000000L)))
+    assert(got(2L) === ((2L, (625000000L + 125000000L) / 2)))
+    assert(got(3L) === ((2L, 125000000L)))
+    // corpus invariants: one row per doc, scores in (0, 1e9]
+    val real = TextAnalysis.txRarity(spark, sf).collect()
+    assert(real.length === Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      val f = r.getAs[Long]("mean_freq_x1e9")
+      assert(f > 0 && f <= 1000000000L, r.toString)
+    }
+  }
+
+  test("tx_pack: exact offsets and bins on a constructed shard") {
+    import spark.implicits._
+    // one shard (ids all ≡ 1 mod 8): lengths 3, 4, 5 → starts 0, 3, 7;
+    // budget 6 → bins 0, 0, 1. doc 16 lands in shard 0, start 0.
+    val docs = Seq(
+      (1L, "a b c"), (9L, "d e f g"), (17L, "h i j k l"), (16L, "m n"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.packSequences(docs, 8, 6L).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("n_tok"),
+          r.getAs[Long]("start_tok"), r.getAs[Long]("seq_in_shard")))).toMap
+    assert(got(1L) === ((1L, 3L, 0L, 0L)))
+    assert(got(9L) === ((1L, 4L, 3L, 0L)))
+    assert(got(17L) === ((1L, 5L, 7L, 1L)))
+    assert(got(16L) === ((0L, 2L, 0L, 0L)))
+  }
+
+  test("tx_pack: corpus layout is gapless and deterministic per shard") {
+    val rows = TextAnalysis.txPack(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[Long]("shard")).values.foreach { shard =>
+      val inOrder = shard.sortBy(_.getAs[Long]("doc_id"))
+      // each doc starts exactly where the previous one ended — the
+      // packed stream has no holes and no overlaps
+      inOrder.foldLeft(0L) { (expectStart, r) =>
+        assert(r.getAs[Long]("start_tok") === expectStart, r.toString)
+        assert(r.getAs[Long]("seq_in_shard")
+          === expectStart / TextAnalysis.PackBudget)
+        expectStart + r.getAs[Long]("n_tok")
+      }
+    }
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("tx_pii_scrub: planted PII is counted and replaced, kinds don't cross-fire") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact alice@example.com or bob@test.org today"),
+      (2L, "server at 10.1.2.3 and 192.168.0.1 up"),
+      (3L, "call +15551234567 now"),
+      (4L, "no personal information here"),
+      (5L, "mixed alice@example.com at 10.1.2.3 call +15551234567")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("scrubbed_md5")))).toMap
+    assert(got(1L) === ((2L, 0L, 0L,
+      md5Hex("contact <EMAIL> or <EMAIL> today"))))
+    assert(got(2L) === ((0L, 2L, 0L, md5Hex("server at <IP> and <IP> up"))))
+    assert(got(3L) === ((0L, 0L, 1L, md5Hex("call <PHONE> now"))))
+    assert(got(4L) === ((0L, 0L, 0L, md5Hex("no personal information here"))))
+    assert(got(5L) === ((1L, 1L, 1L, md5Hex("mixed <EMAIL> at <IP> call <PHONE>"))))
+  }
+
+  test("tx_pii_scrub: counts are replacement counts — overlaps inside emails don't double-count") {
+    import spark.implicits._
+    // an IPv4-shaped local part and a phone-shaped local part are
+    // consumed by the email replacement; counting on the ORIGINAL text
+    // would report phantom n_ipv4/n_phone with no matching substitution
+    val docs = Seq(
+      (1L, "x 1.2.3.4@host.com y"),
+      (2L, "y +15551234567@mail.example.org z")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+          r.getAs[Long]("n_phone"), r.getAs[String]("scrubbed_md5")))).toMap
+    assert(got(1L) === ((1L, 0L, 0L, md5Hex("x <EMAIL> y"))))
+    assert(got(2L) === ((1L, 0L, 0L, md5Hex("y <EMAIL> z"))))
+  }
+
+  test("tx_pii_scrub: synthetic corpus counts follow the residue rule") {
+    // withSyntheticPii plants exactly one email/ip/phone for doc_id
+    // residues 3/5/7; the base corpus is PII-free word soup
+    val rows = TextAnalysis.txPiiScrub(spark, sf).collect()
+    assert(rows.length === Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_email") === (if (id % 3 == 0) 1L else 0L), s"doc $id email")
+      assert(r.getAs[Long]("n_ipv4") === (if (id % 5 == 0) 1L else 0L), s"doc $id ipv4")
+      assert(r.getAs[Long]("n_phone") === (if (id % 7 == 0) 1L else 0L), s"doc $id phone")
     }
   }
 
