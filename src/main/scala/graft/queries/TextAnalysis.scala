@@ -430,13 +430,18 @@ object TextAnalysis {
       .withColumn("w", toks(col("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .filter(col("n_tok") >= 2)
-      // w is a materialized column, so element_at inside the lambda is
-      // an O(1) array access (an INLINE split here would re-evaluate
-      // per element — the round-1 O(n²) lambda trap)
+      // arrays_zip over two shifted slices, NOT transform+element_at: a
+      // higher-order lambda (ArrayTransform) is CodegenFallback and
+      // would run interpreted per element; slice/arrays_zip/explode
+      // stay inside whole-stage codegen, and the generate's input is
+      // two O(n) slice copies built once per row (not the O(n²) of
+      // carrying the full token array through every generated row)
       .select(col("doc_id"), col("n_tok"),
-        explode(transform(sequence(lit(1), size(col("w")) - 1), i =>
-          concat_ws(" ", element_at(col("w"), i), element_at(col("w"), i + lit(1)))))
-          .as("g"))
+        explode(arrays_zip(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1))).as("z"))
+      .select(col("doc_id"), col("n_tok"),
+        concat_ws(" ", col("z.0"), col("z.1")).as("g"))
       .groupBy(col("doc_id"), col("n_tok"), col("g"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"), col("n_tok"))
