@@ -172,6 +172,66 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 2, p)
   }
 
+  test("tx_pii_scrub: map-only — zero shuffles, zero joins") {
+    val p = physical(graft.queries.TextAnalysis.txPiiScrub(spark, sf))
+    assert(shuffles(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+  }
+
+  test("tx_pack: one per-shard window, never a single-partition exchange") {
+    val p = physical(graft.queries.TextAnalysis.txPack(spark, sf))
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "Window") === 1, p)
+  }
+
+  test("tx_rarity: corpus tokenized once — the (doc, token) exchange is reused") {
+    val df = graft.queries.TextAnalysis.txRarity(spark, sf)
+    df.collect() // AQE performs exchange reuse at runtime, not statically
+    val p = physical(df)
+    // the docTf subtree feeds the vocabulary count, the global total
+    // AND the probe; AQE's ReuseExchange must collapse the duplicate
+    // scan+explode+agg subtrees so the corpus is tokenized once
+    assert("ReusedExchange|ReusedQueryStage|TableCacheQueryStage".r.findFirstIn(p).nonEmpty, p)
+    // the only nested-loop join is the one-row total broadcast
+    assert(crossJoins(p) <= 1, p)
+    assert(nodes(p, "CartesianProduct") === 0, p)
+  }
+
+  test("tx_repetition: two shuffles (gram count + doc rollup), generate stays in codegen") {
+    val df = graft.queries.TextAnalysis.txRepetition(spark, sf)
+    val p = physical(df)
+    assert(shuffles(p) === 2, p)
+    assert(bigJoins(p) + crossJoins(p) === 0, p)
+    // the explode must sit inside a WholeStageCodegen span — a
+    // higher-order lambda in the generator would fall back to
+    // interpreted eval (the round-4 regression this guards against)
+    val f = formatted(df)
+    val gen = "\\((\\d+)\\) Generate".r.findFirstMatchIn(f)
+    assert(gen.isDefined, "Generate not codegen'd: " + f.take(2000))
+  }
+
+  test("dd_chunk_dup: both consumers read the one persisted chunk table") {
+    val df = Dedup.ddChunkDup(spark, sf)
+    val p = physical(df)
+    assert(nodes(p, "InMemoryTableScan") >= 2
+      || "(?i)in-?memory".r.findAllIn(p).length >= 2, p)
+    assert(crossJoins(p) === 0, p)
+  }
+
+  test("ann_pq: corpus side carries codes only; re-rank joins are equi") {
+    val p = physical(graft.queries.Ann.annPq(spark, sf))
+    assert(nodes(p, "CartesianProduct") === 0, p)
+    // shortlist→vectors and shortlist→query-vectors are equi-joins
+    assert(bhj(p) >= 2, p)
+    // ADC shortlist rank + exact re-rank, both partitioned by qid
+    // ("Window [" excludes the WindowGroupLimit pushdown nodes, whose
+    // presence is itself asserted: rank<=k must prune per-partition)
+    assert(nodes(p, "Window \\[") === 2, p)
+    assert(nodes(p, "WindowGroupLimit") >= 2, p)
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+  }
+
   test("ann queries never cross-join the corpus") {
     val p = physical(graft.queries.Ann.annLshBucket(spark, sf))
     assert(crossJoins(p) === 0, p)
