@@ -662,6 +662,14 @@ object TextAnalysis {
       md5(regexp_replace(afterIp, PhonePattern, "<PHONE>")).as("scrubbed_md5"))
   }
 
+  /** The redaction alone, as one stateless expression — the streaming
+    * curation path appends it after its dedup ([[graft.streaming.CurationStream]]).
+    * Same pass order as [[piiScrub]], whose oracle gates the
+    * replacement semantics. */
+  def scrubExpr(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+
   // NB: the synthetic-PII fragment is ONE interpolated line. A
   // multi-line fragment whose lines start with `||` gets its first `|`
   // eaten by the OUTER template's .stripMargin (double-strip), turning

@@ -27,9 +27,10 @@ object CurationStream {
     * the streaming twin of the batch `tx_repetition` cut. */
   val MaxDupBigramX1000 = 500L
 
-  /** `docs` needs (ts: timestamp, doc_id, text, lang). */
-  def curatedStats(docs: DataFrame, watermarkDelay: String,
-                   windowDuration: String): DataFrame =
+  /** The shared front half: watermark → stateless gates → exact dedup
+    * within the watermark horizon. `docs` needs
+    * (ts: timestamp, doc_id, text, lang). */
+  private def admitted(docs: DataFrame, watermarkDelay: String): DataFrame =
     docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -38,8 +39,26 @@ object CurationStream {
         <= MaxDupBigramX1000)
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_hash")
+
+  def curatedStats(docs: DataFrame, watermarkDelay: String,
+                   windowDuration: String): DataFrame =
+    admitted(docs, watermarkDelay)
       .groupBy(window(col("ts"), windowDuration), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .select(col("window.start").as("win_start"), col("lang"),
         col("n_docs"), col("n_tokens"))
+
+  /** The admitted-document stream itself — what a production curation
+    * job actually ships to the corpus store: gate → dedup → PII
+    * redaction ([[graft.queries.TextAnalysis.scrubExpr]], stateless,
+    * batch-oracle-gated), emitted append-only as each doc clears the
+    * dedup state. Stats and docs share the same front half, so a
+    * pipeline runs both queries off one source with identical
+    * admission semantics. Dedup is on the PRE-scrub hash: two docs
+    * differing only inside PII spans are different documents, and
+    * scrubbing first would merge them. */
+  def curatedDocs(docs: DataFrame, watermarkDelay: String): DataFrame =
+    admitted(docs, watermarkDelay)
+      .select(col("ts"), col("doc_id"), col("lang"), col("n_tok"),
+        graft.queries.TextAnalysis.scrubExpr(col("text")).as("text"))
 }

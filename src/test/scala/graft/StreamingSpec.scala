@@ -333,6 +333,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curated docs stream ships gated, deduped, PII-scrubbed documents") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String, String)]
+    val docs = input.toDS().toDF("epoch", "doc_id", "text", "lang")
+      .select(timestamp_seconds($"epoch").as("ts"), $"doc_id", $"text", $"lang")
+    val q = graft.streaming.CurationStream
+      .curatedDocs(docs, "10 minutes")
+      .writeStream.format("memory").queryName("curated_docs")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L
+      val pii = "contact alice@example.com from 10.1.2.3 about the launch"
+      input.addData(Seq(
+        (t0 + 10, 1L, pii, "en"),
+        (t0 + 20, 2L, "too short", "en"),     // token gate drops
+        (t0 + 30, 3L, pii, "en"),             // dedup drops (same pre-scrub text)
+        (t0 + 40, 4L, "one two three four five six", "fr")))
+      q.processAllAvailable()
+      val rows = spark.table("curated_docs").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rows.keySet === Set(1L, 4L), rows.toString)
+      // redaction applied on the way out, same semantics as the batch oracle
+      assert(rows(1L) === "contact <EMAIL> from <IP> about the launch")
+      assert(rows(4L) === "one two three four five six")
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first occurrence of each text") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
