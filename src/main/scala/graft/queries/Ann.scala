@@ -266,8 +266,14 @@ object Ann {
     import spark.implicits._
     val seeds = e.filter(col("vec_id") < PqK).orderBy("vec_id")
       .select("qv").as[Seq[Long]].collect()
+    require(seeds.nonEmpty, "PQ training needs at least one non-zero vector")
+    // pad by cycling when fewer than PqK seeds survive the n2>0 filter:
+    // every books(m) row must exist up to index PqK-1 because the
+    // empty-cluster fallback below indexes the full code range
+    // (duplicate centroids are harmless — argmin ties break low)
     var books: Array[Array[Array[Long]]] = Array.tabulate(PqSubspaces)(m =>
-      seeds.map(v => v.slice(m * PqSubDims, (m + 1) * PqSubDims).toArray))
+      Array.tabulate(PqK)(j =>
+        seeds(j % seeds.length).slice(m * PqSubDims, (m + 1) * PqSubDims).toArray))
     for (_ <- 0 until PqLloydIters) {
       val subs = e.select(posexplode(
         array((0 until PqSubspaces).map(m => subvec(col("qv"), m)): _*))
@@ -318,11 +324,15 @@ object Ann {
           array(books(m).map(c =>
             Vectors.dot(subvec(col("qv"), m), typedLit(c.toSeq))).toIndexedSeq: _*)): _*)
           .as("qtab"))
+    // statically unrolled Σₘ qtab[m][code[m]] — PqSubspaces is a
+    // compile-time constant, and a higher-order aggregate() here would
+    // be CodegenFallback, running an interpreted fold on the hottest
+    // path of the query (every corpus row × query); the unrolled sum
+    // stays inside whole-stage codegen
     val approx = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(PqSubspaces - 1)), lit(0L),
-        (acc, m) => acc +
-          element_at(element_at(col("qtab"), m + lit(1)),
-            element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("adc", (0 until PqSubspaces).map(m =>
+        element_at(element_at(col("qtab"), lit(m + 1)),
+          element_at(col("codes"), lit(m + 1)) + lit(1))).reduce(_ + _))
       // approximate cosine: ADC dot over the candidate's TRUE norm
       // (query norm is constant per partition — ranking-irrelevant)
       .withColumn("score", col("adc").cast("double") / sqrt(col("n2").cast("double")))
@@ -349,7 +359,9 @@ object Ann {
     "ann_pq" -> (annPq _)
   )
 
-  /** ann_lsh_bucket is rows-only: its recall is spec-gated. */
+  /** ann_lsh_bucket, ann_ivf and ann_pq are rows-only by design: a
+    * recall gate vs the oracle-gated brute baseline (plus, for PQ, an
+    * exact-cosine-on-shortlist check) specs each one. */
   val oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopkBruteSql
   )

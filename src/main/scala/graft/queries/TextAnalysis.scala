@@ -651,24 +651,35 @@ object TextAnalysis {
     * IPv4- or phone-shaped run inside an email's local/domain part is
     * neither counted nor substituted) and the counts are mutually
     * consistent with `scrubbed_md5`. */
+  /** The replacement passes, in order — the ONE definition both the
+    * counting scrub and the streaming redaction derive from, so the
+    * pass order can't drift between them. */
+  val PiiPasses: Seq[(String, String, String)] = Seq(
+    ("n_email", EmailPattern, "<EMAIL>"),
+    ("n_ipv4", Ipv4Pattern, "<IP>"),
+    ("n_phone", PhonePattern, "<PHONE>"))
+
   def piiScrub(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
-    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
-    val afterIp = regexp_replace(afterEmail, Ipv4Pattern, "<IP>")
-    docs.select(
-      col("doc_id"),
-      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_email"),
-      size(regexp_extract_all(afterEmail, lit(Ipv4Pattern), lit(0))).cast("long").as("n_ipv4"),
-      size(regexp_extract_all(afterIp, lit(PhonePattern), lit(0))).cast("long").as("n_phone"),
-      md5(regexp_replace(afterIp, PhonePattern, "<PHONE>")).as("scrubbed_md5"))
+    // stages(i) = text after the first i passes; kind i is counted on
+    // stages(i), so counts == replacements performed
+    val stages = PiiPasses.scanLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
+    val counts = PiiPasses.zip(stages).map { case ((name, pat, _), stage) =>
+      size(regexp_extract_all(stage, lit(pat), lit(0))).cast("long").as(name)
+    }
+    docs.select(col("doc_id") +: counts :+ md5(stages.last).as("scrubbed_md5"): _*)
   }
 
   /** The redaction alone, as one stateless expression — the streaming
-    * curation path appends it after its dedup ([[graft.streaming.CurationStream]]).
-    * Same pass order as [[piiScrub]], whose oracle gates the
-    * replacement semantics. */
+    * curation path appends it after its dedup
+    * ([[graft.streaming.CurationStream]]). Folds the same [[PiiPasses]]
+    * the oracle-gated [[piiScrub]] hashes, so the shipped text and the
+    * hash-gated replacement semantics are one expression. */
   def scrubExpr(text: Column): Column =
-    regexp_replace(regexp_replace(regexp_replace(text,
-      EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"), PhonePattern, "<PHONE>")
+    PiiPasses.foldLeft(text) { case (t, (_, pat, repl)) =>
+      regexp_replace(t, pat, repl)
+    }
 
   // NB: the synthetic-PII fragment is ONE interpolated line. A
   // multi-line fragment whose lines start with `||` gets its first `|`

@@ -385,18 +385,21 @@ class ChunkFingerprintSpec extends SparkSpec {
 
 class PqSpec extends SparkSpec {
   test("ann_pq: recall >= 0.8 vs brute force after exact re-rank") {
-    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
-    val brute = keys(graft.queries.Ann.annTopkBrute(spark, sf))
-    val pq = keys(graft.queries.Ann.annPq(spark, sf))
-    val recall = pq.intersect(brute).size.toDouble / brute.size
+    // collect each pipeline ONCE; recall and the exact-score check both
+    // derive from the same rows (these are the suite's priciest plans)
+    val bruteRows = graft.queries.Ann.annTopkBrute(spark, sf).collect()
+    val pqRows = graft.queries.Ann.annPq(spark, sf).collect()
+    def keys(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = keys(bruteRows)
+    val recall = keys(pqRows).intersect(brute).size.toDouble / brute.size
     info(s"pq recall = $recall")
     assert(recall >= 0.8, s"recall $recall too low")
     // the re-ranked cosines are EXACT — any (qid, nid) the shortlist
     // shares with brute force must carry the identical score
-    val bruteCos = graft.queries.Ann.annTopkBrute(spark, sf).collect()
+    val bruteCos = bruteRows
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cos")).toMap
-    graft.queries.Ann.annPq(spark, sf).collect().foreach { r =>
+    pqRows.foreach { r =>
       val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
       bruteCos.get(k).foreach(c => assert(c === r.getAs[Double]("cos"), k.toString))
     }

@@ -198,17 +198,23 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") === 0, p)
   }
 
-  test("tx_repetition: two shuffles (gram count + doc rollup), generate stays in codegen") {
+  test("tx_repetition: two shuffles (gram count + doc rollup), no lambda in the generator") {
     val df = graft.queries.TextAnalysis.txRepetition(spark, sf)
     val p = physical(df)
     assert(shuffles(p) === 2, p)
     assert(bigJoins(p) + crossJoins(p) === 0, p)
-    // the explode must sit inside a WholeStageCodegen span — a
-    // higher-order lambda in the generator would fall back to
-    // interpreted eval (the round-4 regression this guards against)
-    val f = formatted(df)
-    val gen = "\\((\\d+)\\) Generate".r.findFirstMatchIn(f)
-    assert(gen.isDefined, "Generate not codegen'd: " + f.take(2000))
+    // the generator must be built from codegen-resident expressions
+    // (arrays_zip/slice) — a higher-order lambda (ArrayTransform etc.)
+    // anywhere in the plan is CodegenFallback and re-introduces the
+    // interpreted per-element eval this query regressed on in round 4.
+    // Inspect the expression trees, not the explain text: that's what
+    // actually discriminates.
+    import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
+    val hofs = df.queryExecution.optimizedPlan.collect { case node =>
+      node.expressions.flatMap(_.collect { case h: HigherOrderFunction => h })
+    }.flatten
+    assert(hofs.isEmpty, s"higher-order functions in plan: $hofs")
+    assert(p.contains("arrays_zip"), p)
   }
 
   test("dd_chunk_dup: both consumers read the one persisted chunk table") {
