@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{LongDot, SignBuckets}
+import graft.functions.{LongDot, PqCodes, PqTable, SignBuckets}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,7 +31,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => LongDot(args(0), args(1))),
     (FunctionIdentifier("graft_sign_buckets"),
       new ExpressionInfo(classOf[SignBuckets].getName, "graft_sign_buckets"),
-      (args: Seq[Expression]) => SignBuckets(args(0), args(1)))
+      (args: Seq[Expression]) => SignBuckets(args(0), args(1))),
+    (FunctionIdentifier("graft_pq_codes"),
+      new ExpressionInfo(classOf[PqCodes].getName, "graft_pq_codes"),
+      (args: Seq[Expression]) => PqCodes(args(0), args(1), args(2))),
+    (FunctionIdentifier("graft_pq_table"),
+      new ExpressionInfo(classOf[PqTable].getName, "graft_pq_table"),
+      (args: Seq[Expression]) => PqTable(args(0), args(1), args(2)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -238,30 +238,25 @@ object Ann {
   private val pqMemo =
     graft.SessionMemo.named[Array[Array[Array[Long]]]]("ann_pq_codebooks")
 
-  /** 1-based `slice`: subspace `m` (0-based) of a quantized vector. */
-  private def subvec(v: Column, m: Int): Column =
-    slice(v, m * PqSubDims + 1, PqSubDims)
+  /** The codebook as the flattened (m-major) literal the
+    * [[graft.functions.PqCodes]]/[[graft.functions.PqTable]] kernels
+    * take. One tree node instead of the ~400-node per-subspace
+    * dot/struct/greatest composition, whose analysis + codegen
+    * dominated ann_pq's wall-clock at every data size (the same
+    * pathology [[graft.functions.SignBuckets]] fixed for LSH). */
+  private def booksLit(books: Array[Array[Array[Long]]]): Column =
+    typedLit(books.flatMap(_.flatMap(_.toSeq)).toSeq)
 
-  /** argmin-L2 code for `sub` against one subspace's codebook, as one
-    * expression: L2² = |sub|² − 2·dot + |c|², and |sub|² is constant
-    * across codes, so argmin L2 == argmax (2·dot − |c|²). Lexicographic
-    * greatest over (score, −j) structs breaks ties toward the LOWER
-    * code id deterministically. */
-  private def pqCodeExpr(book: Array[Array[Long]], sub: Column): Column = {
-    val scored = book.zipWithIndex.map { case (c, j) =>
-      val cn2 = c.map(x => x * x).sum
-      struct(
-        (Vectors.dot(sub, typedLit(c.toSeq)) * 2L - lit(cn2)).as("s"),
-        lit(-j).as("nj"))
-    }
-    -greatest(scored.toIndexedSeq: _*).getField("nj")
-  }
+  /** All M argmin-L2 codes of a vector in one fused kernel. */
+  private def pqCodes(v: Column, books: Array[Array[Array[Long]]]): Column =
+    call_function("graft_pq_codes", v, booksLit(books), lit(PqSubspaces))
 
   /** Per-subspace Lloyd on the subvectors — all M subspaces train in
-    * the SAME distributed pass (explode to (m, subvector), assign with
-    * an m-dispatched argmin, per-(m, code, dim) mean). Collected state
-    * is M·k·subdims longs per round — bounded, broadcastable. Empty
-    * clusters keep their previous centroid. */
+    * the SAME distributed pass: one fused-kernel assign of all M codes
+    * per vector, one posexplode of the vector's dims (subspace and
+    * in-subspace dim derive from the position), per-(m, code, dim)
+    * mean. Collected state is M·k·subdims longs per round — bounded,
+    * broadcastable. Empty clusters keep their previous centroid. */
   private def trainCodebooks(e: DataFrame, spark: SparkSession): Array[Array[Array[Long]]] = {
     import spark.implicits._
     val seeds = e.filter(col("vec_id") < PqK).orderBy("vec_id")
@@ -275,15 +270,13 @@ object Ann {
       Array.tabulate(PqK)(j =>
         seeds(j % seeds.length).slice(m * PqSubDims, (m + 1) * PqSubDims).toArray))
     for (_ <- 0 until PqLloydIters) {
-      val subs = e.select(posexplode(
-        array((0 until PqSubspaces).map(m => subvec(col("qv"), m)): _*))
-        .as(Seq("m", "sub")))
-      val assignByM = (0 until PqSubspaces).foldRight(lit(-1): Column) { (m, acc) =>
-        when(col("m") === m, pqCodeExpr(books(m), col("sub"))).otherwise(acc)
-      }
-      val means = subs.withColumn("j", assignByM)
-        .select(col("m"), col("j"), posexplode(col("sub")).as(Seq("d", "v")))
-        .groupBy(col("m"), col("j"), col("d")).agg(avg(col("v")).as("mean"))
+      val means = e.select(pqCodes(col("qv"), books).as("codes"),
+          posexplode(col("qv")).as(Seq("d", "v")))
+        .select(expr(s"CAST(d DIV $PqSubDims AS INT)").as("m"),
+          expr(s"CAST(d % $PqSubDims AS INT)").as("sd"), col("codes"), col("v"))
+        .select(col("m"), element_at(col("codes"), col("m") + lit(1)).as("j"),
+          col("sd"), col("v"))
+        .groupBy(col("m"), col("j"), col("sd")).agg(avg(col("v")).as("mean"))
         .as[(Int, Int, Int, Double)].collect()
         .groupBy(t => (t._1, t._2))
         .view.mapValues(ts => ts.sortBy(_._3).map(_._4.round).toArray).toMap
@@ -315,24 +308,22 @@ object Ann {
     val e = quantized(s, d)
     val books = pqMemo.getOrBuild(s, d)(trainCodebooks(e, s))
     val codes = e.select(col("vec_id"), col("n2"),
-      array((0 until PqSubspaces).map(m => pqCodeExpr(books(m), subvec(col("qv"), m))): _*)
-        .as("codes"))
-    // per-query ADC table: qtab[m][j] = dot(q_sub[m], book[m][j])
+      pqCodes(col("qv"), books).as("codes"))
+    // per-query ADC table, flat: qtab[m·K + j] = dot(q_sub[m], book[m][j])
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"),
-        array((0 until PqSubspaces).map(m =>
-          array(books(m).map(c =>
-            Vectors.dot(subvec(col("qv"), m), typedLit(c.toSeq))).toIndexedSeq: _*)): _*)
+        call_function("graft_pq_table", col("qv"), booksLit(books), lit(PqSubspaces))
           .as("qtab"))
-    // statically unrolled Σₘ qtab[m][code[m]] — PqSubspaces is a
+    // statically unrolled Σₘ qtab[m·K + code[m]] — PqSubspaces is a
     // compile-time constant, and a higher-order aggregate() here would
     // be CodegenFallback, running an interpreted fold on the hottest
     // path of the query (every corpus row × query); the unrolled sum
     // stays inside whole-stage codegen
     val approx = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("adc", (0 until PqSubspaces).map(m =>
-        element_at(element_at(col("qtab"), lit(m + 1)),
-          element_at(col("codes"), lit(m + 1)) + lit(1))).reduce(_ + _))
+        element_at(col("qtab"),
+          lit(m * PqK) + element_at(col("codes"), lit(m + 1)) + lit(1)))
+        .reduce(_ + _))
       // approximate cosine: ADC dot over the candidate's TRUE norm
       // (query norm is constant per partition — ranking-irrelevant)
       .withColumn("score", col("adc").cast("double") / sqrt(col("n2").cast("double")))
