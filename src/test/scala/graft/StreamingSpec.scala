@@ -361,6 +361,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("embed dedup stream drops reference near-dups, admits novel vectors") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(graft.queries.Dedup.Dims)(rnd.nextFloat() * 2 - 1)
+    val base = vec()
+    val ref = Seq((100L, base), (101L, vec()), (102L, vec()))
+      .toDF("vec_id", "embedding")
+    val refIndex = graft.streaming.EmbedDedupStream.referenceIndex(ref)
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val stream = input.toDS().toDF("vec_id", "embedding")
+    val q = graft.streaming.EmbedDedupStream
+      .novelVectors(stream, refIndex, tau = 0.95)
+      .writeStream.format("memory").queryName("novel_vectors")
+      .outputMode("append").start()
+    try {
+      // id 1 ≈ reference 100 (cos ≈ 0.999) → dropped; 2 and 3 are
+      // independent random vectors → admitted (random 64-dim cosine
+      // concentrates near 0, far from the 0.95 cut)
+      val near = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.02f)
+      input.addData(Seq((1L, near), (2L, vec()), (3L, vec())))
+      q.processAllAvailable()
+      // an exact copy of a reference vector in a second batch — the
+      // gate is stateless, so the static side screens every batch
+      input.addData(Seq((4L, base.clone()), (5L, vec())))
+      q.processAllAvailable()
+      val admitted = spark.table("novel_vectors").collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(admitted === Set(2L, 3L, 5L), admitted.toString)
+    } finally q.stop()
+
+    // the gate must agree with the batch blocking+cosine semantics:
+    // batch pair generation over (ref ∪ probes) finds a cross pair
+    // exactly when the stream would have dropped the probe
+    val probes = Seq((1L, base.map(x => x + 0.001f)), (2L, vec()))
+      .toDF("vec_id", "embedding")
+    val union = ref.union(probes)
+    val batchPairs = graft.queries.Dedup.embedCosinePairs(union, 0.95)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(batchPairs.exists { case (a, b) => a == 1L && b >= 100L || b == 1L && a >= 100L })
+  }
+
   test("streaming dedup keeps only the first occurrence of each text") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
