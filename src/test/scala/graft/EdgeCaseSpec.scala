@@ -83,4 +83,42 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.getAs[Seq[String]]("sh") === Seq.empty)
     assert(out.getAs[Seq[Long]]("hs") === Seq.empty)
   }
+
+  test("pii scrub of empty and pii-only texts: counts zero / full replacement") {
+    import graft.queries.TextAnalysis
+    val docs = Seq((1L, ""), (2L, "a@b.co"), (3L, "<EMAIL>")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs, col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"), r.getAs[Long]("n_phone")))).toMap
+    assert(got(1L) === ((0L, 0L, 0L)))
+    assert(got(2L) === ((1L, 0L, 0L))) // whole text is one email
+    assert(got(3L) === ((0L, 0L, 0L))) // a literal placeholder is not PII
+  }
+
+  test("sequence packing of an empty frame and a lone one-token doc") {
+    import graft.queries.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.packSequences(empty, 8, 16L).count() === 0)
+    // "" splits to one empty token — a 1-token doc, packed at offset 0
+    val lone = Seq((5L, "")).toDF("doc_id", "text")
+    val r = TextAnalysis.packSequences(lone, 8, 16L).collect().head
+    assert(r.getAs[Long]("shard") === 5L && r.getAs[Long]("n_tok") === 1L
+      && r.getAs[Long]("start_tok") === 0L && r.getAs[Long]("seq_in_shard") === 0L)
+  }
+
+  test("rarity of a single-token corpus is exactly 1e9") {
+    import graft.queries.TextAnalysis
+    val one = Seq((1L, "word")).toDF("doc_id", "text")
+    val r = TextAnalysis.rarityScores(one).collect().head
+    assert(r.getAs[Long]("mean_freq_x1e9") === 1000000000L)
+  }
+
+  test("chunk-dup profile of a single doc: every chunk unique") {
+    import graft.queries.{Dedup, TextAnalysis}
+    val one = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val r = Dedup.chunkDupProfile(TextAnalysis.chunkFingerprints(one)).collect().head
+    assert(r.getAs[Long]("dup_chunk_x1000") === 0L)
+    assert(r.getAs[Long]("dup_word_x1000") === 0L)
+    assert(r.getAs[Long]("n_words") === 50L)
+  }
 }
