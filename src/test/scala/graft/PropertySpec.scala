@@ -196,4 +196,37 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: PQ kernels match a brute-force reference on random codebooks") {
+    import graft.functions.{PqCodes, PqTable}
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    val numM = 4; val sub = 4; val dims = numM * sub; val k = 5
+    val gen = for {
+      vec <- Gen.listOfN(dims, Gen.chooseNum(-1000000L, 1000000L))
+      books <- Gen.listOfN(numM * k * sub, Gen.chooseNum(-1000000L, 1000000L))
+    } yield (vec.toArray, books.toArray)
+    forAll(gen, n = 40) { case (vec, books) =>
+      // reference: per subspace, explicit argmin of the true L2², first
+      // minimum wins ties (the kernel's strict > on 2·dot − |c|² must
+      // agree: both reduce to the same lexicographic choice)
+      def l2(m: Int, j: Int): Long = (0 until sub).map { d =>
+        val diff = vec(m * sub + d) - books((m * k + j) * sub + d)
+        diff * diff
+      }.sum
+      val wantCodes = (0 until numM).map(m =>
+        (0 until k).minBy(j => (l2(m, j), j))).toArray
+      val wantTable = (0 until numM).flatMap(m => (0 until k).map(j =>
+        (0 until sub).map(d =>
+          vec(m * sub + d) * books((m * k + j) * sub + d)).sum)).toArray
+      val vecData = new GenericArrayData(vec)
+      val booksData = new GenericArrayData(books)
+      val gotCodes = PqCodes(null, null, null)
+        .nullSafeEval(vecData, booksData, numM).asInstanceOf[ArrayData].toIntArray()
+      val gotTable = PqTable(null, null, null)
+        .nullSafeEval(vecData, booksData, numM).asInstanceOf[ArrayData].toLongArray()
+      assert(gotCodes.sameElements(wantCodes),
+        s"codes ${gotCodes.toList} != ${wantCodes.toList}")
+      assert(gotTable.sameElements(wantTable))
+    }
+  }
 }
