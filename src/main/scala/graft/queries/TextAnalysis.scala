@@ -607,6 +607,73 @@ object TextAnalysis {
        |    // $PackBudget AS seq_in_shard
        |FROM t""".stripMargin
 
+  // ---- #34j hashed linear classifier ---------------------------------
+
+  /** Feature space of the hashed bag-of-words classifier. */
+  val ClsDims = 1024
+
+  /** Deterministic stand-in weights (md5-derived ints in ±1000). A
+    * production run loads TRAINED weights into the same literal — the
+    * derivation here exists so the DuckDB oracle can recompute the
+    * identical vector and gate the scoring math. */
+  def clsWeight(i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"w_$i".getBytes("UTF-8"))
+    val h = java.lang.Long.parseLong(
+      d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    (h % 2001L) - 1000L
+  }
+
+  /** #34j tx_classify — linear-classifier inference over hashed
+    * bag-of-words features, the fastText-style quality/toxicity
+    * filtering pass corpus builds run over every document: token →
+    * feature index by portable 60-bit hash mod [[ClsDims]], per-doc
+    * score = Σ w[idx(token)] (the logit numerator, exact integers —
+    * the keep/drop decision is `score > 0`). No division: Spark `DIV`
+    * truncates toward zero while DuckDB `//` floors, so a mean of a
+    * NEGATIVE sum would diverge between the engines; the raw sum plus
+    * n_tok carries the same information exactly.
+    *
+    * Scale: the weight vector rides as ONE array literal (8 KB) inside
+    * the projection — model inference at scan speed, no join, no
+    * broadcast table, no UDF; one map-side-combined per-doc agg is the
+    * only shuffle. This is the shape any linear/hashed model (quality,
+    * language, toxicity) deploys at 100 TB. */
+  def txClassify(s: SparkSession, d: String): DataFrame =
+    classifyScores(Tables.documents(s, d))
+
+  /** The scorer over any (doc_id, text) frame — split out so specs can
+    * pin exact scores on a constructed vocabulary. */
+  def classifyScores(docs: DataFrame): DataFrame = {
+    val weights = typedLit((0 until ClsDims).map(clsWeight))
+    docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), element_at(weights,
+        pmod(graft.functions.PortableHash.long60(col("t")), lit(ClsDims))
+          .cast("int") + lit(1)).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"))
+      .select(col("doc_id"), col("n_tok"), col("score"),
+        expr("CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)").as("kept"))
+  }
+
+  val txClassifySql: String = {
+    val h = graft.functions.PortableHash.long60Sql("t")
+    s"""WITH w AS (
+       |  SELECT i, (${graft.functions.PortableHash.long60Sql(s"'w_' || CAST(i AS VARCHAR)")}
+       |    % 2001) - 1000 AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${ClsDims - 1})) AS i)),
+       |words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |feat AS (SELECT doc_id, $h % $ClsDims AS i FROM words)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM(wv) AS BIGINT) AS score,
+       |  CAST(CASE WHEN CAST(SUM(wv) AS BIGINT) > 0
+       |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+       |FROM feat JOIN w USING (i)
+       |GROUP BY doc_id""".stripMargin
+  }
+
   // ---- #34h PII scrubbing --------------------------------------------
 
   /** Portable (Java-regex ∩ RE2) PII patterns. No lookaround, no
@@ -704,6 +771,7 @@ object TextAnalysis {
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_classify" -> (txClassify _),
     "tx_pack" -> (txPack _),
     "tx_rarity" -> (txRarity _),
     "tx_pii_scrub" -> (txPiiScrub _),
@@ -720,6 +788,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_classify" -> txClassifySql,
     "tx_pack" -> txPackSql,
     "tx_rarity" -> txRaritySql,
     "tx_pii_scrub" -> txPiiScrubSql,

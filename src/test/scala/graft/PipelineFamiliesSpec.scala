@@ -205,6 +205,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx_classify: scores are exact weight sums over hashed features") {
+    import spark.implicits._
+    // reference computation in plain Scala: same md5 hash, same mod
+    def idx(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+      (h % TextAnalysis.ClsDims).toInt
+    }
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.classifyScores(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tok"), r.getAs[Long]("score"), r.getAs[Long]("kept")))).toMap
+    val s1 = Seq("alpha", "beta", "gamma").map(t => TextAnalysis.clsWeight(idx(t))).sum
+    val s2 = 2 * TextAnalysis.clsWeight(idx("alpha"))
+    assert(got(1L) === ((3L, s1, if (s1 > 0) 1L else 0L)))
+    assert(got(2L) === ((2L, s2, if (s2 > 0) 1L else 0L)))
+    // corpus: one row per doc, kept consistent with score
+    val real = TextAnalysis.txClassify(spark, sf).collect()
+    assert(real.length === Tables.documents(spark, sf).count())
+    real.foreach { r =>
+      assert((r.getAs[Long]("score") > 0) === (r.getAs[Long]("kept") == 1L))
+    }
+    // the synthetic weights must not be degenerate: both classes occur
+    assert(real.exists(_.getAs[Long]("kept") == 1L))
+    assert(real.exists(_.getAs[Long]("kept") == 0L))
+  }
+
   test("tx_pack: exact offsets and bins on a constructed shard") {
     import spark.implicits._
     // one shard (ids all ≡ 1 mod 8): lengths 3, 4, 5 → starts 0, 3, 7;
