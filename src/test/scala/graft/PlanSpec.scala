@@ -178,6 +178,16 @@ class PlanSpec extends SparkSpec {
     assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
   }
 
+  test("tx_classify: model scoring is one map-side-combined agg, no join") {
+    val p = physical(graft.queries.TextAnalysis.txClassify(spark, sf))
+    // the weight vector rides as an array literal inside the
+    // projection — a join or broadcast against a weights table would
+    // mean the literal design regressed
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "HashAggregate") === 2, p)
+  }
+
   test("tx_pack: one per-shard window, never a single-partition exchange") {
     val p = physical(graft.queries.TextAnalysis.txPack(spark, sf))
     assert(nodes(p, "Exchange SinglePartition") === 0, p)
