@@ -62,14 +62,31 @@ object Bench {
       name -> times.collect { case Right(t) => t }.minOption
         .toRight(times.collectFirst { case Left(e) => e }.getOrElse("unknown"))
     }
+    // Floor probe: a trivial one-row parquet-scan noop-write pays the
+    // same per-query fixed costs every benched query pays (job/stage
+    // submission, AQE re-plan, codegen compile cache lookup, write
+    // commit protocol) with ~zero data work. Reporting it in the JSON
+    // lets the per-round comparison decompose total runtime into
+    // n_queries × floor + data-proportional work, instead of that
+    // split being re-derived by hand each round. min-of-5: the probe
+    // is sub-100ms, so it is the most host-noise-sensitive number.
+    val floor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/region.parquet").limit(1)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(e)) =>
         "\"" + k + "\":\"ERROR " + e.replaceAll("[\"\\\\\n]", " ").take(120) + "\""
     }.mkString("{", ",", "}")
     val errs = results.count(_._2.isLeft)
-    val total = results.collect { case (_, Right(v)) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (_, Right(v)) => v }
+    val total = ok.sum
+    val floorTotal = floor * ok.size
+    val dataProp = math.max(total - floorTotal, 0.0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (SURVEY.md §2 #38, rows-only).
+/** Multimodal column plumbing (SURVEY.md §2 #38; metadata hash-gated).
   *
   * Pattern for image/audio/video at 100 TB: the payload is an opaque
   * `binary` column with a typed metadata struct; decode/feature-extract
@@ -133,12 +133,55 @@ object Multimodal {
     }(enc)
   }
 
+  /** #38c dumped form: the binary-out transform (`mmResize`) projected
+    * to hash-gated metadata + an md5 digest OF the real payload bytes.
+    * The digest rides through the actual `mapPartitions` resize path,
+    * so the oracle verifies the byte-level stub cross-engine without
+    * shipping a blob column through the stringified compare. */
+  def mmResizeDigest(s: SparkSession, d: String): DataFrame =
+    mmResize(s, d).select(
+      col("doc_id"),
+      col("orig_len"),
+      length(col("resized")).as("resized_len"),
+      md5(col("resized")).as("resized_md5"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_resize" -> (mmResize _)
+    "mm_resize" -> (mmResizeDigest _)
   )
 
-  /** rows-only: the stubbed decode has no SQL twin. */
-  val oracles: Map[String, String] = Map.empty
+  /** The stub decode is deterministic byte math, so its outputs ARE
+    * SQL-expressible: the oracles recompute width/height/offsets/
+    * features/digests from the same UTF-8 payload bytes in DuckDB
+    * (documents.text is ASCII in the testdata, so character position
+    * == byte offset and md5(VARCHAR) == md5 of the payload). This
+    * moves all three mm keys from rows-only to rows+schema+hash. */
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |       length(text) AS byte_len,
+        |       CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) + 1 ELSE 0 END AS fake_width,
+        |       CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS fake_height,
+        |       source
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT d.doc_id,
+        |       t.i AS frame_idx,
+        |       t.i * greatest(length(d.text) // 4, 1) AS frame_offset,
+        |       ascii(substr(d.text, t.i * greatest(length(d.text) // 4, 1) + 1, 1)) AS frame_feature
+        |FROM documents d
+        |CROSS JOIN range(0, 4) t(i)
+        |WHERE t.i * greatest(length(d.text) // 4, 1) < length(d.text)""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        |       length(text) AS orig_len,
+        |       least(length(text), 64) AS resized_len,
+        |       md5(CASE WHEN length(text) <= 64 THEN text
+        |           ELSE list_aggregate(list_transform(range(0, 64), i ->
+        |                  substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)),
+        |                'string_agg', '')
+        |           END) AS resized_md5
+        |FROM documents""".stripMargin
+  )
 }
