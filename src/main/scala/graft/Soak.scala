@@ -1,0 +1,136 @@
+package graft
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: run the dedup/ANN/heavy-text family at ~sf1 and record
+  * per-query wall time plus PER-STAGE SHUFFLE VOLUME, so the scale
+  * claims ("df-cap keeps buckets bounded", "band-join never goes
+  * all-pairs") are backed by measured shuffle bytes on data where the
+  * Zipf head actually hurts, not just by plan shapes at sf0.1.
+  *
+  * The soak corpus is a `copies`-way self-union of sf0.1 with remapped
+  * ids — deliberately adversarial for dedup: every document gains
+  * `copies-1` exact twins, so every shingle's document frequency and
+  * every LSH bucket's occupancy inflates by exactly `copies`. A pair
+  * generator that were quadratic in bucket size would blow up by
+  * copies² here; the expected (and asserted-by-eye) behavior is
+  * shuffle volume and runtime growing ~linearly in `copies`.
+  *
+  * Usage: `sbt "runMain graft.Soak"`; env knobs:
+  *   SPARK_GRAFT_SOAK_SRC    source sf dir   (default /root/testdata/sf0.1)
+  *   SPARK_GRAFT_SOAK_DIR    scratch dir     (default target/soak-sf1)
+  *   SPARK_GRAFT_SOAK_COPIES union factor    (default 10 → ~sf1)
+  *   SPARK_GRAFT_CPUS        local cores     (default 8)
+  * Prints one JSON line per query:
+  *   {"query":…,"sec":…,"shuffle_write_mb":…,"shuffle_read_mb":…,
+  *    "spill_mb":…,"stages":…,"max_stage_shuffle_write_mb":…}
+  */
+object Soak {
+
+  /** Accumulates task-metric totals between `reset()` calls. Listener
+    * events are delivered async; `quiesce()` waits until every started
+    * job has ended and no stage completion arrived in the last poll. */
+  private final class MetricsListener extends SparkListener {
+    val shuffleWrite = new AtomicLong(0)
+    val shuffleRead = new AtomicLong(0)
+    val spill = new AtomicLong(0)
+    val stages = new AtomicInteger(0)
+    val maxStageShuffleWrite = new AtomicLong(0)
+    val jobsStarted = new AtomicInteger(0)
+    val jobsEnded = new AtomicInteger(0)
+
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        val w = m.shuffleWriteMetrics.bytesWritten
+        shuffleWrite.addAndGet(w)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        spill.addAndGet(m.diskBytesSpilled)
+        maxStageShuffleWrite.updateAndGet(math.max(_, w))
+        stages.incrementAndGet()
+      }
+    }
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      jobsStarted.incrementAndGet()
+    override def onJobEnd(j: SparkListenerJobEnd): Unit =
+      jobsEnded.incrementAndGet()
+
+    def reset(): Unit = {
+      shuffleWrite.set(0); shuffleRead.set(0); spill.set(0)
+      stages.set(0); maxStageShuffleWrite.set(0)
+      jobsStarted.set(0); jobsEnded.set(0)
+    }
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      var lastStages = -1
+      while (System.nanoTime() < deadline &&
+        (jobsStarted.get() != jobsEnded.get() || stages.get() != lastStages)) {
+        lastStages = stages.get()
+        Thread.sleep(100)
+      }
+    }
+  }
+
+  /** Queries whose scale behavior the soak certifies: every near-dup
+    * variant, the ANN tiers, and the shuffle-heaviest text queries. */
+  val SoakQueries: Seq[String] = Seq(
+    "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+    "dd_chunk_dup", "dd_cluster", "dd_embed_cosine",
+    "ann_topk_brute", "ann_lsh_bucket", "ann_ivf", "ann_pq",
+    "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
+    val workDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR", "target/soak-sf1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- corpus build: copies-way self-union, ids remapped so every
+    // copy is a distinct row (offset is far above any real id) ----
+    val off = 100000000L
+    val docs = Tables.documents(spark, srcDir)
+    (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
+    val embs = Tables.embeddings(spark, srcDir)
+    (0 until copies).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+
+    val nDocs = spark.read.parquet(s"$workDir/documents.parquet").count()
+    val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
+    println(s"""{"soak_corpus":{"docs":$nDocs,"vecs":$nVecs,"copies":$copies,"src":"$srcDir"}}""")
+
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val queries = SparkEntry.queries
+    SoakQueries.foreach { name =>
+      val fn = queries(name)
+      listener.reset()
+      val t0 = System.nanoTime()
+      val res =
+        try { fn(spark, workDir).write.format("noop").mode("overwrite").save(); Right(()) }
+        catch { case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      listener.quiesce()
+      def mb(l: AtomicLong) = l.get() / 1e6
+      res match {
+        case Right(_) =>
+          println(f"""{"query":"$name","sec":$sec%.2f,"shuffle_write_mb":${mb(listener.shuffleWrite)}%.1f,"shuffle_read_mb":${mb(listener.shuffleRead)}%.1f,"spill_mb":${mb(listener.spill)}%.1f,"stages":${listener.stages.get()},"max_stage_shuffle_write_mb":${mb(listener.maxStageShuffleWrite)}%.1f}""")
+        case Left(e) =>
+          println(s"""{"query":"$name","error":"${e.replaceAll("[\"\\\\\n]", " ").take(160)}"}""")
+      }
+    }
+    spark.stop()
+  }
+}
