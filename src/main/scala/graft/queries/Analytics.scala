@@ -338,7 +338,38 @@ object Analytics {
       |WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** #26e q_pivot — pivoted wide aggregate: order count and exact
+    * revenue per priority × status, one row per priority. The pivot
+    * values are DECLARED (`Seq("F","O","P")`): pivot without an
+    * explicit value list first runs a distinct-collect job over the
+    * pivot column to discover them, which at 100 TB is a whole extra
+    * scan; with the list Spark plans straight to ONE map-side-combined
+    * hash-agg (each status's count/sum is a conditional aggregate —
+    * same single shuffle as any grouped agg). Missing (priority,
+    * status) cells surface as NULL, matching pivot semantics. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        fromUnits(sum(cents($"o_totalprice")), 2).as("rev"))
+  }
+
+  /** Conditional-aggregation twin; `FILTER` + CASE reproduces pivot's
+    * NULL-for-missing-cell semantics (COUNT FILTER alone yields 0). */
+  val qPivotSql: String = {
+    val cells = Seq("F", "O", "P").map { st =>
+      s"""  CASE WHEN COUNT(*) FILTER (WHERE o_orderstatus = '$st') > 0
+         |       THEN COUNT(*) FILTER (WHERE o_orderstatus = '$st') END AS "${st}_n",
+         |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         |       FILTER (WHERE o_orderstatus = '$st') AS DOUBLE)/100.0 AS "${st}_rev"""".stripMargin
+    }.mkString(",\n")
+    s"SELECT o_orderpriority,\n$cells\nFROM orders GROUP BY o_orderpriority"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_median" -> (qMedian _),
     "q_asof_join" -> (qAsofJoin _),
@@ -351,6 +382,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
     "q_median" -> qMedianSql,
     "q_asof_join" -> qAsofJoinSql,

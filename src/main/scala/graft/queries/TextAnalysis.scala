@@ -770,7 +770,60 @@ object TextAnalysis {
 
   // ---- registry ------------------------------------------------------
 
+  // ---- #34k character-diversity quality signal -----------------------
+
+  /** #34k tx_char_diversity — per-document character-diversity score:
+    * distinct-character count plus a Simpson concentration index
+    * (1 − Σ n_c² / n²). Low diversity flags machine-generated /
+    * keyboard-mash / repeated-filler text that length and stopword
+    * ratios miss — the FP-free stand-in for character entropy (Simpson
+    * is a rational number, so it cross-checks bit-for-bit where an
+    * entropy's log-space double sum would diverge between engines).
+    *
+    * Exactness: counts are integers; the index is quantized to integer
+    * parts-per-billion with decimal(38) cross-multiplication (n_c²·10⁹
+    * overflows int64 once a document passes ~55 k repeats of one
+    * char — real at 100 TB where single "documents" can be pathological
+    * concatenations). Truncating division on positives matches DuckDB
+    * `//` floor semantics.
+    *
+    * Scale: one explode that map-side-combines immediately to
+    * (doc, char, count) — ≤ |alphabet| rows per doc regardless of
+    * length — then a per-doc sum. No join, no skew (the partial
+    * aggregate bounds any hot partition before the shuffle). */
+  def txCharDiversity(s: SparkSession, d: String): DataFrame =
+    charDiversity(Tables.documents(s, d))
+
+  /** The scorer over any (doc_id, text) frame — split out so specs can
+    * assert exact ppb values on constructed strings. */
+  def charDiversity(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_ch"),
+        count(lit(1)).as("distinct_chars"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"))
+      .select(col("doc_id"), col("n_ch"), col("distinct_chars"),
+        expr("CAST(1000000000 - CAST(sumsq AS DECIMAL(38,0)) * 1000000000" +
+          " DIV (CAST(n_ch AS DECIMAL(38,0)) * n_ch) AS BIGINT)")
+          .as("simpson_x1e9"))
+
+  val txCharDiversitySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |       FROM chars GROUP BY doc_id, ch)
+      |SELECT doc_id,
+      |       CAST(SUM(c) AS BIGINT) AS n_ch,
+      |       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+      |       CAST(1000000000 - SUM(CAST(c AS HUGEINT) * c) * 1000000000
+      |            // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS simpson_x1e9
+      |FROM cc GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_char_diversity" -> (txCharDiversity _),
     "tx_classify" -> (txClassify _),
     "tx_pack" -> (txPack _),
     "tx_rarity" -> (txRarity _),
@@ -788,6 +841,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_char_diversity" -> txCharDiversitySql,
     "tx_classify" -> txClassifySql,
     "tx_pack" -> txPackSql,
     "tx_rarity" -> txRaritySql,

@@ -14,6 +14,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === Tables.lineitem(spark, sf).count())
   }
 
+  test("q_pivot: cells reconcile with the flat groupBy; no discovery job") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qPivot(spark, sf).collect()
+    // one row per priority, 1 + 3×2 columns
+    assert(rows.map(_.getAs[String]("o_orderpriority")).distinct.length === rows.length)
+    assert(rows.head.schema.fieldNames.toSeq ===
+      Seq("o_orderpriority", "F_n", "F_rev", "O_n", "O_rev", "P_n", "P_rev"))
+    // every pivot cell equals the corresponding flat group count
+    val flat = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      Seq("F", "O", "P").foreach { st =>
+        val cell = Option(r.getAs[java.lang.Long](s"${st}_n")).map(_.toLong)
+        assert(cell === flat.get((p, st)), s"cell ($p, $st)")
+      }
+    }
+    // pivot totals cover the whole table
+    val total = rows.flatMap(r => Seq("F", "O", "P")
+      .flatMap(st => Option(r.getAs[java.lang.Long](s"${st}_n")).map(_.toLong))).sum
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
   test("q3_join_topn: top-10, descending revenue") {
     val rows = Analytics.q3JoinTopn(spark, sf).collect()
     assert(rows.length <= 10)

@@ -161,6 +161,34 @@ class DedupSpec extends SparkSpec {
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("tx_char_diversity: exact ppb Simpson on constructed strings") {
+    import spark.implicits._
+    // "aaaa": one char class => concentration 1, simpson 0.
+    // "abab": two chars 2+2, sumsq 8, n² 16 => 1e9 - 8e9/16 = 5e8.
+    // "aab":  counts 2,1, sumsq 5, n² 9 => 1e9 - 5e9 DIV 9 = 444444445
+    //         (truncating div: 5e9/9 = 555555555.5… -> 555555555).
+    val docs = Seq((1L, "aaaa"), (2L, "abab"), (3L, "aab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ch"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Long]("simpson_x1e9")))).toMap
+    assert(got(1L) === ((4L, 1L, 0L)))
+    assert(got(2L) === ((4L, 2L, 500000000L)))
+    assert(got(3L) === ((3L, 2L, 444444445L)))
+  }
+
+  test("tx_char_diversity: one row per doc, index strictly below 1e9") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = TextAnalysis.txCharDiversity(spark, sf).collect()
+    assert(rows.length === n)
+    rows.foreach { r =>
+      val s = r.getAs[Long]("simpson_x1e9")
+      assert(s >= 0 && s < 1000000000L)
+      assert(r.getAs[Long]("distinct_chars") <= r.getAs[Long]("n_ch"))
+    }
+  }
+
   test("tx_token_count: counts are positive and n_bpe >= n_ws on clean text") {
     val rows = TextAnalysis.txTokenCount(spark, sf).collect()
     assert(rows.length === Tables.documents(spark, sf).count())
