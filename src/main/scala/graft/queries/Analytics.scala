@@ -343,18 +343,22 @@ object Analytics {
     * values are DECLARED (`Seq("F","O","P")`): pivot without an
     * explicit value list first runs a distinct-collect job over the
     * pivot column to discover them, which at 100 TB is a whole extra
-    * scan; with the list Spark plans straight to ONE map-side-combined
-    * hash-agg (each status's count/sum is a conditional aggregate —
-    * same single shuffle as any grouped agg). Missing (priority,
-    * status) cells surface as NULL, matching pivot semantics. */
-  def qPivot(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.orders(spark, dir)
-      .groupBy($"o_orderpriority")
+    * scan; with the list Spark plans the standard two-level pivot agg
+    * (per-(priority,status) partials, then PivotFirst per priority) —
+    * two map-side-combined exchanges over low-cardinality keys, no
+    * extra job. Missing (priority, status) cells surface as NULL,
+    * matching pivot semantics. */
+  def qPivot(spark: SparkSession, dir: String): DataFrame =
+    pivotOrders(Tables.orders(spark, dir))
+
+  /** The pivot step over any orders-shaped frame — split out so the
+    * plan gate can assert that applying it launches no Spark job. */
+  def pivotOrders(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)).as("n"),
-        fromUnits(sum(cents($"o_totalprice")), 2).as("rev"))
-  }
+        fromUnits(sum(cents(col("o_totalprice"))), 2).as("rev"))
 
   /** Conditional-aggregation twin; `FILTER` + CASE reproduces pivot's
     * NULL-for-missing-cell semantics (COUNT FILTER alone yields 0). */

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis family (SURVEY.md §2 #34-37) over `documents`.
   *
@@ -787,10 +788,12 @@ object TextAnalysis {
     * concatenations). Truncating division on positives matches DuckDB
     * `//` floor semantics.
     *
-    * Scale: one explode that map-side-combines immediately to
-    * (doc, char, count) — ≤ |alphabet| rows per doc regardless of
-    * length — then a per-doc sum. No join, no skew (the partial
-    * aggregate bounds any hot partition before the shuffle). */
+    * Scale: MAP-ONLY — the histogram of one document is a row-local
+    * computation, so no explode, no aggregation, no shuffle: sort the
+    * char array, find run boundaries, sum squared run lengths, all
+    * inside one projection. The alternative explode + double-groupBy
+    * shape would shuffle ≤|alphabet| rows per doc twice; this shuffles
+    * nothing and scans at input speed like the other tx_* scorers. */
   def txCharDiversity(s: SparkSession, d: String): DataFrame =
     charDiversity(Tables.documents(s, d))
 
@@ -798,13 +801,25 @@ object TextAnalysis {
     * assert exact ppb values on constructed strings. */
   def charDiversity(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("c")).as("n_ch"),
-        count(lit(1)).as("distinct_chars"),
-        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sumsq"))
+      .select(col("doc_id"), array_sort(split(col("text"), "")).as("cs"))
+      // 0-based start position of each run of equal chars
+      .withColumn("starts",
+        filter(sequence(lit(0), size(col("cs")) - 1), i =>
+          (i === 0) || element_at(col("cs"), i + 1) =!= element_at(col("cs"), i)))
+      .select(
+        col("doc_id"),
+        size(col("cs")).cast("long").as("n_ch"),
+        size(col("starts")).cast("long").as("distinct_chars"),
+        // Σ run_len² in decimal(38): run j spans [starts(j), starts(j+1) or n)
+        aggregate(
+          sequence(lit(1), size(col("starts"))),
+          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)),
+          (acc, j) => {
+            val end = when(j === size(col("starts")), size(col("cs")))
+              .otherwise(element_at(col("starts"), j + 1))
+            val len = (end - element_at(col("starts"), j)).cast(DecimalType(19, 0))
+            acc + (len * len).cast(DecimalType(38, 0))
+          }).as("sumsq"))
       .select(col("doc_id"), col("n_ch"), col("distinct_chars"),
         expr("CAST(1000000000 - CAST(sumsq AS DECIMAL(38,0)) * 1000000000" +
           " DIV (CAST(n_ch AS DECIMAL(38,0)) * n_ch) AS BIGINT)")

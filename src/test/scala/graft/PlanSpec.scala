@@ -254,4 +254,32 @@ class PlanSpec extends SparkSpec {
     // probe join against the corpus is broadcast (queries are tiny)
     assert(bhj(p) >= 1, p)
   }
+
+  test("tx_char_diversity: map-only — zero shuffles, zero joins") {
+    val p = physical(graft.queries.TextAnalysis.txCharDiversity(spark, sf))
+    assert(shuffles(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(nodes(p, "HashAggregate") === 0, p)
+  }
+
+  test("q_pivot: declared values — no discovery job, one agg shuffle") {
+    // pivot WITHOUT a value list runs a distinct-collect job while the
+    // DataFrame is being CONSTRUCTED; with the list declared, applying
+    // the pivot must launch zero Spark jobs. The source read is built
+    // first — spark.read.parquet runs its own footer/schema job, which
+    // is not what this gate is about.
+    val orders = Tables.orders(spark, sf)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = graft.queries.Analytics.pivotOrders(orders)
+    val p = physical(df)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after === before, "pivot construction launched a Spark job")
+    // Spark rewrites pivot as two stacked aggregates: per-(priority,
+    // status) partials, then PivotFirst per priority — two exchanges,
+    // both keyed on low-cardinality groups, both map-side combined
+    assert(shuffles(p) === 2, p)
+    assert(nodes(p, "HashAggregate") === 4, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+  }
 }
