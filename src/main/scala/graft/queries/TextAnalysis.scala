@@ -3,7 +3,6 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis family (SURVEY.md §2 #34-37) over `documents`.
   *
@@ -789,41 +788,36 @@ object TextAnalysis {
     * `//` floor semantics.
     *
     * Scale: MAP-ONLY — the histogram of one document is a row-local
-    * computation, so no explode, no aggregation, no shuffle: sort the
-    * char array, find run boundaries, sum squared run lengths, all
-    * inside one projection. The alternative explode + double-groupBy
-    * shape would shuffle ≤|alphabet| rows per doc twice; this shuffles
-    * nothing and scans at input speed like the other tx_* scorers. */
+    * computation, so no explode, no aggregation, no shuffle. The moments
+    * come from [[graft.functions.CharStats]], a native codegen'd
+    * expression (one fused byte pass per string): the composable
+    * zero-shuffle form (array_sort + filter/aggregate lambdas) is
+    * interpreted per element and measured 2× slower than even an
+    * explode + double-groupBy, while the explode form shuffles up to
+    * |alphabet| rows per document — corpus-scale shuffle volume for
+    * what is conceptually a scan. Native expression = both halves:
+    * compiled inner loop AND zero exchanges. */
   def txCharDiversity(s: SparkSession, d: String): DataFrame =
     charDiversity(Tables.documents(s, d))
 
   /** The scorer over any (doc_id, text) frame — split out so specs can
     * assert exact ppb values on constructed strings. */
-  def charDiversity(docs: DataFrame): DataFrame =
+  def charDiversity(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     docs
-      .select(col("doc_id"), array_sort(split(col("text"), "")).as("cs"))
-      // 0-based start position of each run of equal chars
-      .withColumn("starts",
-        filter(sequence(lit(0), size(col("cs")) - 1), i =>
-          (i === 0) || element_at(col("cs"), i + 1) =!= element_at(col("cs"), i)))
-      .select(
-        col("doc_id"),
-        size(col("cs")).cast("long").as("n_ch"),
-        size(col("starts")).cast("long").as("distinct_chars"),
-        // Σ run_len² in decimal(38): run j spans [starts(j), starts(j+1) or n)
-        aggregate(
-          sequence(lit(1), size(col("starts"))),
-          lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)),
-          (acc, j) => {
-            val end = when(j === size(col("starts")), size(col("cs")))
-              .otherwise(element_at(col("starts"), j + 1))
-            val len = (end - element_at(col("starts"), j)).cast(DecimalType(19, 0))
-            acc + (len * len).cast(DecimalType(38, 0))
-          }).as("sumsq"))
-      .select(col("doc_id"), col("n_ch"), col("distinct_chars"),
-        expr("CAST(1000000000 - CAST(sumsq AS DECIMAL(38,0)) * 1000000000" +
-          " DIV (CAST(n_ch AS DECIMAL(38,0)) * n_ch) AS BIGINT)")
+      .select(col("doc_id"), expr("graft_char_stats(text)").as("st"))
+      .select(col("doc_id"),
+        col("st.n_ch").as("n_ch"),
+        col("st.distinct_chars").as("distinct_chars"),
+        // ppb quantization in decimal(38): sumsq·10⁹ overflows int64.
+        // Empty text (n=0) is degenerate-by-definition: index 0, and
+        // the guard keeps ANSI mode from raising div-by-zero.
+        when(col("n_ch") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(1000000000 - CAST(st.sumsq AS DECIMAL(38,0)) * 1000000000" +
+              " DIV (CAST(n_ch AS DECIMAL(38,0)) * n_ch) AS BIGINT)"))
           .as("simpson_x1e9"))
+  }
 
   val txCharDiversitySql: String =
     """WITH chars AS (

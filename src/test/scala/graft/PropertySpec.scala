@@ -20,6 +20,34 @@ class PropertySpec extends SparkSpec {
 
   private def whenever(c: Boolean)(f: => Unit): Unit = if (c) f
 
+  test("property: graft_char_stats matches a brute-force code-point histogram") {
+    val gen = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '.', ','),
+      1 -> Gen.oneOf('é', 'ß', '中', '€'))).map(_.mkString)
+    val cases = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var id = 0L
+    forAll(gen, n = 40) { s => cases += ((id, s)); id += 1 }
+    cases += ((id, "")) // empty string: (0, 0, 0) by definition
+    val got = charStatsOf(cases.toSeq)
+    cases.foreach { case (i, s) =>
+      val counts = s.codePoints().toArray.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val sumsq = counts.values.map(c => c * c).sum
+      assert(got(i) === ((n, counts.size.toLong, sumsq)), s"for ${s.take(40)}")
+    }
+  }
+
+  private def charStatsOf(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_char_stats(text) AS st")
+      .selectExpr("doc_id", "st.n_ch", "st.distinct_chars", "st.sumsq")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
   private val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
 
   test("property: escaped pg arrays never contain an unescaped comma or backslash") {
