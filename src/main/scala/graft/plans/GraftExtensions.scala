@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharStats, LongDot, PqCodes, PqTable, SignBuckets}
+import graft.functions.{CharStats, LongDot, PqCodes, PqTable, SignBuckets, SimhashText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -40,7 +40,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PqTable(args(0), args(1), args(2))),
     (FunctionIdentifier("graft_char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
-      (args: Seq[Expression]) => CharStats(args(0)))
+      (args: Seq[Expression]) => CharStats(args(0))),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimhashText].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimhashText(args(0)))
   )
 
   /** Register graft functions on an existing session (no-op if

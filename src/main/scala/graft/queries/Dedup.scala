@@ -358,10 +358,31 @@ object Dedup {
     * bit (j mod 16) of universal hash g_(j/16) of the shingle's 60-bit
     * md5 hash — 4 portable perms supply 16 independent bits each.
     * Hamming-band key = top byte (arith-shift + mask is identical in
-    * both engines). One map-side-combined agg with a constant 64-long
-    * buffer; oracle-gated: the bit-majority IS SQL-expressible as 64
-    * sign-of-sum aggregates. */
+    * both engines).
+    *
+    * MAP-ONLY: the signature of one document depends only on its own
+    * shingle set, so [[graft.functions.SimhashText]] computes it in a
+    * native codegen'd expression — one byte-level pass per doc, md5
+    * over byte slices, zero exchanges. The equivalent composable form
+    * ([[ddSimhashComposable]], kept as the spec cross-check) explodes
+    * the shingle index and aggregates 64 bit-vote columns per doc —
+    * a (doc, 4×long)-per-shingle shuffle the expression eliminates.
+    * The DuckDB oracle is unchanged and independent (string DISTINCT
+    * + the same md5/perm math in SQL), so the driver hash-gate
+    * validates the expression end-to-end. */
   def ddSimhash(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+      .filter(col("simhash").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
+      .withColumn("band", shiftright(col("simhash"), 56).bitwiseAND(lit(255L)))
+      .select(col("doc_id"), col("simhash"), col("band"))
+  }
+
+  /** The composable column pipeline [[ddSimhash]] replaced — retained
+    * so the spec can assert the native expression is bit-for-bit
+    * identical to the aggregate formulation on real data. */
+  private[graft] def ddSimhashComposable(s: SparkSession, d: String): DataFrame = {
     val sh = shingleIndex(s, d) // sum-agg per bit: constant-size buffer
     val proj = sh.select(col("doc_id") +:
       (0 until SimhashBits / 16).map(g =>

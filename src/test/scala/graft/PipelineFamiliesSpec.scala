@@ -107,6 +107,57 @@ class DedupSpec extends SparkSpec {
     assert(joined === 1L)
   }
 
+  test("dd_simhash: native expression is bit-for-bit the composable aggregate") {
+    import spark.implicits._
+    val native = Dedup.ddSimhash(spark, sf)
+      .select($"doc_id", $"simhash", $"band").as[(Long, Long, Long)]
+      .collect().map { case (id, h, b) => id -> ((h, b)) }.toMap
+    val composed = Dedup.ddSimhashComposable(spark, sf)
+      .select($"doc_id", $"simhash", $"band").as[(Long, Long, Long)]
+      .collect().map { case (id, h, b) => id -> ((h, b)) }.toMap
+    assert(native.keySet === composed.keySet)
+    native.foreach { case (id, v) => assert(v === composed(id), s"doc $id") }
+  }
+
+  test("dd_simhash: <3-token and multi-space texts match the composable form") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two"),             // 2 tokens: no shingles, no row
+      (2L, "a  b c d"),            // double space: empty token kept
+      (3L, "x y z"),               // exactly one shingle
+      (4L, "a a a a a a")          // repeated shingles: distinct-set vote
+    ).toDF("doc_id", "text")
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val native = docs
+      .selectExpr("doc_id", "graft_simhash(text) AS simhash")
+      .where($"simhash".isNotNull)
+      .as[(Long, Long)].collect().toMap
+    // composable reference over the same constructed frame
+    import org.apache.spark.sql.functions.{col => c}
+    val sh = docs.withColumn("w", graft.functions.Shingles.tokens(c("text")))
+      .select(c("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          graft.functions.Shingles.hashedFromTokens(c("w"))).as("h"))
+    val proj = sh.select(c("doc_id") +:
+      (0 until 4).map(g =>
+        graft.functions.PortableHash.perm(Dedup.SimhashPermBase + g, c("h")).as(s"g$g")): _*)
+    val bitCols = (0 until 64).map { j =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.shiftright(c(s"g${j / 16}"), j % 16)
+            .bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+    }
+    val simCol = (0 until 64).map(j =>
+      org.apache.spark.sql.functions.when(c(s"b$j") > 0,
+        org.apache.spark.sql.functions.lit(1L << j))
+        .otherwise(org.apache.spark.sql.functions.lit(0L))).reduce(_ + _)
+    val composed = proj.groupBy(c("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("simhash", simCol)
+      .select(c("doc_id"), c("simhash")).as[(Long, Long)].collect().toMap
+    assert(native.keySet === Set(2L, 3L, 4L))
+    assert(native === composed)
+  }
+
   test("dd_embed_cosine: pairs pass the cosine threshold and share a bucket") {
     val rows = Dedup.ddEmbedCosine(spark, sf).collect()
     rows.foreach { r =>

@@ -255,6 +255,13 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 1, p)
   }
 
+  test("dd_simhash: map-only — the signature stage shuffles nothing") {
+    val p = physical(graft.queries.Dedup.ddSimhash(spark, sf))
+    assert(shuffles(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(nodes(p, "HashAggregate") === 0, p)
+  }
+
   test("tx_char_diversity: map-only — zero shuffles, zero joins") {
     val p = physical(graft.queries.TextAnalysis.txCharDiversity(spark, sf))
     assert(shuffles(p) === 0, p)
