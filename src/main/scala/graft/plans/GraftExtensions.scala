@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{CharStats, LongDot, PqCodes, PqTable, SignBuckets, SimhashText}
+import graft.functions.{BigramStats, CharStats, LongDot, PqCodes, PqTable, SignBuckets, SimhashText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,7 +43,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => CharStats(args(0))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashText].getName, "graft_simhash"),
-      (args: Seq[Expression]) => SimhashText(args(0)))
+      (args: Seq[Expression]) => SimhashText(args(0))),
+    (FunctionIdentifier("graft_bigram_stats"),
+      new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),
+      (args: Seq[Expression]) => BigramStats(args(0)))
   )
 
   /** Register graft functions on an existing session (no-op if

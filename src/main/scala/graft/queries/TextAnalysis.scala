@@ -412,20 +412,33 @@ object TextAnalysis {
     * Both exact integer per-milles (FP-free, oracle-portable). Docs
     * with fewer than two tokens have no bigrams and are excluded.
     *
-    * Scale: build the bigram array in-row, then explode to one row per
-    * bigram position (bounded by doc length), one map-side-combined
-    * count per (doc, bigram), one tiny per-doc agg — the same
-    * two-shuffle shape as the dedup family's index build, no
-    * corpus-wide state. The bigram array is materialized BEFORE the
-    * explode: a `posexplode(w)` + `element_at(w, i+2)` formulation
-    * makes GenerateExec emit the whole token array with every bigram
-    * row — O(len²) bytes of pre-shuffle allocation per doc. */
+    * Scale: MAP-ONLY — the metric is fully contained in the row, so
+    * [[graft.functions.BigramStats]] computes the three moments in one
+    * native codegen'd pass per document (exact string-keyed counting
+    * over byte slices, no hashing) and only the integer per-mille
+    * division remains in the projection. Zero exchanges; the previous
+    * explode + double-groupBy shape ([[repetitionMetricsComposable]],
+    * kept as the spec cross-check) shuffled every bigram position
+    * twice. */
   def txRepetition(s: SparkSession, d: String): DataFrame =
     repetitionMetrics(Tables.documents(s, d))
 
   /** The metric computation over any (doc_id, text) frame — split out
     * so specs can assert exact scores on constructed inputs. */
-  def repetitionMetrics(docs: DataFrame): DataFrame =
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"), expr("graft_bigram_stats(text)").as("bs"))
+      .filter(col("bs").isNotNull) // <2 tokens ⇒ no bigram slots ⇒ no row
+      .select(col("doc_id"), col("bs.n_tok").as("n_tok"),
+        expr("bs.top_cnt * 1000 DIV (bs.n_tok - 1)").as("top_bigram_x1000"),
+        expr("bs.dup_cnt * 1000 DIV (bs.n_tok - 1)").as("dup_bigram_x1000"))
+  }
+
+  /** The explode + double-groupBy pipeline [[repetitionMetrics]]
+    * replaced — retained so the spec can assert the native expression
+    * is value-identical to the aggregate formulation on real data. */
+  private[graft] def repetitionMetricsComposable(docs: DataFrame): DataFrame =
     docs
       .withColumn("w", toks(col("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))

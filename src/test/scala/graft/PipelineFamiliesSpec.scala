@@ -81,6 +81,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("tx_repetition: native expression is value-identical to the explode+agg form") {
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_tok"),
+        r.getAs[Long]("top_bigram_x1000"), r.getAs[Long]("dup_bigram_x1000")))).toMap
+    val docs = Tables.documents(spark, sf)
+    val native = snap(graft.queries.TextAnalysis.repetitionMetrics(docs))
+    val composed = snap(graft.queries.TextAnalysis.repetitionMetricsComposable(docs))
+    assert(native.keySet === composed.keySet)
+    native.foreach { case (id, v) => assert(v === composed(id), s"doc $id") }
+  }
+
   test("tx_repetition: stateless expression form equals the distributed aggregation") {
     // the streaming gate's per-row expression and the batch
     // explode+agg are two implementations of the same metric — they

@@ -208,23 +208,21 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") === 0, p)
   }
 
-  test("tx_repetition: two shuffles (gram count + doc rollup), no lambda in the generator") {
+  test("tx_repetition: map-only — native moments, no shuffle, no lambda") {
     val df = graft.queries.TextAnalysis.txRepetition(spark, sf)
     val p = physical(df)
-    assert(shuffles(p) === 2, p)
-    assert(bigJoins(p) + crossJoins(p) === 0, p)
-    // the generator must be built from codegen-resident expressions
-    // (arrays_zip/slice) — a higher-order lambda (ArrayTransform etc.)
-    // anywhere in the plan is CodegenFallback and re-introduces the
-    // interpreted per-element eval this query regressed on in round 4.
-    // Inspect the expression trees, not the explain text: that's what
-    // actually discriminates.
+    assert(shuffles(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(nodes(p, "HashAggregate") === 0, p)
+    // a higher-order lambda (ArrayTransform etc.) anywhere in the plan
+    // is CodegenFallback and re-introduces interpreted per-element
+    // eval — the regression this query has already had twice
     import org.apache.spark.sql.catalyst.expressions.HigherOrderFunction
     val hofs = df.queryExecution.optimizedPlan.collect { case node =>
       node.expressions.flatMap(_.collect { case h: HigherOrderFunction => h })
     }.flatten
     assert(hofs.isEmpty, s"higher-order functions in plan: $hofs")
-    assert(p.contains("arrays_zip"), p)
+    assert(p.contains("graft_bigram_stats"), p)
   }
 
   test("dd_chunk_dup: both consumers read the one persisted chunk table") {
