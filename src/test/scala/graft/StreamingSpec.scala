@@ -555,4 +555,56 @@ class StreamingSpec extends SparkSpec {
       assert(got.size === 30)
     } finally q.stop()
   }
+
+  test("pack stream in doc_id-ordered batches reproduces the batch packer exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.PackStream.assignments(
+        input.toDF().toDF("doc_id", "text"),
+        graft.queries.TextAnalysis.PackShards, graft.queries.TextAnalysis.PackBudget)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      val docs = Tables.documents(spark, sf)
+        .select($"doc_id", $"text").as[(Long, String)]
+        .collect().sortBy(_._1)
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+
+      val got = spark.table("pack_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("n_tok"),
+            r.getAs[Long]("start_tok"), r.getAs[Long]("seq_in_shard")))).toMap
+      val want = graft.queries.TextAnalysis.txPack(spark, sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("shard"), r.getAs[Long]("n_tok"),
+            r.getAs[Long]("start_tok"), r.getAs[Long]("seq_in_shard")))).toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("pack stream cursors persist across batches and cross sequence boundaries") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    // one shard (ids all ≡ 0 mod 8), budget 6: doc 0 (4 toks) then doc 8
+    // (4 toks) in ANOTHER batch must continue at offset 4 — sequence 0
+    // for its first token even though it spills past the budget — and
+    // doc 16 (2 toks) starts exactly at 8 in sequence 1
+    val q = graft.streaming.PackStream.assignments(
+        input.toDF().toDF("doc_id", "text"), 8, 6L)
+      .writeStream.format("memory").queryName("pack_stream_edge")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((0L, "a b c d"))); q.processAllAvailable()
+      input.addData(Seq((8L, "e f g h"), (16L, "i j"))); q.processAllAvailable()
+      val got = spark.table("pack_stream_edge").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("start_tok"), r.getAs[Long]("seq_in_shard")))).toMap
+      assert(got === Map(0L -> ((0L, 0L)), 8L -> ((4L, 0L)), 16L -> ((8L, 1L))))
+    } finally q.stop()
+  }
 }
