@@ -69,29 +69,14 @@ object SimhashText {
   private val Coefs: Array[(Long, Long)] =
     Array.tabulate(4)(g => PortableHash.permCoef(101 + g))
 
-  private val md5 = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   /** null ⇔ fewer than 3 tokens (no shingles). */
   def compute(s: UTF8String): java.lang.Long = {
     val bytes = s.getBytes
     val nB = bytes.length
-    // token start offsets: 0 plus every position after a 0x20 byte
-    // (0x20 never occurs inside a UTF-8 multi-byte sequence)
-    var m = 1
-    var i = 0
-    while (i < nB) { if (bytes(i) == 0x20) m += 1; i += 1 }
+    val starts = TokenBytes.tokenStarts(bytes)
+    val m = starts.length
     if (m < N) return null
-    val starts = new Array[Int](m)
-    var t = 1
-    i = 0
-    while (i < nB) {
-      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    val dig = md5.get()
+    val dig = TokenBytes.md5.get()
     val seen = new java.util.HashSet[java.lang.Long]()
     val votes = new Array[Int](64)
     var g = 0
@@ -99,15 +84,7 @@ object SimhashText {
     while (sh <= m - N) {
       val from = starts(sh)
       val to = if (sh + N < m) starts(sh + N) - 1 else nB
-      dig.reset()
-      dig.update(bytes, from, to - from)
-      val d = dig.digest()
-      // first 15 hex chars = bytes 0..6 (56 bits) then byte 7's high
-      // nibble — identical to conv(substring(md5(s),1,15),16,10)
-      var h = 0L
-      var k = 0
-      while (k < 7) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
-      h = (h << 4) | ((d(7) >> 4) & 0xfL)
+      val h = TokenBytes.hash60(dig, bytes, from, to)
       if (seen.add(h)) {
         g = 0
         while (g < 4) {

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BigramStats, CharStats, LongDot, PqCodes, PqTable, SignBuckets, SimhashText}
+import graft.functions.{BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -46,7 +46,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimhashText(args(0))),
     (FunctionIdentifier("graft_bigram_stats"),
       new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),
-      (args: Seq[Expression]) => BigramStats(args(0)))
+      (args: Seq[Expression]) => BigramStats(args(0))),
+    (FunctionIdentifier("graft_minhash_sigs"),
+      new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
+      (args: Seq[Expression]) => MinhashSigs(args(0)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -173,21 +173,41 @@ object Dedup {
     * bucket. Each shingle is md5-hashed ONCE to 60 bits; the 16
     * permutations are universal hashes (a·h+b mod P,
     * [[PortableHash.perm]]) — exact int64, portable, and ~16× less
-    * hashing than seeded-md5 per permutation. The only shuffles: one
-    * agg to signatures (|docs| rows), one bucket join. */
+    * hashing than seeded-md5 per permutation.
+    *
+    * The signature stage is MAP-ONLY: a document's 16 mins depend only
+    * on its own shingles, and min over the shingle multiset equals min
+    * over the set, so [[graft.functions.MinhashSigs]] computes the
+    * signature array in one native byte-level pass — no shingle
+    * explode, no 16-min aggregation shuffle. The only remaining
+    * shuffle is the band bucket self-join (candidate generation is
+    * inherently corpus-wide). [[ddMinhashLshComposable]] keeps the
+    * explode+agg form for the spec equality gate; the DuckDB oracle
+    * recomputes the whole chain independently in SQL. */
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleIndex(s, d) // min-agg is hot-key-safe: constant-size buffer
-    val minCols = (0 until NumPerms).map(i => min(PortableHash.perm(i, col("h"))).as(s"h$i"))
-    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val mh = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
+      .filter(col("hs").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
     val bands = mh.select(col("doc_id"), posexplode(array(
       (0 until NumPerms / BandRows).map(b =>
-        concat_ws("|", (0 until BandRows).map(r => col(s"h${b * BandRows + r}")): _*)): _*
+        concat_ws("|", (0 until BandRows).map(r =>
+          element_at(col("hs"), b * BandRows + r + 1)): _*)): _*
     )).as(Seq("band", "bkey")))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** The explode + 16-min aggregation pipeline [[ddMinhashLsh]]
+    * replaced — retained so the spec can assert the native signature
+    * expression yields identical signatures on real data. */
+  private[graft] def minhashSignaturesComposable(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleIndex(s, d) // min-agg is hot-key-safe: constant-size buffer
+    val minCols = (0 until NumPerms).map(i => min(PortableHash.perm(i, col("h"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
   }
 
   /** MinHash CTE chain shared by the pair oracle and the cluster

@@ -118,6 +118,19 @@ class DedupSpec extends SparkSpec {
     assert(joined === 1L)
   }
 
+  test("dd_minhash_lsh: native signatures equal the explode+min-agg form") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val native = Tables.documents(spark, sf)
+      .selectExpr("doc_id", "graft_minhash_sigs(text) AS hs")
+      .where(col("hs").isNotNull)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1).toList).toMap
+    val composed = Dedup.minhashSignaturesComposable(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until Dedup.NumPerms).map(i => r.getAs[Long](s"h$i")).toList).toMap
+    assert(native.keySet === composed.keySet)
+    native.foreach { case (id, v) => assert(v === composed(id), s"doc $id") }
+  }
+
   test("dd_simhash: native expression is bit-for-bit the composable aggregate") {
     import spark.implicits._
     val native = Dedup.ddSimhash(spark, sf)

@@ -253,6 +253,16 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 1, p)
   }
 
+  test("dd_minhash_lsh: signatures are map-only — only the bucket join shuffles") {
+    val df = graft.queries.Dedup.ddMinhashLsh(spark, sf)
+    val p = physical(df)
+    // no 16-min aggregation exchange: the only HashAggregates are the
+    // final distinct's partial+final pair
+    assert(nodes(p, "HashAggregate") === 2, p)
+    assert(crossJoins(p) === 0, p)
+    assert(p.contains("graft_minhash_sigs"), p)
+  }
+
   test("dd_simhash: map-only — the signature stage shuffles nothing") {
     val p = physical(graft.queries.Dedup.ddSimhash(spark, sf))
     assert(shuffles(p) === 0, p)
