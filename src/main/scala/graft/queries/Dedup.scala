@@ -553,7 +553,60 @@ object Dedup {
 
   // ---- registry ------------------------------------------------------
 
+  // ---- #29c canonical representative per cluster ----------------------
+
+  /** #29c dd_keep_best — the step a curation pipeline runs AFTER
+    * near-dup clustering: keep ONE canonical document per cluster, by
+    * quality, drop the rest. Composes dd_cluster (#29b) with the
+    * quality scorer (#35): representative = the cluster's doc with the
+    * highest (alpha share, stopword share), smallest doc_id on full
+    * tie — a total order, so both engines agree deterministically.
+    * Output: one row per cluster with the kept doc, cluster size, and
+    * the kept doc's quality.
+    *
+    * Scale: quality is map-only; one doc_id equi-join against the
+    * cluster labels; one map-side-combined `max_by(struct)` agg per
+    * cluster — no window over the corpus, no pair regeneration. */
+  def ddKeepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = ddCluster(s, d)
+    val quality = graft.queries.TextAnalysis.txQualityScore(s, d)
+      .select(col("doc_id"), col("alpha_x1000"), col("stop_x1000"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"),
+          struct(col("alpha_x1000"), col("stop_x1000"), -col("doc_id"))).as("keep_id"),
+        max(struct(col("alpha_x1000"), col("stop_x1000"), -col("doc_id")))
+          .getField("alpha_x1000").as("keep_alpha_x1000"))
+  }
+
+  val ddKeepBestSql: String = {
+    // quality subquery mirrors txQualityScoreSql's alpha/stop columns
+    val en = graft.queries.TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $clusterCtes,
+       |clusters AS (
+       |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s),
+       |q AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS BIGINT) * 1000
+       |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS stop_x1000,
+       |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000
+       |      // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_x1000
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, q.alpha_x1000,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.alpha_x1000 DESC, q.stop_x1000 DESC, c.doc_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+       |  FROM clusters c JOIN q USING (doc_id))
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, doc_id AS keep_id,
+       |       alpha_x1000 AS keep_alpha_x1000
+       |FROM ranked WHERE rn = 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_keep_best" -> (ddKeepBest _),
     "dd_exact" -> (ddExact _),
     "dd_chunk_dup" -> (ddChunkDup _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
@@ -564,6 +617,7 @@ object Dedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dd_keep_best" -> ddKeepBestSql,
     "dd_exact" -> ddExactSql,
     "dd_chunk_dup" -> ddChunkDupSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,

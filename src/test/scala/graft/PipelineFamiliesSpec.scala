@@ -118,6 +118,26 @@ class DedupSpec extends SparkSpec {
     assert(joined === 1L)
   }
 
+  test("dd_keep_best: kept doc is the argmax of (alpha, stop, -id) within its cluster") {
+    val clusters = Dedup.ddCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val quality = TextAnalysis.txQualityScore(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("alpha_x1000"), r.getAs[Long]("stop_x1000")))).toMap
+    // independent in-memory argmax over the same inputs
+    val want = clusters.groupBy(_._2).map { case (cid, members) =>
+      val ids = members.map(_._1)
+      val keep = ids.maxBy(id => (quality(id)._1, quality(id)._2, -id))
+      cid -> ((ids.length.toLong, keep, quality(keep)._1))
+    }
+    val got = Dedup.ddKeepBest(spark, sf).collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("keep_id"),
+          r.getAs[Long]("keep_alpha_x1000")))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("dd_minhash_lsh: native signatures equal the explode+min-agg form") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     val native = Tables.documents(spark, sf)
@@ -129,6 +149,13 @@ class DedupSpec extends SparkSpec {
         (0 until Dedup.NumPerms).map(i => r.getAs[Long](s"h$i")).toList).toMap
     assert(native.keySet === composed.keySet)
     native.foreach { case (id, v) => assert(v === composed(id), s"doc $id") }
+    // <3 tokens ⇒ null ⇒ filtered, same as the agg form emitting no row
+    import spark.implicits._
+    val tiny = Seq((1L, "one two"), (2L, "a b c")).toDF("doc_id", "text")
+      .selectExpr("doc_id", "graft_minhash_sigs(text) AS hs")
+      .where(col("hs").isNotNull).select("doc_id")
+      .as[Long].collect().toSet
+    assert(tiny === Set(2L))
   }
 
   test("dd_simhash: native expression is bit-for-bit the composable aggregate") {
