@@ -133,6 +133,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio-style windowing: window width / hop in bytes (50% overlap). */
+  val AudioWin = 32
+  val AudioHop = 16
+
+  /** Output schema of the windower — digests, not payload copies. */
+  val AudioWindowSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("win_idx", IntegerType, nullable = false),
+    StructField("win_offset", IntegerType, nullable = false),
+    StructField("win_len", IntegerType, nullable = false),
+    StructField("win_md5", StringType, nullable = false)))
+
+  /** #38d mm_audio_window — the fixed-size overlapping-window fan-out
+    * every audio feature pipeline starts with (frame the waveform,
+    * hand each window to the feature extractor): one payload row emits
+    * ceil(len/hop) windows of `AudioWin` bytes every `AudioHop` bytes,
+    * the tail windows short. Decoded per-partition like the rest of
+    * the mm family; each window is emitted as offset math plus an md5
+    * DIGEST of the actual bytes — the payload is read once per
+    * partition, never copied per window, and the digest makes the
+    * byte-level windowing hash-gateable cross-engine. */
+  def mmAudioWindow(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.documents(s, d).select(
+      col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(AudioWindowSchema)
+    in.mapPartitions { rows =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val id = r.getAs[Long]("doc_id")
+        Iterator.from(0).map(_ * AudioHop).takeWhile(_ < payload.length)
+          .zipWithIndex.map { case (off, i) =>
+            val len = math.min(AudioWin, payload.length - off)
+            dig.reset()
+            dig.update(payload, off, len)
+            val md5hex = dig.digest().map("%02x".format(_)).mkString
+            Row(id, i, off, len, md5hex)
+          }
+      }
+    }(enc)
+  }
+
   /** #38c dumped form: the binary-out transform (`mmResize`) projected
     * to hash-gated metadata + an md5 digest OF the real payload bytes.
     * The digest rides through the actual `mapPartitions` resize path,
@@ -148,6 +191,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_window" -> (mmAudioWindow _),
     "mm_resize" -> (mmResizeDigest _)
   )
 
@@ -165,6 +209,17 @@ object Multimodal {
         |       CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS fake_height,
         |       source
         |FROM documents""".stripMargin,
+    "mm_audio_window" ->
+      """SELECT d.doc_id,
+        |       CAST(t.i AS INT) AS win_idx,
+        |       CAST(t.i * 16 AS INT) AS win_offset,
+        |       CAST(least(32, length(d.text) - t.i * 16) AS INT) AS win_len,
+        |       md5(substr(d.text, t.i * 16 + 1, 32)) AS win_md5
+        |FROM documents d
+        |-- 1024 windows = oracle-side bound (covers docs to 16 KiB; the
+        |-- testdata maxes at ~600 B — the Spark operator is unbounded)
+        |CROSS JOIN range(0, 1024) t(i)
+        |WHERE t.i * 16 < length(d.text)""".stripMargin,
     "mm_frame_sample" ->
       """SELECT d.doc_id,
         |       t.i AS frame_idx,

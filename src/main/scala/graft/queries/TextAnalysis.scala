@@ -330,6 +330,68 @@ object TextAnalysis {
        |GROUP BY lang""".stripMargin
   }
 
+  // ---- #34l mixing-plan computation ----------------------------------
+
+  /** Target corpus composition in parts-per-million (sums to 10⁶). A
+    * production run loads its recipe here; the literal exists so the
+    * oracle recomputes the identical plan. */
+  val TargetMixPpm: Seq[(String, Long)] = Seq(
+    "en" -> 500000L, "fr" -> 150000L, "de" -> 150000L,
+    "es" -> 100000L, "zh" -> 100000L)
+
+  /** #34l tx_mix_plan — the planning step BEFORE sampling (#34c): given
+    * per-language corpus weights and a target mix, compute the largest
+    * achievable budget and the per-language sampling rate that hits the
+    * target shares. The budget is bound by the scarcest language
+    * (B* = min over l of w_l·10⁶ DIV share_l); each language's
+    * allocation is B*·share_l DIV 10⁶ and its rate the allocation's
+    * ppm share of its weight — never above 10⁶ by construction, with
+    * the binding language sampled ~wholesale. All integer DIV chains
+    * in decimal(38)/HUGEINT (w_l·10⁶ overflows int64 at corpus
+    * scale), so both engines floor identically.
+    *
+    * Scale: one map-side-combined per-language agg (|langs| rows), a
+    * one-row broadcast of the budget, and a |langs|-row projection —
+    * nothing is data-proportional after the first scan. */
+  def txMixPlan(s: SparkSession, d: String): DataFrame =
+    mixPlan(Tables.documents(s, d))
+
+  /** The planner over any (lang, n_chars) frame — split out so specs
+    * can assert exact budgets/rates on constructed weights. */
+  def mixPlan(docs: DataFrame): DataFrame = {
+    val share = TargetMixPpm.foldLeft(lit(0L)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val perLang = docs
+      .groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("chars_total"))
+      .withColumn("share_ppm", share)
+      .filter(col("share_ppm") > 0)
+    val budget = perLang.agg(
+      min(expr("CAST(CAST(chars_total AS DECIMAL(38,0)) * 1000000 DIV share_ppm AS BIGINT)"))
+        .as("budget"))
+    perLang.crossJoin(broadcast(budget))
+      .select(col("lang"), col("chars_total"), col("share_ppm"), col("budget"),
+        expr("CAST(CAST(CAST(budget AS DECIMAL(38,0)) * share_ppm DIV 1000000" +
+          " AS DECIMAL(38,0)) * 1000000 DIV chars_total AS BIGINT)").as("rate_ppm"))
+  }
+
+  val txMixPlanSql: String = {
+    val shareCase = TargetMixPpm
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""WITH per AS (
+       |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       |         CAST(CASE lang $shareCase ELSE 0 END AS BIGINT) AS share_ppm
+       |  FROM documents GROUP BY lang),
+       |per2 AS (SELECT * FROM per WHERE share_ppm > 0),
+       |b AS (SELECT MIN(CAST(CAST(chars_total AS HUGEINT) * 1000000 // share_ppm AS BIGINT)) AS budget
+       |      FROM per2)
+       |SELECT lang, chars_total, share_ppm, budget,
+       |  CAST(CAST(CAST(budget AS HUGEINT) * share_ppm // 1000000 AS HUGEINT)
+       |       * 1000000 // chars_total AS BIGINT) AS rate_ppm
+       |FROM per2, b""".stripMargin
+  }
+
   // ---- #34d corpus heavy hitters ------------------------------------
 
   val TopNgramsK = 20
@@ -845,6 +907,7 @@ object TextAnalysis {
       |FROM cc GROUP BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_mix_plan" -> (txMixPlan _),
     "tx_char_diversity" -> (txCharDiversity _),
     "tx_classify" -> (txClassify _),
     "tx_pack" -> (txPack _),
@@ -863,6 +926,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_mix_plan" -> txMixPlanSql,
     "tx_char_diversity" -> txCharDiversitySql,
     "tx_classify" -> txClassifySql,
     "tx_pack" -> txPackSql,

@@ -579,6 +579,49 @@ class IvfSpec extends SparkSpec {
 }
 
 class FrameSampleSpec extends SparkSpec {
+  test("mm_audio_window: offsets/lengths/digests match a sequential reference") {
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Multimodal.mmAudioWindow(spark, sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === texts.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    byDoc.foreach { case (id, ws) =>
+      val p = texts(id).getBytes("UTF-8")
+      val expected = Iterator.from(0).map(_ * Multimodal.AudioHop)
+        .takeWhile(_ < p.length).zipWithIndex.map { case (off, i) =>
+          val len = math.min(Multimodal.AudioWin, p.length - off)
+          md.reset(); md.update(p, off, len)
+          (i, off, len, md.digest().map("%02x".format(_)).mkString)
+        }.toSeq
+      val got = ws.sortBy(_.getAs[Int]("win_idx")).map(r =>
+        (r.getAs[Int]("win_idx"), r.getAs[Int]("win_offset"),
+          r.getAs[Int]("win_len"), r.getAs[String]("win_md5"))).toSeq
+      assert(got === expected, s"doc $id")
+    }
+  }
+
+  test("tx_mix_plan: exact budget and rates on constructed weights") {
+    import spark.implicits._
+    // en weight 1000 (target 50%), fr 600 (15%): caps are
+    // 1000e6/500000 = 2000 and 600e6/150000 = 4000 → budget 2000,
+    // en alloc 1000 → rate 1e6; fr alloc 300 → rate 300e6/600 = 500000
+    val docs = Seq(("en", 600L), ("en", 400L), ("fr", 600L))
+      .toDF("lang", "n_chars")
+    val got = TextAnalysis.mixPlan(docs).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("chars_total"), r.getAs[Long]("budget"),
+          r.getAs[Long]("rate_ppm")))).toMap
+    assert(got === Map(
+      "en" -> ((1000L, 2000L, 1000000L)),
+      "fr" -> ((600L, 2000L, 500000L))))
+    // corpus run: rates bounded, the binding language ~wholesale
+    val real = TextAnalysis.txMixPlan(spark, sf).collect()
+    assert(real.length === TextAnalysis.TargetMixPpm.length)
+    assert(real.forall(_.getAs[Long]("rate_ppm") <= 1000000L))
+    assert(real.map(_.getAs[Long]("rate_ppm")).max >= 999990L)
+  }
+
   test("mm_frame_sample: evenly spaced offsets, features match payload bytes") {
     val texts = Tables.documents(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text").getBytes("UTF-8"))).toMap
