@@ -161,6 +161,7 @@ object Multimodal {
       .encoderFor(AudioWindowSchema)
     in.mapPartitions { rows =>
       val dig = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef".toCharArray
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val id = r.getAs[Long]("doc_id")
@@ -169,8 +170,15 @@ object Multimodal {
             val len = math.min(AudioWin, payload.length - off)
             dig.reset()
             dig.update(payload, off, len)
-            val md5hex = dig.digest().map("%02x".format(_)).mkString
-            Row(id, i, off, len, md5hex)
+            val d = dig.digest()
+            val out = new Array[Char](32)
+            var k = 0
+            while (k < 16) {
+              out(k * 2) = hex((d(k) >> 4) & 0xf)
+              out(k * 2 + 1) = hex(d(k) & 0xf)
+              k += 1
+            }
+            Row(id, i, off, len, new String(out))
           }
       }
     }(enc)
