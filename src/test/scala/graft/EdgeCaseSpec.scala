@@ -121,4 +121,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[Long]("dup_word_x1000") === 0L)
     assert(r.getAs[Long]("n_words") === 50L)
   }
+
+  test("mix plan ignores languages outside the target recipe") {
+    import graft.queries.TextAnalysis
+    // "xx" has weight but no target share: it must not bind the budget
+    // or appear in the plan
+    val docs = Seq(("en", 1000L), ("fr", 600L), ("xx", 1L))
+      .toDF("lang", "n_chars")
+    val got = TextAnalysis.mixPlan(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("rate_ppm")).toMap
+    assert(got.keySet === Set("en", "fr"))
+    assert(got("en") === 1000000L && got("fr") === 500000L)
+  }
+
+  test("char stats and bigram stats are null-safe and empty-safe") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val rows = Seq((1L, Some("")), (2L, None), (3L, Some("solo")))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id",
+        "graft_char_stats(text) AS cs",
+        "graft_bigram_stats(text) AS bs",
+        "graft_simhash(text) AS sh",
+        "graft_minhash_sigs(text) AS mh")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // empty text: zero moments, no bigrams/shingles
+    assert(rows(1L).getAs[org.apache.spark.sql.Row]("cs")
+      === org.apache.spark.sql.Row(0L, 0L, 0L))
+    assert(rows(1L).isNullAt(2) && rows(1L).isNullAt(3) && rows(1L).isNullAt(4))
+    // null text: everything null
+    assert(rows(2L).isNullAt(1) && rows(2L).isNullAt(2)
+      && rows(2L).isNullAt(3) && rows(2L).isNullAt(4))
+    // one token: char stats real, no bigrams/shingles
+    assert(rows(3L).getAs[org.apache.spark.sql.Row]("cs").getLong(0) === 4L)
+    assert(rows(3L).isNullAt(2) && rows(3L).isNullAt(3) && rows(3L).isNullAt(4))
+  }
 }
