@@ -62,6 +62,23 @@ object Bench {
       name -> times.collect { case Right(t) => t }.minOption
         .toRight(times.collectFirst { case Left(e) => e }.getOrElse("unknown"))
     }
+    // Stage/shuffle census: one extra UNTIMED pass per query with a
+    // task-metrics listener, quiescing between queries so async
+    // listener events attribute correctly. Emitting per-query stage
+    // counts lets the round-over-round comparison do STAGE-aware floor
+    // accounting (a 5-stage query carries ~5 floors, not 1), and the
+    // shuffle volumes put the sf0.1 data-movement profile in the same
+    // JSON the driver already records.
+    val census = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(census)
+    val stageCounts = queries.map { case (name, fn) =>
+      census.reset()
+      val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      catch { case _: Exception => false }
+      census.quiesce()
+      name -> (if (ok) Some((census.stages.get(), census.shuffleWrite.get() / 1e6)) else None)
+    }.toMap
+
     // Floor probe: a trivial one-row parquet-scan noop-write pays the
     // same per-query fixed costs every benched query pays (job/stage
     // submission, AQE re-plan, codegen compile cache lookup, write
@@ -86,7 +103,13 @@ object Bench {
     val total = ok.sum
     val floorTotal = floor * ok.size
     val dataProp = math.max(total - floorTotal, 0.0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"sf":"$sfDir"}""")
+    val stagesJson = queries.flatMap { case (n, _) =>
+      stageCounts.get(n).flatten.map { case (st, _) => "\"" + n + "\":" + st }
+    }.mkString("{", ",", "}")
+    val shufJson = queries.flatMap { case (n, _) =>
+      stageCounts.get(n).flatten.map { case (_, mb) => f""""$n":$mb%.1f""" }
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

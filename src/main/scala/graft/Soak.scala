@@ -1,8 +1,7 @@
 package graft
 
-import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
 /** Scale soak: run the dedup/ANN/heavy-text family at ~sf1 and record
@@ -29,50 +28,6 @@ import org.apache.spark.sql.functions._
   *    "spill_mb":…,"stages":…,"max_stage_shuffle_write_mb":…}
   */
 object Soak {
-
-  /** Accumulates task-metric totals between `reset()` calls. Listener
-    * events are delivered async; `quiesce()` waits until every started
-    * job has ended and no stage completion arrived in the last poll. */
-  private final class MetricsListener extends SparkListener {
-    val shuffleWrite = new AtomicLong(0)
-    val shuffleRead = new AtomicLong(0)
-    val spill = new AtomicLong(0)
-    val stages = new AtomicInteger(0)
-    val maxStageShuffleWrite = new AtomicLong(0)
-    val jobsStarted = new AtomicInteger(0)
-    val jobsEnded = new AtomicInteger(0)
-
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        val w = m.shuffleWriteMetrics.bytesWritten
-        shuffleWrite.addAndGet(w)
-        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        spill.addAndGet(m.diskBytesSpilled)
-        maxStageShuffleWrite.updateAndGet(math.max(_, w))
-        stages.incrementAndGet()
-      }
-    }
-    override def onJobStart(j: SparkListenerJobStart): Unit =
-      jobsStarted.incrementAndGet()
-    override def onJobEnd(j: SparkListenerJobEnd): Unit =
-      jobsEnded.incrementAndGet()
-
-    def reset(): Unit = {
-      shuffleWrite.set(0); shuffleRead.set(0); spill.set(0)
-      stages.set(0); maxStageShuffleWrite.set(0)
-      jobsStarted.set(0); jobsEnded.set(0)
-    }
-    def quiesce(): Unit = {
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      var lastStages = -1
-      while (System.nanoTime() < deadline &&
-        (jobsStarted.get() != jobsEnded.get() || stages.get() != lastStages)) {
-        lastStages = stages.get()
-        Thread.sleep(100)
-      }
-    }
-  }
 
   /** Queries whose scale behavior the soak certifies: every near-dup
     * variant, the ANN tiers, and the shuffle-heaviest text queries. */
@@ -110,7 +65,7 @@ object Soak {
     val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"soak_corpus":{"docs":$nDocs,"vecs":$nVecs,"copies":$copies,"src":"$srcDir"}}""")
 
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
 
     val queries = SparkEntry.queries
