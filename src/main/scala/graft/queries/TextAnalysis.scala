@@ -880,7 +880,10 @@ object TextAnalysis {
   def charDiversity(docs: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     docs
-      .select(col("doc_id"), expr("graft_char_stats(text)").as("st"))
+      // coalesce: null text scores as empty → (0, 0, 0), matching the
+      // oracle's LEFT JOIN + COALESCE (DuckDB's string_split('','')
+      // yields [''], so the SQL side must special-case emptiness too)
+      .select(col("doc_id"), expr("graft_char_stats(coalesce(text, ''))").as("st"))
       .select(col("doc_id"),
         col("st.n_ch").as("n_ch"),
         col("st.distinct_chars").as("distinct_chars"),
@@ -896,15 +899,22 @@ object TextAnalysis {
 
   val txCharDiversitySql: String =
     """WITH chars AS (
-      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE length(text) > 0),
       |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
-      |       FROM chars GROUP BY doc_id, ch)
-      |SELECT doc_id,
-      |       CAST(SUM(c) AS BIGINT) AS n_ch,
-      |       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
-      |       CAST(1000000000 - SUM(CAST(c AS HUGEINT) * c) * 1000000000
-      |            // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS simpson_x1e9
-      |FROM cc GROUP BY doc_id""".stripMargin
+      |       FROM chars GROUP BY doc_id, ch),
+      |agg AS (
+      |  SELECT doc_id,
+      |         CAST(SUM(c) AS BIGINT) AS n_ch,
+      |         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+      |         CAST(1000000000 - SUM(CAST(c AS HUGEINT) * c) * 1000000000
+      |              // (CAST(SUM(c) AS HUGEINT) * SUM(c)) AS BIGINT) AS simpson_x1e9
+      |  FROM cc GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |       COALESCE(a.n_ch, 0) AS n_ch,
+      |       COALESCE(a.distinct_chars, 0) AS distinct_chars,
+      |       COALESCE(a.simpson_x1e9, 0) AS simpson_x1e9
+      |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_mix_plan" -> (txMixPlan _),

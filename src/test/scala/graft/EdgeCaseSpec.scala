@@ -156,4 +156,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows(3L).getAs[org.apache.spark.sql.Row]("cs").getLong(0) === 4L)
     assert(rows(3L).isNullAt(2) && rows(3L).isNullAt(3) && rows(3L).isNullAt(4))
   }
+
+  test("char diversity scores null and empty text as zero moments in both engines") {
+    import graft.queries.TextAnalysis
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "ab"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.charDiversity(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_ch"), r.getAs[Long]("distinct_chars"),
+          r.getAs[Long]("simpson_x1e9")))).toMap
+    assert(got === Map(1L -> ((0L, 0L, 0L)), 2L -> ((0L, 0L, 0L)),
+      3L -> ((2L, 2L, 500000000L))))
+  }
 }
