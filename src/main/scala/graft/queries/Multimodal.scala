@@ -39,7 +39,10 @@ object Multimodal {
     * `mapPartitions` so a real decoder would amortize init per
     * partition; everything before/after stays columnar. */
   def mmBinaryMeta(s: SparkSession, d: String): DataFrame = {
-    val in = Tables.documents(s, d).select(
+    // null payloads are dropped, not decoded — mirrored by the oracles'
+    // WHERE text IS NOT NULL (a NULL would otherwise NPE the decoder
+    // on one engine and emit a NULL row on the other)
+    val in = Tables.documents(s, d).filter(col("text").isNotNull).select(
       col("doc_id"),
       col("text").cast("binary").as("payload"),
       struct(col("n_chars"), col("source"), col("lang")).as("meta"))
@@ -77,7 +80,7 @@ object Multimodal {
     * copies — the payload is read once per partition and never
     * duplicated across rows), the offset math, and the typed output. */
   def mmFrameSample(s: SparkSession, d: String): DataFrame = {
-    val in = Tables.documents(s, d).select(
+    val in = Tables.documents(s, d).filter(col("text").isNotNull).select(
       col("doc_id"), col("text").cast("binary").as("payload"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(FrameSchema)
@@ -119,7 +122,7 @@ object Multimodal {
     * (shuffle/write planning can rely on ≤ `ResizeTarget` bytes/row),
     * and the per-partition batching. */
   def mmResize(s: SparkSession, d: String): DataFrame = {
-    val in = Tables.documents(s, d).select(
+    val in = Tables.documents(s, d).filter(col("text").isNotNull).select(
       col("doc_id"), col("text").cast("binary").as("payload"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(ResizeSchema)
@@ -155,7 +158,7 @@ object Multimodal {
     * partition, never copied per window, and the digest makes the
     * byte-level windowing hash-gateable cross-engine. */
   def mmAudioWindow(s: SparkSession, d: String): DataFrame = {
-    val in = Tables.documents(s, d).select(
+    val in = Tables.documents(s, d).filter(col("text").isNotNull).select(
       col("doc_id"), col("text").cast("binary").as("payload"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(AudioWindowSchema)
@@ -216,7 +219,7 @@ object Multimodal {
         |       CASE WHEN length(text) >= 1 THEN ascii(substr(text, 1, 1)) + 1 ELSE 0 END AS fake_width,
         |       CASE WHEN length(text) >= 2 THEN ascii(substr(text, 2, 1)) + 1 ELSE 0 END AS fake_height,
         |       source
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "mm_audio_window" ->
       """SELECT d.doc_id,
         |       CAST(t.i AS INT) AS win_idx,
@@ -227,7 +230,7 @@ object Multimodal {
         |-- 1024 windows = oracle-side bound (covers docs to 16 KiB; the
         |-- testdata maxes at ~600 B — the Spark operator is unbounded)
         |CROSS JOIN range(0, 1024) t(i)
-        |WHERE t.i * 16 < length(d.text)""".stripMargin,
+        |WHERE d.text IS NOT NULL AND t.i * 16 < length(d.text)""".stripMargin,
     "mm_frame_sample" ->
       """SELECT d.doc_id,
         |       t.i AS frame_idx,
@@ -235,7 +238,8 @@ object Multimodal {
         |       ascii(substr(d.text, t.i * greatest(length(d.text) // 4, 1) + 1, 1)) AS frame_feature
         |FROM documents d
         |CROSS JOIN range(0, 4) t(i)
-        |WHERE t.i * greatest(length(d.text) // 4, 1) < length(d.text)""".stripMargin,
+        |WHERE d.text IS NOT NULL
+        |  AND t.i * greatest(length(d.text) // 4, 1) < length(d.text)""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
         |       length(text) AS orig_len,
@@ -245,6 +249,6 @@ object Multimodal {
         |                  substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)),
         |                'string_agg', '')
         |           END) AS resized_md5
-        |FROM documents""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin
   )
 }
