@@ -372,7 +372,35 @@ object Analytics {
     s"SELECT o_orderpriority,\n$cells\nFROM orders GROUP BY o_orderpriority"
   }
 
+  /** #26f q_skew_agg — the skew-safe aggregation path as a gated
+    * query: [[graft.operators.Salting.saltedAgg]] splits each group
+    * key over 16 deterministic salt sub-groups (spreading a hot key
+    * across 16 reducers) and recombines with a second tiny agg. AQE
+    * skew handling covers joins; aggregation skew needs this rewrite,
+    * and `events.event_type` (5 values over the whole table) is
+    * exactly the hot-key shape. The oracle is the PLAIN group-by: the
+    * salted two-phase result must be indistinguishable from the
+    * direct aggregation. */
+  def qSkewAgg(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    graft.operators.Salting.saltedAgg(
+        ev, col("event_type"), col("event_id"), salts = 16)(
+        (cents(col("value")), "sum"), (lit(1), "count"), (col("user_id"), "max"))
+      .select(col("__k").as("event_type"),
+        fromUnits(col("agg_0"), 2).as("sum_value"),
+        col("agg_1").as("n"),
+        col("agg_2").as("max_user"))
+  }
+
+  val qSkewAggSql: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS sum_value,
+      |  COUNT(*) AS n,
+      |  MAX(user_id) AS max_user
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_agg" -> (qSkewAgg _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_median" -> (qMedian _),
@@ -386,6 +414,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_agg" -> qSkewAggSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
     "q_median" -> qMedianSql,

@@ -253,6 +253,14 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 1, p)
   }
 
+  test("q_skew_agg: two-phase salted agg — two exchanges, four agg nodes") {
+    val p = physical(graft.queries.Analytics.qSkewAgg(spark, sf))
+    // partial (key, salt) pair + final (key) pair, each partial+final
+    assert(nodes(p, "HashAggregate") === 4, p)
+    assert(shuffles(p) === 2, p)
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+  }
+
   test("dd_minhash_lsh: signatures are map-only — only the bucket join shuffles") {
     val df = graft.queries.Dedup.ddMinhashLsh(spark, sf)
     val p = physical(df)
