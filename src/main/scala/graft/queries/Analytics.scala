@@ -399,7 +399,63 @@ object Analytics {
       |  MAX(user_id) AS max_user
       |FROM events GROUP BY event_type""".stripMargin
 
+  private val bucketTablesMemo =
+    graft.SessionMemo.named[(String, String)]("q_bucket_join_tables")
+
+  /** #26g q_bucket_join — the storage-layout arm of the scale story as
+    * a gated query: lineitem and orders are persisted BUCKETED by the
+    * join key ([[graft.operators.Bucketing]], once per session+dir via
+    * the memo registry), then joined — the bucketed scans report their
+    * hash partitioning, so EnsureRequirements inserts NO exchange and
+    * the fact-to-fact join runs scan-local (the dominant cost of a
+    * 100 TB fact join is exactly this shuffle). The per-order rollup
+    * after the join is the only exchange in the plan, and the oracle
+    * is the PLAIN join+agg on the raw parquet, so the bucketed layout
+    * must be semantically invisible. */
+  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liTable, ordTable) = bucketTablesMemo.getOrBuild(spark, dir) {
+      // table names carry a dir digest: one pair per (session, dir)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val li = s"b_lineitem_$tag"
+      val ord = s"b_orders_$tag"
+      // a managed table's LOCATION outlives the JVM while the
+      // in-memory catalog does not — scrub both, or a fresh session
+      // hits LOCATION_ALREADY_EXISTS on the orphaned directory
+      Seq(li, ord).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), t)
+        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      graft.operators.Bucketing.writeBucketed(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"),
+          cents(col("l_extendedprice")).as("price_c")),
+        li, "l_orderkey", 8)
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        ord, "l_orderkey", 8)
+      (li, ord)
+    }
+    graft.operators.Bucketing.colocatedJoin(spark, liTable, ordTable, "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        fromUnits(sum(col("price_c")), 2).as("revenue"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
+  val qBucketJoinSql: String =
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bucket_join" -> (qBucketJoin _),
     "q_skew_agg" -> (qSkewAgg _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
@@ -414,6 +470,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_bucket_join" -> qBucketJoinSql,
     "q_skew_agg" -> qSkewAggSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,

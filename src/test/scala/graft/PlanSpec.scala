@@ -253,6 +253,23 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 1, p)
   }
 
+  test("q_bucket_join: the fact-to-fact join is shuffle-free — only the rollup exchanges") {
+    // disable broadcast so the join MUST rely on the bucketed layout —
+    // at test scale Catalyst would otherwise broadcast the tiny side
+    // and the gate would pass without exercising bucketing at all
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.queries.Analytics.qBucketJoin(spark, sf)
+      val p = physical(df)
+      // bucketed scans satisfy the join's distribution: the single
+      // exchange in the plan belongs to the aggregation, not the join
+      assert(shuffles(p) === 1, p)
+      assert(bigJoins(p) >= 1, p)
+      assert(crossJoins(p) === 0, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q_skew_agg: two-phase salted agg — two exchanges, four agg nodes") {
     val p = physical(graft.queries.Analytics.qSkewAgg(spark, sf))
     // partial (key, salt) pair + final (key) pair, each partial+final
