@@ -38,6 +38,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native simhash/minhash/bigram forms equal the composable pipelines") {
+    import spark.implicits._
+    // random word sequences with heavy repetition, empty tokens from
+    // double spaces, and occasional accents — the distributions the
+    // corpus equality specs can't reach
+    val word = Gen.frequency(
+      6 -> Gen.oneOf("a", "b", "c", "dog", "cat", "née"),
+      3 -> Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(5)),
+      1 -> Gen.const("")) // "" between spaces == a double space
+    val doc = Gen.chooseNum(0, 24).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val cases = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var id = 0L
+    forAll(doc, n = 50) { s => cases += ((id, s)); id += 1 }
+    val docs = cases.toSeq.toDF("doc_id", "text")
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+
+    // simhash: native vs explode+bit-vote aggregate
+    val simNative = docs.selectExpr("doc_id", "graft_simhash(text) AS v")
+      .where($"v".isNotNull).as[(Long, Long)].collect().toMap
+    val sh = docs.withColumn("w", graft.functions.Shingles.tokens($"text"))
+      .select($"doc_id", explode(graft.functions.Shingles.hashedFromTokens($"w")).as("h"))
+    val proj = sh.select(col("doc_id") +: (0 until 4).map(g =>
+      graft.functions.PortableHash.perm(
+        graft.queries.Dedup.SimhashPermBase + g, $"h").as(s"g$g")): _*)
+    val bitCols = (0 until 64).map { j =>
+      sum(when(shiftright(col(s"g${j / 16}"), j % 16).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val simCol = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    val simComposed = proj.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .withColumn("v", simCol).select($"doc_id", $"v").as[(Long, Long)].collect().toMap
+    assert(simNative === simComposed)
+
+    // minhash: native sigs vs explode+min aggregate
+    val mhNative = docs.selectExpr("doc_id", "graft_minhash_sigs(text) AS hs")
+      .where($"hs".isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val minCols = (0 until graft.queries.Dedup.NumPerms).map(i =>
+      min(graft.functions.PortableHash.perm(i, $"h")).as(s"h$i"))
+    val mhComposed = sh.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (0 until graft.queries.Dedup.NumPerms).map(i => r.getAs[Long](s"h$i")).toList).toMap
+    assert(mhNative === mhComposed)
+
+    // bigram moments: native vs explode+double-groupBy
+    val bgNative = graft.queries.TextAnalysis.repetitionMetrics(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tok"),
+        r.getAs[Long]("top_bigram_x1000"), r.getAs[Long]("dup_bigram_x1000")))).toMap
+    val bgComposed = graft.queries.TextAnalysis.repetitionMetricsComposable(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_tok"),
+        r.getAs[Long]("top_bigram_x1000"), r.getAs[Long]("dup_bigram_x1000")))).toMap
+    assert(bgNative === bgComposed)
+  }
+
   private def charStatsOf(rows: Seq[(Long, String)]): Map[Long, (Long, Long, Long)] = {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     rows.toDF("doc_id", "text")

@@ -607,4 +607,46 @@ class StreamingSpec extends SparkSpec {
       assert(got === Map(0L -> ((0L, 0L)), 8L -> ((4L, 0L)), 16L -> ((8L, 1L))))
     } finally q.stop()
   }
+
+  test("pack stream on shuffled arrivals keeps per-shard cursors gapless and batch-ordered") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.PackStream.assignments(
+        input.toDF().toDF("doc_id", "text"), 4, 10L)
+      .writeStream.format("memory").queryName("pack_stream_rand")
+      .outputMode("append").start()
+    try {
+      // deterministic pseudo-shuffle: docs arrive in NON-doc_id order
+      val docs = (0L until 60L).map(i => (i * 37 % 61, "w " * (1 + (i % 5).toInt)))
+        .map { case (id, t) => (id, t.trim) }
+      val batches = docs.grouped(17).toSeq
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+
+      val got = spark.table("pack_stream_rand").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("n_tok"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("seq_in_shard")))
+      assert(got.length === docs.length)
+      // sequential reference: fold the same batches, doc_id-sorted
+      // within each batch per shard, cursors carried across batches
+      val cursor = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      val want = batches.flatMap { b =>
+        b.groupBy(_._1 % 4).toSeq.flatMap { case (shard, members) =>
+          members.sortBy(_._1).map { case (id, t) =>
+            val n = t.split(" ", -1).length.toLong
+            val start = cursor(shard); cursor(shard) = start + n
+            (id, shard, n, start, start / 10L)
+          }
+        }
+      }.toSet
+      assert(got.toSet === want)
+      // gapless: per shard, offsets sorted == running prefix sums
+      got.groupBy(_._2).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._4)
+        var c = 0L
+        sorted.foreach { r => assert(r._4 === c); c += r._3 }
+      }
+    } finally q.stop()
+  }
 }
