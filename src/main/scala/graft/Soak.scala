@@ -30,12 +30,20 @@ import org.apache.spark.sql.functions._
 object Soak {
 
   /** Queries whose scale behavior the soak certifies: every near-dup
-    * variant, the ANN tiers, and the shuffle-heaviest text queries. */
+    * variant, the ANN tiers, the shuffle-heaviest text queries, and
+    * the window/state-heavy reference-surface (gl/event) queries. The
+    * events corpus keeps ORIGINAL user ids while remapping event ids,
+    * so per-entity histories get `copies`× DEEPER — the adversarial
+    * axis for the SCD2/sessionize windows (state per key grows, key
+    * count does not). */
   val SoakQueries: Seq[String] = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_chunk_dup", "dd_cluster", "dd_embed_cosine",
     "ann_topk_brute", "ann_lsh_bucket", "ann_ivf", "ann_pq",
-    "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack")
+    "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack",
+    "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
+    "gl_vid_assign", "gl_poi_block_digest",
+    "q_sessionize", "q_asof_join", "q_skew_agg")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -60,6 +68,15 @@ object Soak {
       .reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
+    // events: RAW read (ts stays a nanos long so Tables.events can
+    // re-apply its conversion on the soak copy), event ids remapped,
+    // user ids KEPT — per-user histories deepen by `copies`×
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evs = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until copies).map(i => evs.withColumn("event_id", col("event_id") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
     val nDocs = spark.read.parquet(s"$workDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
