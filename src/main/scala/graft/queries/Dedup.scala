@@ -56,6 +56,45 @@ object Dedup {
       |       CAST(COUNT(*) AS BIGINT) AS n_dups
       |FROM documents GROUP BY 1""".stripMargin
 
+  // ---- #27c incremental exact-dedup state ----------------------------
+
+  /** Merge a prior dedup state with a new batch's partial state —
+    * the algebra of exact dedup: per hash, the kept id is the min of
+    * the two keeps and the duplicate count the sum. Exposed so a
+    * production ingest can fold daily batches into the standing state
+    * without touching prior batches' documents. */
+  def mergeExactState(prior: DataFrame, batch: DataFrame): DataFrame =
+    prior.unionByName(batch)
+      .groupBy(col("text_hash"))
+      .agg(min(col("keep_id")).as("keep_id"), sum(col("n_dups")).as("n_dups"))
+
+  /** #27c dd_exact_incremental — incremental dedup-state maintenance,
+    * the shape a 100 TB ingest actually runs: yesterday's standing
+    * state (hash → keep_id, n_dups) + today's batch → the SAME state a
+    * full recompute over everything would produce, without ever
+    * re-reading prior documents. The split here is deterministic
+    * (doc_id mod 5 picks the "new batch") so the oracle — the FULL
+    * ddExact group-by over all documents — gates that incremental
+    * merge ≡ full recompute, the same oracle pattern as
+    * gl_scd2_incremental/gl_squash_incremental.
+    *
+    * Scale: the prior state is hash-keyed and ~|distinct texts|-sized
+    * (no payloads); the merge is one map-side-combined agg keyed on
+    * text_hash. Cost per ingest is O(batch + state), never O(corpus). */
+  def ddExactIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val prior = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    mergeExactState(prior, batch)
+  }
+
+  /** Oracle = the FULL recompute: incremental must be indistinguishable. */
+  val ddExactIncrementalSql: String = ddExactSql
+
   // ---- shared shingle index -----------------------------------------
 
   /** Exploded (doc_id, shingle-hash) inverted-index rows.
@@ -608,6 +647,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_keep_best" -> (ddKeepBest _),
     "dd_exact" -> (ddExact _),
+    "dd_exact_incremental" -> (ddExactIncremental _),
     "dd_chunk_dup" -> (ddChunkDup _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
@@ -619,6 +659,7 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_keep_best" -> ddKeepBestSql,
     "dd_exact" -> ddExactSql,
+    "dd_exact_incremental" -> ddExactIncrementalSql,
     "dd_chunk_dup" -> ddChunkDupSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,

@@ -11,6 +11,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("keep_id") >= 0))
   }
 
+  test("dd_exact_incremental: merged state equals the full recompute, any split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.ddExact(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // three different deterministic splits, incl. empty-batch extremes
+    Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => c % 5 === 0, c => c % 2 === 0, c => c < 0).foreach { batchOf =>
+      def state(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+      val merged = Dedup.mergeExactState(
+          state(docs.filter(!batchOf($"doc_id"))),
+          state(docs.filter(batchOf($"doc_id")))).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(merged === full)
+    }
+  }
+
   test("dd_ngram_jaccard: pairs are ordered, jaccard >= 1/2, symmetric-free") {
     val rows = Dedup.ddNgramJaccard(spark, sf).collect()
     rows.foreach { r =>
