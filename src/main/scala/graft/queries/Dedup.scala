@@ -62,7 +62,11 @@ object Dedup {
     * the algebra of exact dedup: per hash, the kept id is the min of
     * the two keeps and the duplicate count the sum. Exposed so a
     * production ingest can fold daily batches into the standing state
-    * without touching prior batches' documents. */
+    * without touching prior batches' documents.
+    *
+    * CONTRACT: `prior` and `batch` must summarize DISJOINT document
+    * sets (an ingest naturally does — each doc is in exactly one
+    * batch); overlapping inputs would double-count `n_dups`. */
   def mergeExactState(prior: DataFrame, batch: DataFrame): DataFrame =
     prior.unionByName(batch)
       .groupBy(col("text_hash"))
