@@ -353,7 +353,69 @@ object Ann {
   /** ann_lsh_bucket, ann_ivf and ann_pq are rows-only by design: a
     * recall gate vs the oracle-gated brute baseline (plus, for PQ, an
     * exact-cosine-on-shortlist check) specs each one. */
+  /** DuckDB twin of the WHOLE LSH pipeline — buckets, multiprobe,
+    * candidate dedup, exact re-rank. The ±1 plane matrix is embedded
+    * as 64 literal sign arrays (the same [[Vectors.planeSign]] values
+    * Spark passes to the native SignBuckets expression), each table's
+    * bucket is the 8-bit sign pattern of its plane group, and the
+    * hamming≤2 multiprobe is `xor(bucket, mask)` over the 37 literal
+    * low-popcount masks. Dots stay exact integers end-to-end, so the
+    * candidate SET — not just the ranking — must match the native
+    * expression bit-for-bit. This moves ann_lsh_bucket from rows-only
+    * to rows+schema+hash (recall vs brute stays spec-gated). */
+  val annLshBucketSql: String = {
+    val qv = Vectors.quantizeSql("embedding")
+    // per-table bucket expressions over literal plane signs
+    def planeDot(p: Int): String = {
+      val signs = (0 until Dims).map(d => Vectors.planeSign(p, d)).mkString("[", ", ", "]")
+      s"list_sum(list_transform(generate_series(1, $Dims), i -> qv[i] * $signs[i]))"
+    }
+    val bucketDefs = (0 until NumTables).map { t =>
+      val bits = (0 until NumPlanes).map { j =>
+        s"(CASE WHEN ${planeDot(t * NumPlanes + j)} >= 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS b$t"
+    }.mkString(",\n    ")
+    val bucketCase = (0 until NumTables)
+      .map(t => s"WHEN $t THEN b$t").mkString(" ")
+    val masks = (0 until (1 << NumPlanes))
+      .filter(m => Integer.bitCount(m) <= ProbeDist).mkString("[", ", ", "]")
+    s"""WITH e AS (
+       |  SELECT vec_id, $qv AS qv FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2 FROM e),
+       |nn AS (SELECT * FROM n WHERE n2 > 0),
+       |bk AS (
+       |  SELECT vec_id,
+       |    $bucketDefs
+       |  FROM nn),
+       |corpus_b AS (
+       |  SELECT vec_id, t.i AS tbl, CASE t.i $bucketCase END AS bucket
+       |  FROM bk CROSS JOIN range(0, $NumTables) t(i)),
+       |probes AS (
+       |  SELECT c.vec_id AS qid, c.tbl, xor(c.bucket, m.mask) AS probe
+       |  FROM corpus_b c CROSS JOIN (SELECT unnest($masks) AS mask) m
+       |  WHERE c.vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT p.qid, c.vec_id
+       |  FROM probes p JOIN corpus_b c ON c.tbl = p.tbl AND c.bucket = p.probe
+       |  WHERE c.vec_id <> p.qid),
+       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
+       |  FROM cand
+       |  JOIN nn ON nn.vec_id = cand.vec_id
+       |  JOIN q ON q.qid = cand.qid)
+       |SELECT qid, vec_id AS nid,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       |       cos
+       |FROM scored
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "ann_topk_brute" -> annTopkBruteSql
+    "ann_topk_brute" -> annTopkBruteSql,
+    "ann_lsh_bucket" -> annLshBucketSql
   )
 }
