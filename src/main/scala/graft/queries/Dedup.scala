@@ -227,16 +227,26 @@ object Dedup {
     * inherently corpus-wide). [[ddMinhashLshComposable]] keeps the
     * explode+agg form for the spec equality gate; the DuckDB oracle
     * recomputes the whole chain independently in SQL. */
-  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(s)
-    val mh = Tables.documents(s, d)
+  /** (doc_id, band, bkey) LSH band rows for any documents frame —
+    * native map-only signatures, 4 rows per signed document. Factored
+    * out so [[ddMinhashLsh]] (clique pairs over ALL docs — the pairs
+    * ARE its output) and [[ddCluster]] (star edges over exact-dedup
+    * representatives — only connectivity matters) share one
+    * implementation of the signature/banding math. */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val mh = docs
       .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
       .filter(col("hs").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
-    val bands = mh.select(col("doc_id"), posexplode(array(
+    mh.select(col("doc_id"), posexplode(array(
       (0 until NumPerms / BandRows).map(b =>
         concat_ws("|", (0 until BandRows).map(r =>
           element_at(col("hs"), b * BandRows + r + 1)): _*)): _*
     )).as(Seq("band", "bkey")))
+  }
+
+  def ddMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val bands = minhashBands(Tables.documents(s, d))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -377,12 +387,53 @@ object Dedup {
     labels
   }
 
+  /** Star-shaped candidate edges per LSH band bucket: every member is
+    * connected to the bucket's MINIMUM doc_id (the hub) instead of to
+    * every other member. The transitive closure is identical — all of
+    * a bucket's members are connected through its hub either way — but
+    * edge volume drops from C(n,2) to n-1 per bucket, i.e. LINEAR in
+    * occupancy where the clique join is quadratic. Both the groupBy
+    * and the join key on (band, bkey), so the band rows shuffle once
+    * and the hub side is a map-side-combined min — no new heavy stage. */
+  private[graft] def starEdges(bands: DataFrame): DataFrame = {
+    val hubs = bands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("hub"))
+    bands.join(hubs, Seq("band", "bkey"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** #29b dd_cluster — the keep-one-per-cluster step of a dedup
-    * pipeline: connected components over the MinHash-LSH candidate
-    * pairs; every clustered doc maps to its component's minimum doc_id
-    * (the canonical survivor). The oracle recomputes the same
-    * clustering as a DuckDB recursive-CTE transitive closure — a
-    * completely different algorithm that must agree on every label. */
+    * pipeline: connected components over the MinHash-LSH candidates;
+    * every clustered doc maps to its component's minimum doc_id (the
+    * canonical survivor). The oracle recomputes the same clustering as
+    * a DuckDB recursive-CTE transitive closure over the FULL clique
+    * pair set — a completely different algorithm (and, since round 5,
+    * a different candidate graph with the same closure) that must
+    * agree on every label.
+    *
+    * MEGA-CLIQUE DEFENSE (the one scale-killer the round-4 soak
+    * measured): a boilerplate page repeated N times shares all 4 bands
+    * across its copies, so clique pair generation is Θ(N²) — 10⁶
+    * copies of a cookie banner would emit ~5·10¹¹ candidate pairs.
+    * Clustering only needs CONNECTIVITY, not the pairs, so this path
+    * is linear by construction, twice over:
+    *   1. exact twins are collapsed FIRST — signatures/bands/CC run on
+    *      one representative per distinct text (dd_exact's keep_id =
+    *      min doc_id of the twin group), and labels re-expand through
+    *      the doc→keep_id map afterwards. Exact twins share every
+    *      band, so they are in one component by construction, and the
+    *      representative carries the group minimum — labels are
+    *      IDENTICAL to clustering the full corpus.
+    *   2. surviving near-dup (non-identical) buckets emit STAR edges
+    *      ([[starEdges]]), n-1 per bucket instead of C(n,2), with the
+    *      same closure.
+    * Membership contract (matches the clique formulation exactly): a
+    * doc is in the output iff its text would LSH-pair with at least
+    * one other doc — i.e. its representative has a band edge, OR it
+    * has an exact twin (twins always pair; <3-token docs have no
+    * signature and never appear, twin or not). */
   // memoized per (session, dir): the label-propagation loop runs real
   // jobs at build time and persists its edge/label stages; dd_cluster
   // and tx_curation both consume the result, so one build serves both
@@ -390,7 +441,31 @@ object Dedup {
   private val clusterMemo = graft.SessionMemo.named[DataFrame]("dd_cluster")
 
   def ddCluster(s: SparkSession, d: String): DataFrame =
-    clusterMemo.getOrBuild(s, d)(connectedComponents(ddMinhashLsh(s, d)))
+    clusterMemo.getOrBuild(s, d) {
+      import org.apache.spark.storage.StorageLevel
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      val docs = Tables.documents(s, d)
+      // one narrow (doc_id, text_hash) pass feeds both the group state
+      // and the final re-expansion — text is scanned once here
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      val groups = hashed.groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .persist(StorageLevel.MEMORY_AND_DISK) // |distinct texts| rows, no payload
+      val reps = docs.join(
+        groups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      // persisted: consumed by star-edge generation AND the
+      // has-signature membership check below
+      val repBands = minhashBands(reps).persist(StorageLevel.MEMORY_AND_DISK)
+      val repLabels = connectedComponents(starEdges(repBands))
+        .select(col("doc_id").as("keep_id"), col("cluster_id").as("rep_cluster"))
+      val signedReps = repBands.select(col("doc_id").as("keep_id")).distinct()
+      hashed.join(groups, "text_hash")
+        .join(signedReps, Seq("keep_id"), "left_semi") // <3-token docs never cluster
+        .join(repLabels, Seq("keep_id"), "left")
+        .filter(col("n_dups") >= 2 || col("rep_cluster").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("rep_cluster"), col("keep_id")).as("cluster_id"))
+    }
 
   /** MinHash pairs + undirected edges + recursive transitive closure —
     * the CTE chain behind the cluster oracle, reusable by downstream

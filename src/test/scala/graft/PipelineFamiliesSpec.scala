@@ -54,6 +54,36 @@ class DedupSpec extends SparkSpec {
     assert(dupPairs.subsetOf(got), s"missing ${dupPairs.diff(got).take(5)}")
   }
 
+  test("dd_cluster: collapse+star labels equal clique-pair CC on real data") {
+    // the round-5 linear path (exact-collapse + star edges) must be
+    // indistinguishable from CC over the full clique pair set — the
+    // formulation the DuckDB oracle still uses
+    val got = Dedup.ddCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val want = Dedup.connectedComponents(Dedup.ddMinhashLsh(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("star edges: linear volume per bucket, closure identical to clique") {
+    import spark.implicits._
+    // one mega-bucket of 50 + one pair bucket + a bridge doc in both:
+    // clique edges = C(50,2)+..., star = 49+...; components must agree
+    val bands = (
+      (1L to 50L).map(id => (id, 0, "mega")) ++
+        Seq((100L, 0, "pb"), (101L, 0, "pb"), (50L, 1, "bridge"), (100L, 1, "bridge"))
+      ).toDF("doc_id", "band", "bkey")
+    val star = Dedup.starEdges(bands)
+    // 49 (mega) + 1 (pb) + 1 (bridge) = 51 edges, vs C(50,2)+2 = 1227
+    assert(star.count() === 51)
+    val labels = Dedup.connectedComponents(star).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // bridge doc 50/100 unites mega + pb into one component rooted at 1
+    assert((1L to 50L).forall(labels(_) === 1L))
+    assert(labels(100L) === 1L && labels(101L) === 1L)
+  }
+
   test("dd_cluster: min-label propagation resolves chains, cycles, and islands") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
