@@ -193,6 +193,7 @@ object Ann {
     // build time, and a trained coarse quantizer is a session-scoped
     // artifact (the k×dims table), not per-query work
     val cents = Ann.centroidMemo.getOrBuild(s, d)(trainCentroids(e, s))
+    trainedCentroids = Some(cents) // see [[oracles]] — the SQL twin embeds them
     val corpus = e.withColumn("cent", assignExpr(cents))
     val probes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
@@ -307,6 +308,7 @@ object Ann {
   def annPq(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d)
     val books = pqMemo.getOrBuild(s, d)(trainCodebooks(e, s))
+    trainedBooks = Some(books) // see [[oracles]] — the SQL twin embeds them
     val codes = e.select(col("vec_id"), col("n2"),
       pqCodes(col("qv"), books).as("codes"))
     // per-query ADC table, flat: qtab[m·K + j] = dot(q_sub[m], book[m][j])
@@ -350,9 +352,16 @@ object Ann {
     "ann_pq" -> (annPq _)
   )
 
-  /** ann_lsh_bucket, ann_ivf and ann_pq are rows-only by design: a
-    * recall gate vs the oracle-gated brute baseline (plus, for PQ, an
-    * exact-cosine-on-shortlist check) specs each one. */
+  /** The most recently trained session artifacts, recorded so the
+    * IVF/PQ oracle SQL can embed them as literals. [[graft.Verify]]
+    * runs every query BEFORE dumping `SparkEntry.oracleSql`, and both
+    * run against one sf dir per process, so at dump time these hold
+    * exactly the quantizer the dumped results were produced with. When
+    * the query never ran in this JVM the key is omitted and the driver
+    * records the (pre-round-5) rows-only result instead of a false
+    * mismatch. */
+  @volatile private var trainedCentroids: Option[Array[Array[Long]]] = None
+  @volatile private var trainedBooks: Option[Array[Array[Array[Long]]]] = None
   /** DuckDB twin of the WHOLE LSH pipeline — buckets, multiprobe,
     * candidate dedup, exact re-rank. The ±1 plane matrix is embedded
     * as 64 literal sign arrays (the same [[Vectors.planeSign]] values
@@ -363,35 +372,46 @@ object Ann {
     * candidate SET — not just the ranking — must match the native
     * expression bit-for-bit. This moves ann_lsh_bucket from rows-only
     * to rows+schema+hash (recall vs brute stays spec-gated). */
-  val annLshBucketSql: String = {
+  /** Shared oracle preamble: quantized vectors + norms + the
+    * per-(vec_id, dim) element unnest every literal-matrix dot joins
+    * against. One `vels` row per element — the grouped-sum join
+    * formulation keeps literal-matrix dot products vectorized instead
+    * of running a `list_transform` lambda per (row, matrix-row), which
+    * made the round-4 LSH oracle dominate the whole DuckDB suite. */
+  private def oraclePreambleSql: String = {
     val qv = Vectors.quantizeSql("embedding")
-    // per-table bucket expressions over literal plane signs
-    def planeDot(p: Int): String = {
-      val signs = (0 until Dims).map(d => Vectors.planeSign(p, d)).mkString("[", ", ", "]")
-      s"list_sum(list_transform(generate_series(1, $Dims), i -> qv[i] * $signs[i]))"
-    }
-    val bucketDefs = (0 until NumTables).map { t =>
-      val bits = (0 until NumPlanes).map { j =>
-        s"(CASE WHEN ${planeDot(t * NumPlanes + j)} >= 0 THEN ${1 << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"($bits) AS b$t"
-    }.mkString(",\n    ")
-    val bucketCase = (0 until NumTables)
-      .map(t => s"WHEN $t THEN b$t").mkString(" ")
-    val masks = (0 until (1 << NumPlanes))
-      .filter(m => Integer.bitCount(m) <= ProbeDist).mkString("[", ", ", "]")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, $qv AS qv FROM embeddings),
        |n AS (
        |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2 FROM e),
        |nn AS (SELECT * FROM n WHERE n2 > 0),
-       |bk AS (
-       |  SELECT vec_id,
-       |    $bucketDefs
-       |  FROM nn),
+       |vels AS (
+       |  SELECT vec_id, t.i AS i, qv[t.i] AS v
+       |  FROM nn CROSS JOIN generate_series(1, $Dims) t(i))""".stripMargin
+  }
+
+  /** A literal row-major matrix as an (r, i, w) table: row r in
+    * [0, rows), 1-based column i, weight w — the join side of the
+    * grouped-sum dot product. */
+  private def matrixCteSql(name: String, flat: Seq[Long], cols: Int): String =
+    s"""$name AS (
+       |  SELECT CAST((k - 1) // $cols AS INT) AS r,
+       |         CAST((k - 1) % $cols + 1 AS INT) AS i, f[k] AS w
+       |  FROM (SELECT ${flat.mkString("[", ", ", "]")} AS f)
+       |  CROSS JOIN generate_series(1, ${flat.length}) t(k))""".stripMargin
+
+  val annLshBucketSql: String = {
+    val masks = (0 until (1 << NumPlanes))
+      .filter(m => Integer.bitCount(m) <= ProbeDist).mkString("[", ", ", "]")
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("pmat", Vectors.planeMatrix(NumTables * NumPlanes, Dims), Dims)},
+       |pdots AS (
+       |  SELECT vec_id, r AS p, CAST(SUM(v * w) AS BIGINT) AS dot
+       |  FROM vels JOIN pmat USING (i) GROUP BY 1, 2),
        |corpus_b AS (
-       |  SELECT vec_id, t.i AS tbl, CASE t.i $bucketCase END AS bucket
-       |  FROM bk CROSS JOIN range(0, $NumTables) t(i)),
+       |  SELECT vec_id, CAST(p // $NumPlanes AS INT) AS tbl,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % $NumPlanes) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY 1, 2),
        |probes AS (
        |  SELECT c.vec_id AS qid, c.tbl, xor(c.bucket, m.mask) AS probe
        |  FROM corpus_b c CROSS JOIN (SELECT unnest($masks) AS mask) m
@@ -414,8 +434,111 @@ object Ann {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twin of the WHOLE IVF pipeline from the trained centroids:
+    * literal k×dims matrix → grouped-sum dots → exact-double cosine →
+    * assignment (ties to the HIGHER centroid id, matching the
+    * `greatest(struct(s, j))` lexicographic max) → top-`NumProbes`
+    * probes (s DESC, id ASC, matching `array_sort((-s, j))`) →
+    * candidate join → exact re-rank. Every comparison runs on either
+    * exact integers or the identical one-rounding double expression,
+    * so rows+schema+hash must match bit-for-bit. */
+  private def annIvfSql(cents: Array[Array[Long]]): String = {
+    val cn2s = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(x => x * x).sum})" }.mkString(", ")
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("cmat", cents.flatten.toIndexedSeq, Dims)},
+       |cn AS (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
+       |cdots AS (
+       |  SELECT vec_id, r AS j, CAST(SUM(v * w) AS BIGINT) AS dot
+       |  FROM vels JOIN cmat USING (i) GROUP BY 1, 2),
+       |cscore AS (
+       |  SELECT c.vec_id, c.j,
+       |         ${Vectors.cosineSql("c.dot", "nn.n2", "cn.cn2")} AS s
+       |  FROM cdots c JOIN nn ON nn.vec_id = c.vec_id JOIN cn ON cn.j = c.j),
+       |assign AS (
+       |  SELECT vec_id, j AS cent FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, j AS cent FROM cscore WHERE vec_id < $NumQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) <= $NumProbes),
+       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT p.qid, a.vec_id,
+       |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
+       |  FROM assign a
+       |  JOIN probes p ON p.cent = a.cent AND a.vec_id <> p.qid
+       |  JOIN nn ON nn.vec_id = a.vec_id
+       |  JOIN q ON q.qid = p.qid)
+       |SELECT qid, vec_id AS nid,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       |       cos
+       |FROM scored
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
+  /** DuckDB twin of the WHOLE PQ pipeline from the trained codebooks:
+    * literal M×K×subdims matrix → per-subspace argmin-L2 codes (exact
+    * integers, ties to the LOWER code id — [[graft.functions.PqCodes]]
+    * uses strict `>` on 2·dot−‖c‖², which ties identically to min-L2)
+    * → per-query ADC tables → Σₘ lookup sum → approximate-score
+    * shortlist (`adc/sqrt(n2)`, the identical double expression) →
+    * exact re-rank of the shortlist. Candidate SET and ranking must
+    * match the fused native kernels bit-for-bit. */
+  private def annPqSql(books: Array[Array[Array[Long]]]): String = {
+    val flat = books.flatMap(_.flatMap(_.toSeq)).toIndexedSeq
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("bflat", flat, PqSubDims)},
+       |bmat AS (
+       |  SELECT CAST(r // $PqK AS INT) AS m, CAST(r % $PqK AS INT) AS j, i AS sd, w
+       |  FROM bflat),
+       |svels AS (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDims AS INT) AS m,
+       |         CAST((i - 1) % $PqSubDims + 1 AS INT) AS sd, v
+       |  FROM vels),
+       |dists AS (
+       |  SELECT s.vec_id, b.m, b.j, SUM((s.v - b.w) * (s.v - b.w)) AS l2
+       |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY l2 ASC, j ASC) = 1),
+       |qtab AS (
+       |  SELECT s.vec_id AS qid, b.m, b.j, CAST(SUM(s.v * b.w) AS BIGINT) AS dot
+       |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
+       |  WHERE s.vec_id < $NumQueries
+       |  GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT t.qid, c.vec_id, CAST(SUM(t.dot) AS BIGINT) AS adc
+       |  FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
+       |  WHERE c.vec_id <> t.qid
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT a.qid, a.vec_id
+       |  FROM adc a JOIN nn ON nn.vec_id = a.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.qid
+       |    ORDER BY CAST(a.adc AS DOUBLE) / sqrt(CAST(nn.n2 AS DOUBLE)) DESC, a.vec_id) <= $PqShortlist),
+       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT sl.qid, sl.vec_id,
+       |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
+       |  FROM shortlist sl
+       |  JOIN nn ON nn.vec_id = sl.vec_id
+       |  JOIN q ON q.qid = sl.qid)
+       |SELECT qid, vec_id AS nid,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       |       cos
+       |FROM scored
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
+  /** ann_ivf/ann_pq oracles are SESSION-ARTIFACT twins: present only
+    * once the corresponding query has trained its quantizer in this
+    * JVM (always true in a [[graft.Verify]] run, which executes every
+    * query before dumping the SQL). gl_poi_stablehash stays the one
+    * genuinely rows-only key. */
+  def oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_lsh_bucket" -> annLshBucketSql
-  )
+  ) ++ trainedCentroids.map(c => "ann_ivf" -> annIvfSql(c)) ++
+    trainedBooks.map(b => "ann_pq" -> annPqSql(b))
 }
