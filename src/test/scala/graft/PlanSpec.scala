@@ -195,16 +195,20 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") === 1, p)
   }
 
-  test("tx_rarity: corpus tokenized once — the (doc, token) exchange is reused") {
+  test("tx_rarity: corpus tokenized once — both consumers read the persisted docTf") {
     val df = graft.queries.TextAnalysis.txRarity(spark, sf)
-    df.collect() // AQE performs exchange reuse at runtime, not statically
+    df.collect() // materialize so the EXECUTED plan (not the logical shape) is graded
     val p = physical(df)
-    // the docTf subtree feeds the vocabulary count, the global total
-    // AND the probe; AQE's ReuseExchange must collapse the duplicate
-    // scan+explode+agg subtrees so the corpus is tokenized once
-    assert("ReusedExchange|ReusedQueryStage|TableCacheQueryStage".r.findFirstIn(p).nonEmpty, p)
-    // the only nested-loop join is the one-row total broadcast
-    assert(crossJoins(p) <= 1, p)
+    // the docTf frame feeds the vocabulary count AND the probe; round 4
+    // trusted AQE's ReuseExchange, which held logically but didn't
+    // reliably fire at runtime — the gate now requires the persisted
+    // frames to actually be consumed in the executed plan
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(p).size >= 2, p)
+    // the only nested-loop join is the one-row total broadcast inside
+    // the cached vocabulary build (its nested plan prints the final
+    // AND initial AQE sections, so it can count twice); the scoring
+    // pass itself must not have one
+    assert(nodes(p, "BroadcastNestedLoopJoin") <= 2, p)
     assert(nodes(p, "CartesianProduct") === 0, p)
   }
 
