@@ -75,8 +75,11 @@ object Bench {
       census.reset()
       val ok = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case _: Exception => false }
-      census.quiesce()
-      name -> (if (ok) Some((census.stages.get(), census.shuffleWrite.get() / 1e6)) else None)
+      // a missed quiescence deadline means events were still in flight
+      // and this query's census undercounts — record it as suspect
+      // instead of letting it read as a clean measurement
+      val clean = census.quiesce()
+      name -> (if (ok) Some((census.stages.get(), census.shuffleWrite.get() / 1e6, clean)) else None)
     }.toMap
 
     // Floor probe: a trivial one-row parquet-scan noop-write pays the
@@ -104,12 +107,15 @@ object Bench {
     val floorTotal = floor * ok.size
     val dataProp = math.max(total - floorTotal, 0.0)
     val stagesJson = queries.flatMap { case (n, _) =>
-      stageCounts.get(n).flatten.map { case (st, _) => "\"" + n + "\":" + st }
+      stageCounts.get(n).flatten.map { case (st, _, _) => "\"" + n + "\":" + st }
     }.mkString("{", ",", "}")
     val shufJson = queries.flatMap { case (n, _) =>
-      stageCounts.get(n).flatten.map { case (_, mb) => f""""$n":$mb%.1f""" }
+      stageCounts.get(n).flatten.map { case (_, mb, _) => f""""$n":$mb%.1f""" }
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"sf":"$sfDir"}""")
+    val dirtyJson = queries.flatMap { case (n, _) =>
+      stageCounts.get(n).flatten.collect { case (_, _, false) => "\"" + n + "\"" }
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson,"sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

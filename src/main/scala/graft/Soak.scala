@@ -94,11 +94,13 @@ object Soak {
         try { fn(spark, workDir).write.format("noop").mode("overwrite").save(); Right(()) }
         catch { case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
       val sec = (System.nanoTime() - t0) / 1e9
-      listener.quiesce()
+      // census_clean=false marks a query whose listener events missed
+      // the quiescence deadline — its shuffle/stage numbers undercount
+      val clean = listener.quiesce()
       def mb(l: AtomicLong) = l.get() / 1e6
       res match {
         case Right(_) =>
-          println(f"""{"query":"$name","sec":$sec%.2f,"shuffle_write_mb":${mb(listener.shuffleWrite)}%.1f,"shuffle_read_mb":${mb(listener.shuffleRead)}%.1f,"spill_mb":${mb(listener.spill)}%.1f,"stages":${listener.stages.get()},"max_stage_shuffle_write_mb":${mb(listener.maxStageShuffleWrite)}%.1f}""")
+          println(f"""{"query":"$name","sec":$sec%.2f,"shuffle_write_mb":${mb(listener.shuffleWrite)}%.1f,"shuffle_read_mb":${mb(listener.shuffleRead)}%.1f,"spill_mb":${mb(listener.spill)}%.1f,"stages":${listener.stages.get()},"max_stage_shuffle_write_mb":${mb(listener.maxStageShuffleWrite)}%.1f,"census_clean":$clean}""")
         case Left(e) =>
           println(s"""{"query":"$name","error":"${e.replaceAll("[\"\\\\\n]", " ").take(160)}"}""")
       }

@@ -41,7 +41,13 @@ final class TaskMetricsListener extends SparkListener {
     jobsStarted.set(0); jobsEnded.set(0)
   }
 
-  def quiesce(): Unit = {
+  /** Waits (≤5 s) until every started job has ended and no stage
+    * completion arrived in the last poll. Returns whether quiescence
+    * was actually reached — a `false` means listener events were still
+    * in flight at the deadline and this window's census UNDERCOUNTS;
+    * callers must flag the entry rather than report it as a clean
+    * measurement. */
+  def quiesce(): Boolean = {
     val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
     var lastStages = -1
     while (System.nanoTime() < deadline &&
@@ -49,5 +55,6 @@ final class TaskMetricsListener extends SparkListener {
       lastStages = stages.get()
       Thread.sleep(100)
     }
+    jobsStarted.get() == jobsEnded.get() && stages.get() == lastStages
   }
 }

@@ -85,8 +85,10 @@ object CharStats {
         if (cp < 128) ascii(cp) += 1
         else {
           val k = Integer.valueOf(cp)
-          val prev = map.get(k)
-          map.put(k, if (prev == null) 1L else prev + 1L)
+          // getOrDefault keeps the missing-key case explicit — a bare
+          // map.get unboxes to a primitive Long, where null silently
+          // becomes 0L and a null check can never fire
+          map.put(k, map.getOrDefault(k, 0L) + 1L)
         }
         j += Character.charCount(cp)
       }

@@ -414,11 +414,16 @@ object Analytics {
     * must be semantically invisible. */
   def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
     val (liTable, ordTable) = bucketTablesMemo.getOrBuild(spark, dir) {
-      // table names carry a dir digest: one pair per (session, dir)
+      // table names carry a dir digest (one pair per session+dir) AND
+      // the pid: the warehouse dir is shared filesystem state, so two
+      // JVMs pointing at the same warehouse would otherwise DROP and
+      // delete each other's tables mid-query. Orphans from dead pids
+      // are scrubbed by the same drop-before-create on name reuse.
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      val li = s"b_lineitem_$tag"
-      val ord = s"b_orders_$tag"
+      val pid = ProcessHandle.current().pid()
+      val li = s"b_lineitem_${tag}_p$pid"
+      val ord = s"b_orders_${tag}_p$pid"
       // a managed table's LOCATION outlives the JVM while the
       // in-memory catalog does not — scrub both, or a fresh session
       // hits LOCATION_ALREADY_EXISTS on the orphaned directory

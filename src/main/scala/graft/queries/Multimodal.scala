@@ -227,9 +227,11 @@ object Multimodal {
         |       CAST(least(32, length(d.text) - t.i * 16) AS INT) AS win_len,
         |       md5(substr(d.text, t.i * 16 + 1, 32)) AS win_md5
         |FROM documents d
-        |-- 1024 windows = oracle-side bound (covers docs to 16 KiB; the
-        |-- testdata maxes at ~600 B — the Spark operator is unbounded)
-        |CROSS JOIN range(0, 1024) t(i)
+        |-- lateral per-row window count: the oracle enumerates exactly
+        |-- the windows the (unbounded) Spark operator emits for ANY
+        |-- document length — no silent data-size cap in the gate
+        |CROSS JOIN LATERAL (
+        |  SELECT unnest(range(0, (length(d.text) + 15) // 16)) AS i) t
         |WHERE d.text IS NOT NULL AND t.i * 16 < length(d.text)""".stripMargin,
     "mm_frame_sample" ->
       """SELECT d.doc_id,

@@ -34,6 +34,11 @@ object PackStream {
       shard: Long, rows: Iterator[(Long, Long, Long)],
       state: GroupState[Cursor]): Iterator[Packed] = {
     var cursor = state.getOption.map(_.nextTok).getOrElse(0L)
+    // rows.toSeq buffers ONE shard's slice of ONE micro-batch — at
+    // most the whole micro-batch (the pathological all-docs-one-shard
+    // case, spec-pinned) at ~24 B/row, since text was projected to a
+    // count before the shuffle. Bounded by micro-batch sizing, never
+    // by stream length; persistent state stays one long per shard.
     val out = rows.toSeq.sortBy(_._1).map { case (id, nTok, _) =>
       val start = cursor
       cursor += nTok
@@ -50,6 +55,10 @@ object PackStream {
     implicit val pe = Encoders.product[Packed]
     val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
     docs
+      // mirror the batch packer's input contract: a row with a null
+      // doc_id or text cannot be packed, and a null n_tok would fail
+      // the primitive tuple encoder at runtime mid-micro-batch
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
       .select(col("doc_id").cast("long"),
         size(split(col("text"), " ")).cast("long").as("n_tok"),
         (col("doc_id") % shards).cast("long").as("shard"))

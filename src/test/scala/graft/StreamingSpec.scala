@@ -608,6 +608,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pack stream: all-docs-one-shard batch packs correctly; null rows are dropped") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.lang.Long, String)]
+    val q = graft.streaming.PackStream.assignments(
+        input.toDF().toDF("doc_id", "text"), 8, 5L)
+      .writeStream.format("memory").queryName("pack_stream_hot")
+      .outputMode("append").start()
+    try {
+      // pathological batch: EVERY doc lands on shard 0 (ids ≡ 0 mod 8)
+      // — the per-group buffer holds the whole micro-batch; plus a
+      // null-text and a null-id row, which the input guard must drop
+      // instead of failing the tuple encoder mid-batch
+      val hot = (0L until 40L).map(i => (java.lang.Long.valueOf(i * 8), ("t " * (1 + (i % 3).toInt)).trim))
+      input.addData(hot ++ Seq((java.lang.Long.valueOf(999L), null), (null.asInstanceOf[java.lang.Long], "orphan")))
+      q.processAllAvailable()
+      val got = spark.table("pack_stream_hot").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+          r.getAs[Long]("n_tok"), r.getAs[Long]("start_tok")))
+      assert(got.length === hot.length) // null rows dropped, no failure
+      assert(got.forall(_._2 === 0L))
+      // gapless in doc_id order with cursors from 0
+      var c = 0L
+      got.sortBy(_._1).foreach { r => assert(r._4 === c); c += r._3 }
+    } finally q.stop()
+  }
+
   test("pack stream on shuffled arrivals keeps per-shard cursors gapless and batch-ordered") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
