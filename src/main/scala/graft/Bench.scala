@@ -115,7 +115,38 @@ object Bench {
     val dirtyJson = queries.flatMap { case (n, _) =>
       stageCounts.get(n).flatten.collect { case (_, _, false) => "\"" + n + "\"" }
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson,"sf":"$sfDir"}""")
+    // DuckDB twin timing (tools/bench_duck.py writes DUCK_TIMING.json
+    // per round): merged here when its sf matches, so the round's
+    // BENCH json records both engines' totals and the shared-key ratio
+    // instead of each judge re-deriving them. Shared keys only — a
+    // query one engine didn't run contributes to neither total.
+    val duckJson = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "DUCK_TIMING.json")
+      val f = new java.io.File(path)
+      val parsed = if (!f.exists()) None else {
+        val txt = scala.io.Source.fromFile(f)
+        val content = try txt.mkString finally txt.close()
+        val sfOk = """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(content)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) None else Some {
+          """"(\w+)"\s*:\s*([0-9.]+)""".r.findAllMatchIn(content)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filterNot { case (k, _) => k == "total_sec" || k == "runs" }
+            .toMap
+        }
+      }
+      parsed.fold("") { duck =>
+        val shared = results.collect {
+          case (n, Right(v)) if duck.contains(n) => (n, v, duck(n))
+        }
+        val sparkShared = shared.map(_._2).sum
+        val duckShared = shared.map(_._3).sum
+        val perKey = shared.map { case (n, v, dv) =>
+          f""""$n":${v / math.max(dv, 1e-4)}%.2f""" }.mkString("{", ",", "}")
+        f""","duck_total_sec_shared":$duckShared%.3f,"spark_total_sec_shared":$sparkShared%.3f,"ratio_shared":${sparkShared / math.max(duckShared, 1e-9)}%.3f,"shared_keys":${shared.size},"ratio_per_key":$perKey"""
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson$duckJson,"sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
