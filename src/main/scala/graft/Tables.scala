@@ -25,9 +25,16 @@ object Tables {
     * exact integer space (ns since 2024 overflows double's 2^53). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // derived copies (ScaleUp / Soak rewrites) already carry a
+      // microsecond TIMESTAMP — only the testdata's raw nanos long
+      // needs the truncating conversion
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

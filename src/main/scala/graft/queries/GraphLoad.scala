@@ -175,8 +175,13 @@ object GraphLoad {
 
   def glTypedBigint(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d).groupBy(col("l_returnflag"))
-      .agg(sum(col("l_orderkey").cast("decimal(18,0)") * col("l_partkey").cast("decimal(18,0)"))
-        .cast("decimal(18,0)").cast("double").as("big_product_sum"))
+      // BigInt OUTPUT is a STRING, the reference's own serialization
+      // (writer.go:268-276 emits BigInt as decimal text): exact at any
+      // magnitude — the previous decimal(18)->double canonicalization
+      // overflowed once the sf1-scale key remap pushed the sum past
+      // 10^18 — and digit strings hash identically in both engines
+      .agg(sum(col("l_orderkey").cast("decimal(19,0)") * col("l_partkey").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").cast("string").as("big_product_sum"))
 
   def glTypedBigdecimal(s: SparkSession, d: String): DataFrame =
     ch(s, d).groupBy(col("op"))
@@ -406,7 +411,7 @@ object GraphLoad {
 
     "gl_typed_bigint" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(SUM(CAST(l_orderkey AS DECIMAL(18,0)) * CAST(l_partkey AS DECIMAL(18,0))) AS DECIMAL(18,0)) AS DOUBLE) AS big_product_sum
+        |  CAST(CAST(SUM(CAST(l_orderkey AS DECIMAL(19,0)) * CAST(l_partkey AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS VARCHAR) AS big_product_sum
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "gl_typed_bigdecimal" ->

@@ -534,16 +534,19 @@ object TextAnalysis {
     * bigrams. PipelineFamiliesSpec pins equivalence with the
     * distributed aggregation on the corpus. */
   def dupBigramX1000Expr(text: Column): Column = {
-    val w = toks(text)
-    val n = size(w)
-    val g = transform(sequence(lit(1), n - lit(1)), i =>
-      concat_ws(" ", element_at(w, i), element_at(w, i + lit(1))))
-    val dup = size(filter(g, x => size(filter(g, y => y === x)) > lit(1)))
-    // ints are exact in the double division here (dup*1000 ≤ ~1e6), so
-    // floor == integer DIV; sequence(1, n-1) would go DESCENDING for
-    // n<2, hence the guard evaluates the gram array only when n ≥ 2
-    when(n >= 2,
-      floor(dup.cast("long") * lit(1000L) / (n - lit(1)).cast("long")).cast("long"))
+    // the native one-pass kernel, NOT the nested higher-order-filter
+    // composition: filter(g, x -> filter(g, y -> y = x)) is O(n²)
+    // interpreted lambda evaluation per ROW, which made the streaming
+    // curation gate spend ~20 s per 500-doc micro-batch; the kernel is
+    // one codegen'd pass over the byte string. Callers must have
+    // graft expressions registered (every graft entry point does).
+    // bs is null for <2 tokens (no bigram slots) — score 0, matching
+    // the previous guard. Integer math: dup*1000 ≤ ~1e9 is exact in
+    // the double division, so floor == integer DIV.
+    val bs = call_function("graft_bigram_stats", text)
+    when(bs.isNotNull,
+      floor(bs.getField("dup_cnt").cast("long") * lit(1000L) /
+        (bs.getField("n_tok").cast("long") - lit(1L))).cast("long"))
       .otherwise(lit(0L))
   }
 

@@ -30,7 +30,8 @@ object CurationStream {
   /** The shared front half: watermark → stateless gates → exact dedup
     * within the watermark horizon. `docs` needs
     * (ts: timestamp, doc_id, text, lang). */
-  private def admitted(docs: DataFrame, watermarkDelay: String): DataFrame =
+  private def admitted(docs: DataFrame, watermarkDelay: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     docs
       .withWatermark("ts", watermarkDelay)
       .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
@@ -39,6 +40,7 @@ object CurationStream {
         <= MaxDupBigramX1000)
       .withColumn("text_hash", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_hash")
+  }
 
   def curatedStats(docs: DataFrame, watermarkDelay: String,
                    windowDuration: String): DataFrame =

@@ -21,8 +21,12 @@ def norm(df):
 
 def main(sfdir, outdir):
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table (ScaleUp/Soak corpora)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
