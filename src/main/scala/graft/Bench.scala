@@ -147,6 +147,10 @@ object Bench {
       }
     }
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson$duckJson,"sf":"$sfDir"}""")
+    // compact trailer: the driver records only the TAIL of stdout, so
+    // the headline numbers must also appear at the very end or they
+    // are truncated away with the front of the long line above
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckJson,"sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
