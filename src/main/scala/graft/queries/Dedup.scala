@@ -356,24 +356,26 @@ object Dedup {
         .withColumnRenamed("src", "doc_id")
       val (prop, propRdd) = snap(labels
         .join(nmin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("cluster_id").as("old_label"),
           least(col("cluster_id"), coalesce(col("nlabel"), col("cluster_id"))).as("cluster_id")))
       // pointer jump: l(v) := min(l(v), l(l(v))). Labels are node ids
       // (invariant above) so the self-join resolves; left join +
       // coalesce only as defense in depth. least() is also defensive —
-      // monotonicity already gives l(l(v)) <= l(v).
+      // monotonicity already gives l(l(v)) <= l(v). The round-start
+      // label rides along as old_label so convergence is read off the
+      // SNAPPED rows below — no extra join-and-count job per round.
       val parent = prop.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lab"))
       val (next, nextRdd) = snap(prop
         .join(parent, prop("cluster_id") === parent("p_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("old_label"),
           least(col("cluster_id"), coalesce(col("p_lab"), col("cluster_id"))).as("cluster_id")))
       // labels only decrease, so "changed" is a strict-inequality count
-      val changed = next
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old_label")), "doc_id")
-        .filter(col("cluster_id") < col("old_label")).count()
+      // — a map-only pass over the just-persisted snapshot rows
+      val changed = nextRdd.filter(r =>
+        r.getLong(r.fieldIndex("cluster_id")) < r.getLong(r.fieldIndex("old_label"))).count()
       propRdd.unpersist(blocking = false)
       labelsRdd.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       labelsRdd = nextRdd
       iters += 1
       done = changed == 0
