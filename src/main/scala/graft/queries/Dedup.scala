@@ -469,6 +469,105 @@ object Dedup {
           coalesce(col("rep_cluster"), col("keep_id")).as("cluster_id"))
     }
 
+  // ---- #29d incremental clustering ------------------------------------
+
+  /** #29d dd_cluster_incremental — fold a new batch of documents into a
+    * STANDING cluster state without re-clustering the corpus: the shape
+    * a 100 TB daily ingest actually runs. The standing state is exactly
+    * what a production pipeline already keeps on disk:
+    *
+    *   1. the exact-dedup state (text_hash → keep_id, n_dups —
+    *      dd_exact_incremental's artifact);
+    *   2. the LSH BAND INDEX over prior representatives (band, bkey,
+    *      rep) — the inverted index LSH maintains by construction;
+    *   3. the prior cluster labels.
+    *
+    * The ingest then touches O(batch + state), never prior documents:
+    * only texts UNSEEN in the prior state are signed and banded; their
+    * bands probe the standing index (star edge to each hit bucket's
+    * hub — any prior doc sharing a bucket is already connected to its
+    * hub, so one edge restores full connectivity) and self-join among
+    * the batch; prior labels re-enter the CC as (label → doc) star
+    * edges. Because a new twin of an old text can carry a SMALLER
+    * doc_id than the old representative, component labels are
+    * re-minimized over the merged per-text keep_ids after the CC —
+    * the component minimum over all docs is always some text group's
+    * merged keep.
+    *
+    * The deterministic split (doc_id % 5 = the "new batch") exists so
+    * the driver oracle — the FULL recursive-closure recompute over all
+    * documents, the same SQL as dd_cluster — gates that incremental ≡
+    * full, the pattern of gl_scd2_incremental/dd_exact_incremental. */
+  def ddClusterIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val docs = Tables.documents(s, d)
+    clusterIncremental(docs.filter(col("doc_id") % 5 =!= 0),
+      docs.filter(col("doc_id") % 5 === 0))
+  }
+
+  /** The merge over any (prior, batch) pair of (doc_id, text) frames —
+    * split out so specs can gate arbitrary splits against the batch
+    * clustering. Only `prior`-derived state and `batch` documents are
+    * read; prior texts are never re-tokenized. */
+  def clusterIncremental(prior: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // ---- standing state (built here from `prior`; on a real ingest
+    // these three frames are read back from the previous run) ----
+    val priorHashed = prior.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val priorGroups = priorHashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val priorReps = prior.join(
+      priorGroups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val priorBands = minhashBands(priorReps).persist(StorageLevel.MEMORY_AND_DISK)
+    val priorLabels = connectedComponents(starEdges(priorBands))
+    // ---- the ingest: batch-only work against the state ----
+    val batchHashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val batchGroups = batchHashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merged = mergeExactState(priorGroups, batchGroups)
+    // banded rep per text: the PRIOR rep wherever the text was already
+    // indexed (its signature is in the standing index), else the batch
+    // rep — only those new texts are signed at ingest time
+    val bandedRep = priorGroups.select(col("text_hash"), col("keep_id").as("banded_rep"))
+      .unionByName(batchGroups.join(priorGroups, Seq("text_hash"), "left_anti")
+        .select(col("text_hash"), col("keep_id").as("banded_rep")))
+    val newReps = batch.join(
+      batchGroups.join(priorGroups, Seq("text_hash"), "left_anti")
+        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val newBands = minhashBands(newReps).persist(StorageLevel.MEMORY_AND_DISK)
+    // edges: batch-internal stars + probes into the standing index's
+    // bucket hubs + prior labels re-entering as (label, member) stars
+    val priorHubs = priorBands.groupBy(col("band"), col("bkey"))
+      .agg(min(col("doc_id")).as("hub"))
+    val crossEdges = newBands.join(priorHubs, Seq("band", "bkey"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b")).distinct()
+    val priorLabelEdges = priorLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    val repLabels = connectedComponents(
+      starEdges(newBands).unionByName(crossEdges).unionByName(priorLabelEdges))
+      .select(col("doc_id").as("banded_rep"), col("cluster_id").as("comp"))
+    // ---- expansion: docs → text group → banded rep → component, with
+    // component labels re-minimized over merged keep_ids (a new twin
+    // of an old text can undercut the old representative's id) ----
+    val signed = priorBands.select(col("doc_id")).unionByName(newBands.select(col("doc_id")))
+      .distinct().select(col("doc_id").as("banded_rep"))
+    val groupsLabeled = merged.join(bandedRep, "text_hash")
+      .join(signed, Seq("banded_rep"), "left_semi")
+      .join(repLabels, Seq("banded_rep"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val compMin = groupsLabeled.filter(col("comp").isNotNull)
+      .groupBy(col("comp")).agg(min(col("keep_id")).as("comp_label"))
+    val groupLabel = groupsLabeled
+      .join(compMin, Seq("comp"), "left")
+      .filter(col("n_dups") >= 2 || col("comp").isNotNull)
+      .select(col("text_hash"), coalesce(col("comp_label"), col("keep_id")).as("cluster_id"))
+    priorHashed.unionByName(batchHashed)
+      .join(groupLabel, "text_hash")
+      .select(col("doc_id"), col("cluster_id"))
+  }
+
   /** MinHash pairs + undirected edges + recursive transitive closure —
     * the CTE chain behind the cluster oracle, reusable by downstream
     * composed oracles (tx_curation). Requires `WITH RECURSIVE`. */
@@ -486,6 +585,9 @@ object Dedup {
     s"""WITH RECURSIVE $clusterCtes
        |SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin
+
+  /** Oracle = the FULL clustering: incremental must be indistinguishable. */
+  val ddClusterIncrementalSql: String = ddClusterSql
 
   // ---- #30 SimHash ----------------------------------------------------
 
@@ -733,6 +835,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_cluster" -> (ddCluster _),
+    "dd_cluster_incremental" -> (ddClusterIncremental _),
     "dd_simhash" -> (ddSimhash _),
     "dd_embed_cosine" -> (ddEmbedCosine _)
   )
@@ -745,6 +848,7 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_cluster" -> ddClusterSql,
+    "dd_cluster_incremental" -> ddClusterIncrementalSql,
     "dd_simhash" -> ddSimhashSql,
     "dd_embed_cosine" -> ddEmbedCosineSql
   )

@@ -84,6 +84,24 @@ class DedupSpec extends SparkSpec {
     assert(labels(100L) === 1L && labels(101L) === 1L)
   }
 
+  test("dd_cluster_incremental: merged state equals the full clustering, any split") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val full = Dedup.ddCluster(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // three deterministic splits incl. the empty-batch and
+    // everything-is-new extremes; labels must be IDENTICAL — including
+    // when a new twin's doc_id undercuts the standing representative
+    Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column](
+      c => c % 5 === 0, c => c % 2 === 1, c => c >= 0).foreach { batchOf =>
+      val got = Dedup.clusterIncremental(
+          docs.filter(!batchOf($"doc_id")), docs.filter(batchOf($"doc_id"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got === full)
+    }
+    assert(full.nonEmpty)
+  }
+
   test("dd_cluster: min-label propagation resolves chains, cycles, and islands") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
