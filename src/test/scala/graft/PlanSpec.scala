@@ -237,6 +237,19 @@ class PlanSpec extends SparkSpec {
     assert(crossJoins(p) === 0, p)
   }
 
+  test("dd_cluster_incremental: ingest plan is all equi-joins, no cartesian") {
+    val df = Dedup.ddClusterIncremental(spark, sf)
+    val p = physical(df)
+    // the expansion is text_hash/banded_rep/comp equi-joins over the
+    // persisted state frames; candidate generation happened in the CC
+    // build (bounded star edges) — nothing here may go nested-loop
+    assert(crossJoins(p) === 0, p)
+    assert(nodes(p, "CartesianProduct") === 0, p)
+    // the standing state (groups + labeled groups) is read from cache
+    assert(nodes(p, "InMemoryTableScan") >= 1
+      || "(?i)in-?memory".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("ann_pq: corpus side carries codes only; re-rank joins are equi") {
     val p = physical(graft.queries.Ann.annPq(spark, sf))
     assert(nodes(p, "CartesianProduct") === 0, p)
