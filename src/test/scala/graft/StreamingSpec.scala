@@ -608,6 +608,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ann stream: streamed queries reproduce the batch LSH top-k exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val refIndex = graft.streaming.AnnStream
+      .referenceIndex(Tables.embeddings(spark, sf))
+      .persist()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.AnnStream.topkContinuous(
+        input.toDF().toDF("vec_id", "embedding"), refIndex)
+      .writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      // the batch operator's query set (vec_id < NumQueries), split
+      // across two micro-batches — answers must be identical rows
+      val queries = Tables.embeddings(spark, sf)
+        .filter($"vec_id" < graft.queries.Ann.NumQueries)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+      val (b1, b2) = queries.splitAt(queries.length / 2)
+      Seq(b1, b2).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val got = spark.table("ann_stream").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+      val want = graft.queries.Ann.annLshBucket(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally { q.stop(); refIndex.unpersist() }
+  }
+
   test("pack stream: all-docs-one-shard batch packs correctly; null rows are dropped") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
