@@ -459,7 +459,59 @@ object Analytics {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** #26h q_interval_count — point-in-interval "stabbing" counts, the
+    * range-join shape Spark would otherwise plan as a broadcast
+    * nested-loop join (O(points × intervals) predicate evaluations):
+    * for every lineitem ship event, how many orders were OPEN (within
+    * 30 days of placement, half-open `[o_orderdate, +30d)`) at that
+    * instant, rolled up per return flag.
+    *
+    * Spark-first realization is the SWEEP-LINE rewrite: every interval
+    * decomposes into a +1 boundary at its start and a -1 at its end, a
+    * running sum over the merged boundary+point timeline yields the
+    * open-interval count at every instant that matters, and the point
+    * side then EQUI-joins its own timestamp against that tiny table —
+    * O(n + m) and one broadcast where the naive range join is O(n·m).
+    * The unpartitioned window is over |distinct timestamps| rows —
+    * calendar-bounded (~2.4k dates for this corpus at ANY sf), never
+    * data-proportional; at finer-than-day granularity the same sweep
+    * runs per coarse time-bucket (deltas prefix-summed across buckets
+    * the way [[graft.operators.VidAssigner]] offsets bundles).
+    * Half-open semantics fall out of the merge order: a point AT an
+    * interval's closing instant sees the -1 already applied. The
+    * oracle is the CORRELATED range count, which DuckDB decorrelates
+    * into its inequality join — two genuinely different algorithms
+    * must produce identical sums. */
+  def qIntervalCount(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val deltas = orders.select(col("o_orderdate").as("d"), lit(1L).as("delta"))
+      .unionAll(orders.select(
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("d"), lit(-1L).as("delta")))
+      .unionAll(li.select(col("l_shipdate").as("d"), lit(0L).as("delta")))
+    val open = deltas.groupBy(col("d")).agg(sum(col("delta")).as("delta"))
+      .withColumn("open_orders",
+        sum(col("delta")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("open_orders"))
+    li.join(broadcast(open), li("l_shipdate") === open("d"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"), sum(col("open_orders")).as("open_sum"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val qIntervalCountSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM((SELECT COUNT(*) FROM orders o
+      |            WHERE o.o_orderdate <= l.l_shipdate
+      |              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS open_sum
+      |FROM lineitem l
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_skew_agg" -> (qSkewAgg _),
     "q_pivot" -> (qPivot _),
@@ -475,6 +527,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_skew_agg" -> qSkewAggSql,
     "q_pivot" -> qPivotSql,

@@ -71,4 +71,25 @@ class AnalyticsSpec extends SparkSpec {
     val rows = Analytics.qJsonExtract(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
   }
+
+  test("q_interval_count: sweep-line equals the naive correlated range count") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.qIntervalCount(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 3)
+    // n_items covers the whole point side
+    assert(rows.map(_.getAs[Long]("n_items")).sum === Tables.lineitem(spark, sf).count())
+    // brute-force stabbing count: the O(n·m) range join the sweep avoids
+    val li = Tables.lineitem(spark, sf).select(col("l_shipdate"), col("l_returnflag"))
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderdate"), (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_close"))
+    val naive = li.join(o,
+        o("o_orderdate") <= li("l_shipdate") && li("l_shipdate") < o("o_close"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(o("o_orderdate").isNotNull, 1L).otherwise(0L)).as("open_sum"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("open_sum")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("open_sum") === naive(r.getAs[String]("l_returnflag")),
+        s"flag ${r.getAs[String]("l_returnflag")}")
+    }
+  }
 }

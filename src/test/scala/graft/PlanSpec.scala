@@ -339,4 +339,17 @@ class PlanSpec extends SparkSpec {
     assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
     assert(nodes(p, "Exchange SinglePartition") === 0, p)
   }
+
+  test("q_interval_count: sweep-line rewrites the range join as equi-join") {
+    val df = Analytics.qIntervalCount(spark, sf)
+    val p = physical(df)
+    // the whole point of the sweep: the point-in-interval predicate
+    // never becomes a nested-loop/cartesian range join
+    assert(crossJoins(p) === 0, p)
+    // points equi-join the calendar-bounded open-count table, broadcast
+    assert(bhj(p) === 1, p)
+    // the cumsum window runs over the tiny boundary table only; its
+    // single-partition exchange carries |distinct dates| rows, not data
+    assert(nodes(p, "Window \\[") === 1, p)
+  }
 }
