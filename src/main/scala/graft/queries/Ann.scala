@@ -152,34 +152,44 @@ object Ann {
     * bounded SAMPLE — the pattern is identical. */
   private val centroidMemo = graft.SessionMemo.named[Array[Array[Long]]]("ann_ivf_centroids")
 
-  private def trainCentroids(e: DataFrame, spark: SparkSession): Array[Array[Long]] = {
+  private def trainCentroids(e: DataFrame, spark: SparkSession,
+      k: Int = NumCentroids): Array[Array[Long]] = {
     import spark.implicits._
-    var cents: Array[Array[Long]] = e.filter(col("vec_id") < NumCentroids)
+    var cents: Array[Array[Long]] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").select("qv").as[Seq[Long]].collect().map(_.toArray)
     for (_ <- 0 until LloydIters) {
       val assigned = e.withColumn("cent", assignExpr(cents))
-      cents = assigned
+      val means = assigned
         .select(col("cent"), posexplode(col("qv")).as(Seq("d", "v")))
         .groupBy(col("cent"), col("d")).agg(avg(col("v")).as("m"))
         .groupBy(col("cent"))
         .agg(map_from_arrays(collect_list(col("d")), collect_list(col("m"))).as("dims"))
-        .as[(Int, Map[Int, Double])].collect().sortBy(_._1)
-        .map { case (_, dims) => (0 until Dims).map(d => dims(d).round).toArray }
+        .as[(Int, Map[Int, Double])].collect()
+        .map { case (j, dims) => j -> (0 until Dims).map(d => dims(d).round).toArray }
+        .toMap
+      // empty clusters keep their previous centroid (the PQ codebook
+      // convention) so centroid ids never shift positions mid-training
+      cents = cents.indices.map(j => means.getOrElse(j, cents(j))).toArray
     }
     cents
   }
 
-  /** argmax-cosine centroid id as one expression: greatest() over
-    * (score, id) structs — lexicographic max picks the best score. */
-  private def assignExpr(cents: Array[Array[Long]]): Column = {
+  /** Best-centroid (score, id) struct as one expression: greatest()
+    * over (score, id) structs — lexicographic max picks the best
+    * score, ties to the higher id. */
+  private def assignStruct(cents: Array[Array[Long]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val cn2 = c.map(x => x * x).sum
       struct(
         Vectors.cosine(Vectors.dot(col("qv"), typedLit(c.toSeq)), col("n2"), lit(cn2)).as("s"),
         lit(j).as("j"))
     }
-    greatest(scored.toIndexedSeq: _*).getField("j")
+    greatest(scored.toIndexedSeq: _*)
   }
+
+  /** argmax-cosine centroid id. */
+  private def assignExpr(cents: Array[Array[Long]]): Column =
+    assignStruct(cents).getField("j")
 
   /** IVF ANN: corpus partitioned once by nearest centroid; each query
     * scans only its `NumProbes` closest inverted lists. The candidate
@@ -345,11 +355,118 @@ object Ann {
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
   }
 
+  // ---- #31b SemDeDup semantic dedup ---------------------------------
+
+  /** SemDeDup parameters: k clusters must grow with the corpus (the
+    * published recipe runs ~50k clusters at web scale) so per-cluster
+    * pair work stays bounded; the prune threshold is calibrated to
+    * this corpus's cosine range (pairwise max < 0.6 — the spec
+    * recomputes the decisions independently). */
+  val SemK = 32
+  val SemTau = 0.40
+
+  private val semMemo =
+    graft.SessionMemo.named[Array[Array[Long]]]("dd_semantic_centroids")
+  @volatile private var semCentroids: Option[Array[Array[Long]]] = None
+  /** Trained-artifact accessor for the sequential-recompute spec. */
+  private[graft] def semCentroidsForSpec: Option[Array[Array[Long]]] = semCentroids
+
+  /** #31b dd_semantic — SemDeDup-style SEMANTIC dedup (cluster-then-
+    * prune over embeddings, the published training-data recipe for
+    * removing paraphrase-level duplicates that no shingle/minhash pass
+    * can see): k-means cluster the corpus with the same Lloyd trainer
+    * as IVF (k = [[SemK]]), then WITHIN each cluster prune every
+    * vector that has a cosine >= [[SemTau]] neighbor of higher keep
+    * priority, where priority = (cosine-to-own-centroid ASC, vec_id
+    * ASC) — the "keep the examples farthest from their centroid" rule
+    * made deterministic (a strict total order, so both engines agree).
+    * One decision row per vector: (vec_id, cent, keep, witness_id),
+    * witness = the highest-priority neighbor that pruned it.
+    *
+    * Scale: pair generation is BLOCKED BY CLUSTER — one equi-join on
+    * the centroid id, never all-pairs; with k ∝ n per-cluster size is
+    * bounded, so pair work stays linear in the corpus. Assignment is a
+    * map-only projection over the persisted quantized corpus (CSE
+    * collapses the shared greatest() under whole-stage codegen);
+    * training cost is the bounded Lloyd loop shared with IVF. */
+  def ddSemantic(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val cents = semMemo.getOrBuild(s, d)(trainCentroids(e, s, SemK))
+    semCentroids = Some(cents) // see [[oracles]] — the SQL twin embeds them
+    val g = assignStruct(cents)
+    val assigned = e.select(col("vec_id"), col("qv"), col("n2"),
+      g.getField("j").as("cent"), g.getField("s").as("ccos"))
+    val u = assigned.select(col("vec_id").as("uid"), col("qv").as("uqv"),
+      col("n2").as("un2"), col("cent").as("ucent"), col("ccos").as("uccos"))
+    // u prunes v iff same cluster, cos(u, v) >= tau, and u strictly
+    // precedes v in priority order
+    val pruned = assigned.join(u,
+        col("ucent") === col("cent") &&
+          (col("uccos") < col("ccos") ||
+            (col("uccos") === col("ccos") && col("uid") < col("vec_id"))))
+      .filter(Vectors.cosine(
+        Vectors.dot(col("qv"), col("uqv")), col("n2"), col("un2")) >= SemTau)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("uid"), struct(col("uccos"), col("uid"))).as("witness_id"))
+    assigned.join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent"),
+        when(col("witness_id").isNull, lit(1)).otherwise(lit(0)).as("keep"),
+        col("witness_id"))
+  }
+
+  /** DuckDB twin of the WHOLE SemDeDup pipeline from the trained
+    * centroids: literal k×dims matrix → grouped-sum dots → assignment
+    * (ties to the higher id, matching `greatest(struct(s, j))`) →
+    * within-cluster candidate pairs under the same strict priority
+    * order → VECTORIZED pair dots via the element unnest (the
+    * grouped-sum-join formulation, not a per-pair lambda) → prune +
+    * witness via one window. Integer dots + one-rounding double
+    * cosines both sides ⇒ rows+schema+hash must match bit-for-bit. */
+  private def ddSemanticSql(cents: Array[Array[Long]]): String = {
+    val cn2s = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(x => x * x).sum})" }.mkString(", ")
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("cmat", cents.flatten.toIndexedSeq, Dims)},
+       |cn AS (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
+       |cdots AS (
+       |  SELECT vec_id, r AS j, CAST(SUM(v * w) AS BIGINT) AS dot
+       |  FROM vels JOIN cmat USING (i) GROUP BY 1, 2),
+       |cscore AS (
+       |  SELECT c.vec_id, c.j,
+       |         ${Vectors.cosineSql("c.dot", "nn.n2", "cn.cn2")} AS s
+       |  FROM cdots c JOIN nn ON nn.vec_id = c.vec_id JOIN cn ON cn.j = c.j),
+       |assign AS (
+       |  SELECT vec_id, j AS cent, s AS ccos FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) = 1),
+       |av AS (SELECT nn.vec_id, nn.n2, a.cent, a.ccos
+       |       FROM nn JOIN assign a ON a.vec_id = nn.vec_id),
+       |cand AS (
+       |  SELECT u.vec_id AS uid, u.n2 AS un2, u.ccos AS uccos,
+       |         v.vec_id AS vid, v.n2 AS vn2
+       |  FROM av u JOIN av v ON u.cent = v.cent
+       |   AND (u.ccos < v.ccos OR (u.ccos = v.ccos AND u.vec_id < v.vec_id))),
+       |pdot AS (
+       |  SELECT c.uid, c.vid, c.uccos,
+       |         ${Vectors.cosineSql("CAST(SUM(a.v * b.v) AS BIGINT)", "c.un2", "c.vn2")} AS cos
+       |  FROM cand c
+       |  JOIN vels a ON a.vec_id = c.uid
+       |  JOIN vels b ON b.vec_id = c.vid AND b.i = a.i
+       |  GROUP BY 1, 2, 3, c.un2, c.vn2),
+       |pruned AS (
+       |  SELECT vid AS vec_id, uid AS witness_id FROM pdot WHERE cos >= $SemTau
+       |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY uccos, uid) = 1)
+       |SELECT av.vec_id, av.cent,
+       |       CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS keep,
+       |       p.witness_id
+       |FROM av LEFT JOIN pruned p ON p.vec_id = av.vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "ann_ivf" -> (annIvf _),
-    "ann_pq" -> (annPq _)
+    "ann_pq" -> (annPq _),
+    "dd_semantic" -> (ddSemantic _)
   )
 
   /** The most recently trained session artifacts, recorded so the
@@ -540,5 +657,6 @@ object Ann {
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_lsh_bucket" -> annLshBucketSql
   ) ++ trainedCentroids.map(c => "ann_ivf" -> annIvfSql(c)) ++
-    trainedBooks.map(b => "ann_pq" -> annPqSql(b))
+    trainedBooks.map(b => "ann_pq" -> annPqSql(b)) ++
+    semCentroids.map(c => "dd_semantic" -> ddSemanticSql(c))
 }

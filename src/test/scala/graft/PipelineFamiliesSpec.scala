@@ -633,6 +633,45 @@ class PqSpec extends SparkSpec {
   }
 }
 
+class SemanticSpec extends SparkSpec {
+  test("dd_semantic: decisions equal a sequential in-memory recompute") {
+    val out = graft.queries.Ann.ddSemantic(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> ((r.getAs[Int]("cent"),
+        r.getAs[Int]("keep"),
+        Option(r.getAs[java.lang.Long]("witness_id")).map(_.toLong))))
+      .toMap
+    val cents = graft.queries.Ann.semCentroidsForSpec
+      .getOrElse(fail("centroids not trained"))
+    // quantize exactly as Vectors.quantize, sequentially
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1e6).toLong).toArray)
+      .filter { case (_, v) => v.map(x => x * x).sum > 0 }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / math.sqrt(dot(a, a).toDouble * dot(b, b).toDouble)
+    // assignment: argmax cosine, ties to the HIGHER centroid id
+    val assigned = vecs.map { case (id, v) =>
+      val scores = cents.map(c => cos(v, c))
+      val cent = scores.indices.maxBy(j => (scores(j), j))
+      (id, v, cent, scores(cent))
+    }
+    val expected = assigned.map { case (id, v, cent, ccos) =>
+      val pruners = assigned.filter { case (uid, uv, ucent, uccos) =>
+        ucent == cent && (uccos < ccos || (uccos == ccos && uid < id)) &&
+          cos(uv, v) >= graft.queries.Ann.SemTau
+      }
+      val witness = pruners.sortBy { case (uid, _, _, uccos) => (uccos, uid) }
+        .headOption.map(_._1)
+      id -> ((cent, if (witness.isEmpty) 1 else 0, witness))
+    }.toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+    info(s"${out.size} vectors, ${out.count(_._2._2 == 0)} pruned")
+  }
+}
+
 class IvfSpec extends SparkSpec {
   test("ann_ivf: recall >= 0.7 vs brute force at sf0.001") {
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()

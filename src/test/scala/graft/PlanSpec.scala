@@ -340,6 +340,13 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange SinglePartition") === 0, p)
   }
 
+  test("dd_semantic: cluster-blocked pair join is equi — no cartesian") {
+    val p = physical(graft.queries.Ann.ddSemantic(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // the priority inequality rides the cent equi-join as a post-filter
+    assert(bigJoins(p) + bhj(p) >= 2, p) // pair join + the left decision join
+  }
+
   test("q_interval_count: sweep-line rewrites the range join as equi-join") {
     val df = Analytics.qIntervalCount(spark, sf)
     val p = physical(df)
