@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText}
+import graft.functions.{BestCent, BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -49,7 +49,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => BigramStats(args(0))),
     (FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
-      (args: Seq[Expression]) => MinhashSigs(args(0)))
+      (args: Seq[Expression]) => MinhashSigs(args(0))),
+    (FunctionIdentifier("graft_best_cent"),
+      new ExpressionInfo(classOf[BestCent].getName, "graft_best_cent"),
+      (args: Seq[Expression]) => BestCent(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if

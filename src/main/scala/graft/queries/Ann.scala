@@ -174,10 +174,11 @@ object Ann {
     cents
   }
 
-  /** Best-centroid (score, id) struct as one expression: greatest()
-    * over (score, id) structs — lexicographic max picks the best
-    * score, ties to the higher id. */
-  private def assignStruct(cents: Array[Array[Long]]): Column = {
+  /** Composable twin of [[bestCent]]: greatest() over (score, id)
+    * structs — lexicographic max picks the best score, ties to the
+    * higher id. Retained so the spec can pin the fused kernel
+    * bit-for-bit against the built-in-operator formulation. */
+  private[graft] def assignStructTwin(cents: Array[Array[Long]]): Column = {
     val scored = cents.zipWithIndex.map { case (c, j) =>
       val cn2 = c.map(x => x * x).sum
       struct(
@@ -187,9 +188,16 @@ object Ann {
     greatest(scored.toIndexedSeq: _*)
   }
 
+  /** Best-centroid (s, j) via the fused [[graft.functions.BestCent]]
+    * kernel — one tree node instead of k literal arrays whose
+    * analysis/codegen cost ~1.3 s of constant per-query driver time at
+    * k=32 (same bit-for-bit result as [[assignStructTwin]]). */
+  private[graft] def bestCent(cents: Array[Array[Long]]): Column =
+    call_function("graft_best_cent", col("qv"), typedLit(cents.flatten.toSeq))
+
   /** argmax-cosine centroid id. */
   private def assignExpr(cents: Array[Array[Long]]): Column =
-    assignStruct(cents).getField("j")
+    bestCent(cents).getField("j")
 
   /** IVF ANN: corpus partitioned once by nearest centroid; each query
     * scans only its `NumProbes` closest inverted lists. The candidate
@@ -393,7 +401,7 @@ object Ann {
     val e = quantized(s, d)
     val cents = semMemo.getOrBuild(s, d)(trainCentroids(e, s, SemK))
     semCentroids = Some(cents) // see [[oracles]] — the SQL twin embeds them
-    val g = assignStruct(cents)
+    val g = bestCent(cents)
     val assigned = e.select(col("vec_id"), col("qv"), col("n2"),
       g.getField("j").as("cent"), g.getField("s").as("ccos"))
     val u = assigned.select(col("vec_id").as("uid"), col("qv").as("uqv"),

@@ -672,6 +672,31 @@ class SemanticSpec extends SparkSpec {
   }
 }
 
+class BestCentSpec extends SparkSpec {
+  test("graft_best_cent: fused kernel equals the composable greatest(struct) twin") {
+    import org.apache.spark.sql.functions._
+    // train (memoized) so the centroids exist
+    graft.queries.Ann.ddSemantic(spark, sf).collect()
+    val cents = graft.queries.Ann.semCentroidsForSpec
+      .getOrElse(fail("centroids not trained"))
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.Vectors.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", graft.functions.Vectors.dot(col("qv"), col("qv")))
+      .filter(col("n2") > 0)
+    val rows = e.select(col("vec_id"),
+        graft.queries.Ann.bestCent(cents).as("k"),
+        graft.queries.Ann.assignStructTwin(cents).as("t"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getStruct(1)
+      val t = r.getStruct(2)
+      assert(k.getDouble(0) === t.getDouble(0), s"s for vec ${r.getLong(0)}")
+      assert(k.getInt(1) === t.getInt(1), s"j for vec ${r.getLong(0)}")
+    }
+  }
+}
+
 class IvfSpec extends SparkSpec {
   test("ann_ivf: recall >= 0.7 vs brute force at sf0.001") {
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
