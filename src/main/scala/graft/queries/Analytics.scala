@@ -485,9 +485,14 @@ object Analytics {
   def qIntervalCount(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
-    val deltas = orders.select(col("o_orderdate").as("d"), lit(1L).as("delta"))
-      .unionAll(orders.select(
-        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("d"), lit(-1L).as("delta")))
+    // both boundaries in ONE pass over orders (explode, not a union of
+    // two selects that would scan the table twice); lineitem ship dates
+    // ride along as 0-deltas so every point instant exists in `open`
+    val deltas = orders.select(explode(array(
+        struct(col("o_orderdate").as("d"), lit(1L).as("delta")),
+        struct((col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("d"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.d").as("d"), col("e.delta").as("delta"))
       .unionAll(li.select(col("l_shipdate").as("d"), lit(0L).as("delta")))
     val open = deltas.groupBy(col("d")).agg(sum(col("delta")).as("delta"))
       .withColumn("open_orders",
@@ -497,7 +502,6 @@ object Analytics {
     li.join(broadcast(open), li("l_shipdate") === open("d"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_items"), sum(col("open_orders")).as("open_sum"))
-      .orderBy(col("l_returnflag"))
   }
 
   val qIntervalCountSql: String =
