@@ -514,7 +514,40 @@ object Analytics {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** #26i q_range_join — the PAIR-producing point-in-interval join
+    * ([[qIntervalCount]]'s sweep covers counts; when the consumer
+    * needs the matching rows themselves the sweep doesn't apply):
+    * every (sampled-order, ship-event) pair where the ship instant
+    * falls inside the order's half-open 30-day window, via
+    * [[graft.operators.RangeJoin]]'s bucket decomposition — a hash
+    * equi-join on the bucket id (plan-gated: zero nested-loop /
+    * cartesian) where Spark's native plan for a bare range predicate
+    * is a BroadcastNestedLoopJoin. Intervals are a deterministic
+    * 1-in-500 order sample so the pair output stays bounded for the
+    * driver compare; the operator itself is big×big-safe (both sides
+    * shuffle by bucket). Oracle = DuckDB's native inequality join —
+    * a different algorithm (IEJoin) that must emit the same pair set. */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val ivals = Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_close"))
+    graft.operators.RangeJoin.pointInInterval(li, col("l_shipdate"), ivals,
+        col("o_orderdate"), col("o_close"), 30)
+      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT o_orderkey, l_orderkey, l_linenumber, l_shipdate
+      |FROM orders JOIN lineitem
+      |  ON o_orderdate <= l_shipdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |WHERE o_orderkey % 500 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_range_join" -> (qRangeJoin _),
     "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_skew_agg" -> (qSkewAgg _),
@@ -531,6 +564,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_range_join" -> qRangeJoinSql,
     "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_skew_agg" -> qSkewAggSql,

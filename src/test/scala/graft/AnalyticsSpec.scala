@@ -72,6 +72,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
   }
 
+  test("q_range_join: bucket decomposition equals the naive range join") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.qRangeJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"))).toSet
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    val o = Tables.orders(spark, sf).filter(col("o_orderkey") % 500 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_close"))
+    val naive = li.join(o,
+        o("o_orderdate") <= li("l_shipdate") && li("l_shipdate") < o("o_close"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"))).toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
   test("q_interval_count: sweep-line equals the naive correlated range count") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.qIntervalCount(spark, sf).collect()

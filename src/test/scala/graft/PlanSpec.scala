@@ -347,6 +347,15 @@ class PlanSpec extends SparkSpec {
     assert(bigJoins(p) + bhj(p) >= 2, p) // pair join + the left decision join
   }
 
+  test("q_range_join: bucket decomposition plans a hash join, not a BNLJ") {
+    val df = Analytics.qRangeJoin(spark, sf)
+    val p = physical(df)
+    assert(crossJoins(p) === 0, p)
+    assert(bhj(p) + bigJoins(p) === 1, p)
+    // both range bounds survive as a post-join filter
+    assert(nodes(p, "Filter") >= 1, p)
+  }
+
   test("q_interval_count: sweep-line rewrites the range join as equi-join") {
     val df = Analytics.qIntervalCount(spark, sf)
     val p = physical(df)
