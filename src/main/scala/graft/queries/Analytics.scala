@@ -546,7 +546,84 @@ object Analytics {
       |  ON o_orderdate <= l_shipdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
       |WHERE o_orderkey % 500 = 0""".stripMargin
 
+  /** HLL registers: m = 256 (p = 8), over the 60-bit portable hash —
+    * 52 remainder bits, so register values are 1..53. */
+  val HllM = 256
+  /** `alpha_m · m² · 2^53` precomputed as ONE Scala double: the final
+    * estimate is this constant divided by the exact-integer harmonic
+    * sum — a single correctly-rounded double division. The same
+    * constant interpolates into the oracle SQL via Double.toString
+    * (shortest round-trip repr; DuckDB's literal parse is correctly
+    * rounded, so both engines hold the identical bits). */
+  private val HllAlphaScale: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble * math.pow(2, 53)
+
+  /** #26j q_hll_distinct — DETERMINISTIC HyperLogLog distinct sketch
+    * as a gated query: per event type, approximate the distinct
+    * (user, day) count ("user-day" reach) from 256 registers — the
+    * one-pass, mergeable, ~1.5 KB-per-group sketch a 100 TB pipeline
+    * uses where exact distinct would shuffle every key. Cross-engine
+    * determinism (the whole point of gating an approximation): the
+    * hash is the portable md5-derived [[graft.functions.PortableHash
+    * .long60]]; register = low 8 hash bits; rank = leading-zero count
+    * of the 52 remaining bits via `53 - length(bin(h52))` (string ops,
+    * identical both engines); the harmonic sum `Σ 2^(53-M_j)` runs in
+    * EXACT int64 (max 256·2^53 < 2^63) so aggregation order cannot
+    * round differently; the only float op is one final division.
+    * No ln/log2 anywhere — libm is NOT cross-engine-portable, which
+    * rules out the small-range linear-counting branch; the raw
+    * estimate plus the zero-register count is emitted instead (a
+    * consumer applies its own correction — the spec does, in Scala).
+    * Exact distinct rides along (one extra per-register count, summed
+    * — registers partition keys, so per-register distincts add up),
+    * so the sketch's error is itself part of the gated output. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = Tables.events(spark, dir)
+      .select($"event_type", $"user_id",
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+    val h = graft.functions.PortableHash.long60(
+      concat($"user_id".cast("string"), lit("_"), $"day".cast("string")))
+    val regs = keyed.select($"event_type", $"user_id", $"day", h.as("h"))
+      .withColumn("h52", expr(s"h DIV $HllM"))
+      .withColumn("rho", when($"h52" === 0L, lit(53))
+        .otherwise(lit(53) - length(expr("bin(h52)"))))
+      .groupBy($"event_type", ($"h" % HllM).as("bucket"))
+      .agg(max($"rho").as("m_b"), countDistinct($"user_id", $"day").as("nd_b"))
+    regs.groupBy($"event_type")
+      .agg(
+        (sum(expr("CAST(1 AS BIGINT) << (53 - m_b)"))
+          + (lit(HllM) - count(lit(1))) * lit(1L << 53)).as("srecip"),
+        sum($"nd_b").as("n_exact"),
+        (lit(HllM) - count(lit(1))).cast("long").as("zero_regs"))
+      .select($"event_type", $"n_exact", $"zero_regs",
+        (lit(HllAlphaScale) / $"srecip".cast("double")).as("hll_est"))
+  }
+
+  val qHllDistinctSql: String =
+    s"""WITH keyed AS (
+       |  SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+       |hashed AS (
+       |  SELECT event_type, user_id, day,
+       |    ${graft.functions.PortableHash.long60Sql(
+            "CAST(user_id AS VARCHAR) || '_' || CAST(day AS VARCHAR)")} AS h
+       |  FROM keyed),
+       |regs AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    MAX(CASE WHEN h // $HllM = 0 THEN 53
+       |             ELSE 53 - length(bin(h // $HllM)) END) AS m_b,
+       |    COUNT(DISTINCT (user_id, day)) AS nd_b
+       |  FROM hashed GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(SUM(nd_b) AS BIGINT) AS n_exact,
+       |  CAST($HllM - COUNT(*) AS BIGINT) AS zero_regs,
+       |  $HllAlphaScale / CAST(
+       |    SUM(CAST(1 AS BIGINT) << (53 - m_b))
+       |      + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_est
+       |FROM regs GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_distinct" -> (qHllDistinct _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -564,6 +641,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_hll_distinct" -> qHllDistinctSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,

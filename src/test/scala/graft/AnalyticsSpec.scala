@@ -72,6 +72,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n")).sum === Tables.events(spark, sf).count())
   }
 
+  test("q_hll_distinct: estimate within tolerance; exact count is exact") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: ~1600 user-days per type — the raw-HLL regime (n > 2.5m)
+    val dir = "/root/testdata/sf0.01"
+    val rows = Analytics.qHllDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val truth = Tables.events(spark, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("unix_millis(ts) DIV 86400000").as("day"))
+      .groupBy("event_type").agg(countDistinct(col("user_id"), col("day")).as("n"))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val exact = r.getAs[Long]("n_exact")
+      assert(exact === truth(et), s"n_exact for $et")
+      val est = r.getAs[Double]("hll_est")
+      val zeros = r.getAs[Long]("zero_regs")
+      val m = Analytics.HllM.toDouble
+      // linear-counting correction applied CONSUMER-side (ln is free
+      // here; the gated output itself stays libm-free)
+      val corrected =
+        if (est <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else est
+      info(f"$et%-10s exact=$exact est=$est%.1f corrected=$corrected%.1f")
+      assert(math.abs(corrected - exact) / exact <= 0.25,
+        s"$et: corrected $corrected vs exact $exact")
+    }
+  }
+
   test("q_range_join: bucket decomposition equals the naive range join") {
     import org.apache.spark.sql.functions._
     val got = Analytics.qRangeJoin(spark, sf).collect()
