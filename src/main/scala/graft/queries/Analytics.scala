@@ -523,10 +523,14 @@ object Analytics {
     * equi-join on the bucket id (plan-gated: zero nested-loop /
     * cartesian) where Spark's native plan for a bare range predicate
     * is a BroadcastNestedLoopJoin. Intervals are a deterministic
-    * 1-in-500 order sample so the pair output stays bounded for the
-    * driver compare; the operator itself is big×big-safe (both sides
-    * shuffle by bucket). Oracle = DuckDB's native inequality join —
-    * a different algorithm (IEJoin) that must emit the same pair set. */
+    * 1-in-500 order sample; the gated output aggregates the pair set
+    * PER INTERVAL (count + span extremes pin the set; raw pairs grow
+    * as points × sampled intervals — ~2·10⁸ rows at sf1, unusable as
+    * a dump artifact — while this stays O(intervals); the spec checks
+    * the raw pair set against a naive join at sf0.001). The operator
+    * itself is big×big-safe (both sides shuffle by bucket). Oracle =
+    * DuckDB's native inequality join — a different algorithm (IEJoin)
+    * that must see the same pair set. */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
@@ -536,15 +540,19 @@ object Analytics {
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_close"))
     graft.operators.RangeJoin.pointInInterval(li, col("l_shipdate"), ivals,
         col("o_orderdate"), col("o_close"), 30)
-      .select(col("o_orderkey"), col("l_orderkey"), col("l_linenumber"),
-        col("l_shipdate"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
   }
 
   val qRangeJoinSql: String =
-    """SELECT o_orderkey, l_orderkey, l_linenumber, l_shipdate
+    """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  MIN(l_shipdate) AS first_ship, MAX(l_shipdate) AS last_ship
       |FROM orders JOIN lineitem
       |  ON o_orderdate <= l_shipdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
-      |WHERE o_orderkey % 500 = 0""".stripMargin
+      |WHERE o_orderkey % 500 = 0
+      |GROUP BY 1""".stripMargin
 
   /** HLL registers: m = 256 (p = 8), over the 60-bit portable hash —
     * 52 remainder bits, so register values are 1..53. */

@@ -102,14 +102,17 @@ class AnalyticsSpec extends SparkSpec {
 
   test("q_range_join: bucket decomposition equals the naive range join") {
     import org.apache.spark.sql.functions._
-    val got = Analytics.qRangeJoin(spark, sf).collect()
-      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("l_orderkey"),
-        r.getAs[Int]("l_linenumber"))).toSet
     val li = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
     val o = Tables.orders(spark, sf).filter(col("o_orderkey") % 500 === 0)
       .select(col("o_orderkey"), col("o_orderdate"),
         (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_close"))
+    // raw PAIR set from the operator vs the naive range join
+    val got = graft.operators.RangeJoin.pointInInterval(li, col("l_shipdate"),
+        o, col("o_orderdate"), col("o_close"), 30)
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("l_orderkey"),
+        r.getAs[Int]("l_linenumber"))).toSet
     val naive = li.join(o,
         o("o_orderdate") <= li("l_shipdate") && li("l_shipdate") < o("o_close"))
       .collect()
@@ -117,6 +120,11 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Int]("l_linenumber"))).toSet
     assert(got === naive)
     assert(got.nonEmpty)
+    // the gated per-interval aggregate reconciles with the pair set
+    val agg = Analytics.qRangeJoin(spark, sf).collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("n_items")).toMap
+    val fromPairs = got.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    assert(agg === fromPairs)
   }
 
   test("q_interval_count: sweep-line equals the naive correlated range count") {
