@@ -33,17 +33,32 @@ object UndoCanonicalizer {
     * canonical subset of `changes`. */
   def canonicalize(spark: SparkSession, changes: DataFrame, undos: DataFrame,
                    seqCol: String = "block_num"): DataFrame = {
-    // bounded by reorg count, not corpus size (documented above)
+    val steps = stepTable(undos)
+    if (steps.isEmpty) changes
+    else {
+      graft.plans.GraftExtensions.ensureRegistered(spark)
+      // cut(seq) via the native binary-search kernel over the literal
+      // step table ([[graft.functions.StepCut]]): one tree node at any
+      // reorg count. The chained-CaseWhen twin ([[cutCaseWhen]],
+      // spec-pinned equal) generates a branch per step and overflows
+      // Janino past a few hundred steps — at sf1's 10x reorg volume the
+      // whole stage silently fell back to interpreted eval.
+      val cut = call_function("graft_step_cut", col(seqCol).cast("long"),
+        typedLit(steps.flatMap { case (useq, sm) => Seq(useq, sm) }))
+      changes.filter(cut.isNull || col("block_num") <= cut)
+    }
+  }
+
+  /** Sorted, collapsed (boundary, suffix-min) step table of the undo
+    * set — bounded by reorg count, not corpus size (documented above). */
+  private def stepTable(undos: DataFrame): Seq[(Long, Long)] = {
     val u = undos.select(col("useq"), col("last_valid"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-    if (u.isEmpty) changes
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    if (u.isEmpty) Seq.empty
     else {
       // cut(seq) = min last_valid over undos with useq > seq — a step
-      // function of seq. Suffix-min over the sorted undos, collapsed
-      // to its breakpoints, becomes ONE flat codegen'd CaseWhen of
-      // primitive comparisons; a higher-order filter/array_min over a
-      // literal struct array computes the same thing interpreted, one
-      // lambda eval per undo per row (measured ~4x slower).
+      // function of seq: suffix-min over the sorted undos, collapsed
+      // to its breakpoints.
       val sufmin = u.scanRight(Long.MaxValue) { case ((_, lv), acc) =>
         math.min(lv, acc)
       }.init
@@ -53,19 +68,27 @@ object UndoCanonicalizer {
       // the smallest useq instead would let seqs inside the run fall
       // through to the NEXT branch's larger cut — caught by the replay
       // property test.)
-      val steps = u.map(_._1).zip(sufmin)
+      u.map(_._1).zip(sufmin)
         .foldRight(List.empty[(Long, Long)]) {
           case ((useq, sm), acc) =>
             if (acc.headOption.exists(_._2 == sm)) acc
             else (useq, sm) :: acc
         }
-      // chained .when() calls extend ONE flat CaseWhen; no otherwise →
-      // NULL for seq past the last undo (nothing left to cut)
-      val cut = steps.tail.foldLeft(
-        when(col(seqCol) < steps.head._1, lit(steps.head._2))) {
-        case (acc, (useq, sm)) => acc.when(col(seqCol) < useq, lit(sm))
-      }
-      changes.filter(cut.isNull || col("block_num") <= cut)
     }
   }
+
+  /** Chained-CaseWhen twin of the [[graft.functions.StepCut]] lookup —
+    * retained so the spec can pin the kernel against the
+    * built-in-operator formulation (and as documentation of why the
+    * kernel exists: one generated branch per step). */
+  private[graft] def cutCaseWhen(steps: Seq[(Long, Long)], seqCol: String): org.apache.spark.sql.Column = {
+    require(steps.nonEmpty)
+    steps.tail.foldLeft(
+      when(col(seqCol) < steps.head._1, lit(steps.head._2))) {
+      case (acc, (useq, sm)) => acc.when(col(seqCol) < useq, lit(sm))
+    }
+  }
+
+  /** Step table accessor for the twin spec. */
+  private[graft] def stepTableForSpec(undos: DataFrame): Seq[(Long, Long)] = stepTable(undos)
 }

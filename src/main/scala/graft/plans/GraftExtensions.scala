@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText}
+import graft.functions.{BestCent, BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -52,7 +52,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinhashSigs(args(0))),
     (FunctionIdentifier("graft_best_cent"),
       new ExpressionInfo(classOf[BestCent].getName, "graft_best_cent"),
-      (args: Seq[Expression]) => BestCent(args(0), args(1)))
+      (args: Seq[Expression]) => BestCent(args(0), args(1))),
+    (FunctionIdentifier("graft_step_cut"),
+      new ExpressionInfo(classOf[StepCut].getName, "graft_step_cut"),
+      (args: Seq[Expression]) => StepCut(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -563,8 +563,24 @@ object Analytics {
     * constant interpolates into the oracle SQL via Double.toString
     * (shortest round-trip repr; DuckDB's literal parse is correctly
     * rounded, so both engines hold the identical bits). */
-  private val HllAlphaScale: Double =
+  private[graft] val HllAlphaScale: Double =
     0.7213 / (1 + 1.079 / HllM) * HllM.toDouble * HllM.toDouble * math.pow(2, 53)
+
+  /** (event_type, user_id, day, bucket, rho) projection shared by the
+    * batch sketch and [[graft.streaming.HllStream]] — identical hash /
+    * register / rank math, so the streamed fold must reproduce the
+    * batch registers exactly. */
+  private[graft] def hllRows(events: DataFrame): DataFrame = {
+    val keyed = events.select(col("event_type"), col("user_id"),
+      expr("unix_millis(ts) DIV 86400000").as("day"))
+    val h = graft.functions.PortableHash.long60(
+      concat(col("user_id").cast("string"), lit("_"), col("day").cast("string")))
+    keyed.select(col("event_type"), col("user_id"), col("day"), h.as("h"))
+      .withColumn("bucket", (col("h") % HllM).cast("int"))
+      .withColumn("h52", expr(s"h DIV $HllM"))
+      .withColumn("rho", when(col("h52") === 0L, lit(53))
+        .otherwise(lit(53) - length(expr("bin(h52)"))))
+  }
 
   /** #26j q_hll_distinct — DETERMINISTIC HyperLogLog distinct sketch
     * as a gated query: per event type, approximate the distinct
@@ -585,27 +601,25 @@ object Analytics {
     * Exact distinct rides along (one extra per-register count, summed
     * — registers partition keys, so per-register distincts add up),
     * so the sketch's error is itself part of the gated output. */
-  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val keyed = Tables.events(spark, dir)
-      .select($"event_type", $"user_id",
-        expr("unix_millis(ts) DIV 86400000").as("day"))
-    val h = graft.functions.PortableHash.long60(
-      concat($"user_id".cast("string"), lit("_"), $"day".cast("string")))
-    val regs = keyed.select($"event_type", $"user_id", $"day", h.as("h"))
-      .withColumn("h52", expr(s"h DIV $HllM"))
-      .withColumn("rho", when($"h52" === 0L, lit(53))
-        .otherwise(lit(53) - length(expr("bin(h52)"))))
-      .groupBy($"event_type", ($"h" % HllM).as("bucket"))
-      .agg(max($"rho").as("m_b"), countDistinct($"user_id", $"day").as("nd_b"))
-    regs.groupBy($"event_type")
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
+    hllSketch(Tables.events(spark, dir))
+
+  /** The sketch over any (event_type, user_id, ts) frame — split out so
+    * the streamed-fold spec can compare against the batch registers on
+    * an identical feed. */
+  private[graft] def hllSketch(events: DataFrame): DataFrame = {
+    val regs = hllRows(events)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_b"),
+        countDistinct(col("user_id"), col("day")).as("nd_b"))
+    regs.groupBy(col("event_type"))
       .agg(
         (sum(expr("CAST(1 AS BIGINT) << (53 - m_b)"))
           + (lit(HllM) - count(lit(1))) * lit(1L << 53)).as("srecip"),
-        sum($"nd_b").as("n_exact"),
+        sum(col("nd_b")).as("n_exact"),
         (lit(HllM) - count(lit(1))).cast("long").as("zero_regs"))
-      .select($"event_type", $"n_exact", $"zero_regs",
-        (lit(HllAlphaScale) / $"srecip".cast("double")).as("hll_est"))
+      .select(col("event_type"), col("n_exact"), col("zero_regs"),
+        (lit(HllAlphaScale) / col("srecip").cast("double")).as("hll_est"))
   }
 
   val qHllDistinctSql: String =

@@ -60,6 +60,29 @@ class EdgeCaseSpec extends SparkSpec {
     assert(UndoCanonicalizer.canonicalize(spark, cs, undos).count() === 0)
   }
 
+  test("graft_step_cut equals the chained-CaseWhen twin over real undo data") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val undos = Tables.events(spark, sf)
+      .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+      .select(col("event_id").as("useq"), (col("event_id") - 25).as("last_valid"))
+    val steps = UndoCanonicalizer.stepTableForSpec(undos)
+    assert(steps.nonEmpty)
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id").cast("long").as("seq"))
+      .select(col("seq"),
+        call_function("graft_step_cut", col("seq"),
+          typedLit(steps.flatMap { case (u, s) => Seq(u, s) })).as("k"),
+        UndoCanonicalizer.cutCaseWhen(steps, "seq").as("t"))
+      .collect()
+    assert(rows.nonEmpty)
+    // both the defined region and the NULL tail past the last boundary
+    rows.foreach { r =>
+      assert(Option(r.getAs[java.lang.Long]("k")) ===
+        Option(r.getAs[java.lang.Long]("t")), s"seq ${r.getLong(0)}")
+    }
+    assert(rows.exists(_.isNullAt(1)) || steps.last._1 > rows.map(_.getLong(0)).max)
+  }
+
   test("connected components of an empty pair set is empty") {
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(none).count() === 0)

@@ -707,4 +707,40 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("hll stream: batch-split fold equals the batch sketch exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // (event_type, user_id, ts): three types, overlapping users/days,
+    // duplicates across batches (must not move any register)
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day}%02d $h%02d:00:00")
+    val all = (0 until 300).map { i =>
+      (Seq("click", "view", "buy")(i % 3), (i % 37).toLong, ts(1 + i % 25, i % 24))
+    }
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = graft.streaming.HllStream.sketchContinuous(
+        input.toDF().toDF("event_type", "user_id", "ts"))
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try {
+      // uneven batches + a full replay of batch 1 (idempotent on a max)
+      input.addData(all.take(100)); q.processAllAvailable()
+      input.addData(all.slice(100, 250)); q.processAllAvailable()
+      input.addData(all.drop(250) ++ all.take(100)); q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_folds"),
+          r.getAs[Long]("zero_regs"), r.getAs[Double]("hll_est")))
+        .groupBy(_._1).map { case (et, rows) => et -> rows.maxBy(_._2) }
+      val batch = graft.queries.Analytics.hllSketch(
+          all.toDF("event_type", "user_id", "ts")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("zero_regs"), r.getAs[Double]("hll_est")))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (et, (_, folds @ _, zeros, est)) =>
+        assert((zeros, est) === batch(et), s"type $et")
+      }
+      // every key saw all three folds
+      assert(streamed.values.forall(_._2 === 3L))
+    } finally q.stop()
+  }
 }
