@@ -38,12 +38,13 @@ object Soak {
     * count does not). */
   val SoakQueries: Seq[String] = Seq(
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
-    "dd_chunk_dup", "dd_cluster", "dd_embed_cosine",
+    "dd_chunk_dup", "dd_cluster", "dd_cluster_incremental", "dd_embed_cosine",
+    "dd_semantic",
     "ann_topk_brute", "ann_lsh_bucket", "ann_ivf", "ann_pq",
     "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack",
     "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
     "gl_vid_assign", "gl_poi_block_digest",
-    "q_sessionize", "q_asof_join", "q_skew_agg")
+    "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -86,7 +87,10 @@ object Soak {
     spark.sparkContext.addSparkListener(listener)
 
     val queries = SparkEntry.queries
-    SoakQueries.foreach { name =>
+    // comma-separated subset (same contract as Bench's SPARK_GRAFT_ONLY)
+    val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    SoakQueries.filter(q => only.forall(_.contains(q))).foreach { name =>
       val fn = queries(name)
       listener.reset()
       val t0 = System.nanoTime()
