@@ -644,7 +644,112 @@ object Analytics {
        |      + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_est
        |FROM regs GROUP BY 1""".stripMargin
 
+  // ---- #26k runtime-bloom-pruned fact join --------------------------
+
+  /** #26k q_bloom_join — the RUNTIME-FILTER arm of the big-join scale
+    * story: a fact⋈dim join where the dim carries a selective predicate
+    * but is TOO BIG TO BROADCAST (the realistic 100 TB shape — a
+    * 100M-row product dim does not fit in one executor). Without help,
+    * every fact row shuffles; with a runtime Bloom filter built from
+    * the dim's surviving join keys and pushed into the fact scan, the
+    * ~96% of fact rows whose key cannot match are dropped MAP-SIDE,
+    * before the shuffle — the dominant cost of the join.
+    *
+    * Spark-first realization: this is exactly Catalyst's
+    * `InjectRuntimeFilter` rewrite, so the operator *declares* the plain
+    * join and turns the rule on rather than hand-building the
+    * semi-join. The thresholds are session confs read at optimization
+    * time, so the query runs in a cloned session (`newSession` shares
+    * the SparkContext but isolates conf): broadcast is disabled —
+    * at 100 TB the dim side exceeds any broadcast budget; the
+    * application-side floor is lowered to demonstrate at test SF what
+    * the 10 GB default only triggers at cluster scale. The Bloom filter
+    * is a side effect of the plan, never part of the semantics: false
+    * positives are re-filtered by the join itself, so the gated output
+    * is identical to the plain join (the oracle IS the plain join).
+    * BloomJoinSpec additionally gates the plan: bloom probe present in
+    * the fact scan's filter, no broadcast, and bloom-on == bloom-off
+    * row-for-row. */
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val dim = Tables.part(s2, dir).filter(col("p_size") <= 2)
+    val fact = Tables.lineitem(s2, dir)
+    fact.join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        fromUnits(sum(cents(col("l_extendedprice"))), 2).as("revenue"))
+  }
+
+  val qBloomJoinSql: String =
+    """SELECT p_brand, p_size,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 2
+      |GROUP BY p_brand, p_size""".stripMargin
+
+  // ---- #26l Z-order data layout -------------------------------------
+
+  /** Z-order bits per dimension: 10+10 → a 20-bit key, files on the
+    * top 6 bits → every file's bounding box is AT MOST a 128×128 tile
+    * in (user-bucket, hour-bucket) space, by construction. */
+  val ZBits = 10
+  val ZFileShift = 14
+
+  /** The interleave as ONE integer-op expression string, shared
+    * verbatim by the Spark plan and the DuckDB oracle (`>> << & +` are
+    * exact int64 ops in both; terms occupy disjoint bits, so `+` is
+    * `|`). user bits land even, time bits odd. */
+  private def zInterleaveExpr: String =
+    (0 until ZBits).map(i =>
+      s"(((ub >> $i) & 1) << ${2 * i}) + (((tb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** #26l q_zorder_layout — the WRITE-PATH layout operator for min/max
+    * file skipping: assign every event a Z-order (Morton) key over
+    * (user bucket, hour bucket) and a target file = the key's top bits.
+    * Interleaving bounds every file's bounding box to a 128×128 tile in
+    * BOTH dimensions simultaneously — so a reader filtering on user OR
+    * time prunes ~98% of files on parquet min/max stats alone, where a
+    * time-sorted layout prunes only time predicates (every file spans
+    * all users) and a user-sorted one only users. At 100 TB this is the
+    * difference between a scan and a seek: the writer becomes
+    * `repartitionByRange(nFiles, zkey).sortWithinPartitions(zkey)` and
+    * file stats do the rest; the gated output is the layout function
+    * itself — per-file row counts and the exact per-dimension bounding
+    * boxes (which the spec asserts never exceed the tile size). All
+    * integer bit ops from one shared expression string — bit-for-bit
+    * cross-engine, nothing data-proportional after the one file agg. */
+  def qZorderLayout(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr(s"user_id % ${1 << ZBits}").as("ub"),
+        expr(s"(unix_micros(ts) DIV 3600000000) % ${1 << ZBits}").as("tb"))
+      .withColumn("z", expr(zInterleaveExpr))
+      .groupBy(expr(s"z >> $ZFileShift").as("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ub")).as("u_min"), max(col("ub")).as("u_max"),
+        min(col("tb")).as("t_min"), max(col("tb")).as("t_max"))
+
+  val qZorderLayoutSql: String =
+    s"""WITH d AS (
+       |  SELECT user_id % ${1 << ZBits} AS ub,
+       |         (epoch_us(ts) // 3600000000) % ${1 << ZBits} AS tb
+       |  FROM events),
+       |z AS (SELECT ub, tb, $zInterleaveExpr AS z FROM d)
+       |SELECT z >> $ZFileShift AS file_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(ub) AS u_min, MAX(ub) AS u_max,
+       |  MIN(tb) AS t_min, MAX(tb) AS t_max
+       |FROM z GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_bloom_join" -> (qBloomJoin _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_count" -> (qIntervalCount _),
@@ -663,6 +768,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_layout" -> qZorderLayoutSql,
+    "q_bloom_join" -> qBloomJoinSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_count" -> qIntervalCountSql,

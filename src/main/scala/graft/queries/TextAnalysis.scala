@@ -418,6 +418,86 @@ object TextAnalysis {
        |ORDER BY df DESC, shingle
        |LIMIT $TopNgramsK""".stripMargin
 
+  // ---- #34m count-min-sketch heavy hitters --------------------------
+
+  /** Sketch geometry: 4 rows × 2048 counters = 64 KiB of int64 state
+    * regardless of vocabulary size. Error bound per estimate is
+    * `+ N/width` with probability `1 - (1/2)^depth` per the published
+    * Count-Min analysis (N = total shingle occurrences). */
+  val CmsDepth = 4
+  val CmsWidth = 2048L
+  /** Row-hash coefficient indices — disjoint from the minhash family
+    * (0..63) and simhash's (101..104). */
+  private val CmsCoefBase = 201
+
+  /** #34m tx_cms_topk — [[txTopNgrams]]'s question answered from a
+    * SKETCH: estimate the top-K 3-gram document frequencies out of a
+    * fixed `CmsDepth × CmsWidth` Count-Min sketch instead of the exact
+    * vocabulary-sized aggregation. At 100 TB the exact df table IS the
+    * problem (the vocabulary shuffle is corpus-sized); the sketch is a
+    * constant-size commutative monoid — each executor folds its split
+    * into 8 K counters, merge is elementwise sum, and the standing
+    * sketch answers any later frequency probe in O(depth). The exact
+    * df rides along (same gate design as q_hll_distinct's n_exact), so
+    * the gated output pins BOTH the estimate and its true value —
+    * cross-engine-deterministic because every counter is an exact
+    * int64 sum over md5-derived buckets, and the probe is an integer
+    * `min` over `CmsDepth` counters.
+    *
+    * Plan: ONE vocabulary aggregation feeds both the candidate top-K
+    * and the register build (folding per-shingle df into the cells is
+    * arithmetically identical to folding the raw stream — addition
+    * commutes); Catalyst reuses the vocab exchange across the two
+    * consumers (gated in PlanSpec), the register aggregate collapses
+    * map-side to ≤ depth·width rows per task, and the K·depth probe
+    * joins broadcast. */
+  def txCmsTopk(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash
+    val vocab = Tables.documents(s, d)
+      .withColumn("w", toks(col("text")))
+      .select(explode(graft.functions.Shingles.fromTokens(col("w"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val h = PortableHash.long60(col("shingle"))
+    val cells = (0 until CmsDepth).map { i =>
+      struct(lit(i).as("i"),
+        (PortableHash.perm(CmsCoefBase + i, h) % CmsWidth).as("bucket"))
+    }
+    val regs = vocab
+      .select(explode(array(cells: _*)).as("e"), col("df"))
+      .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(sum(col("df")).as("reg"))
+    val cand = vocab.orderBy(col("df").desc, col("shingle")).limit(TopNgramsK)
+    cand
+      .select(col("shingle"), col("df").as("df_exact"),
+        explode(array(cells: _*)).as("e"))
+      .join(regs, col("e.i") === regs("i") && col("e.bucket") === regs("bucket"))
+      .groupBy(col("shingle"), col("df_exact"))
+      .agg(min(col("reg")).as("cms_est"))
+  }
+
+  val txCmsTopkSql: String = {
+    import graft.functions.PortableHash
+    val coefRows = (0 until CmsDepth).map { i =>
+      val (a, b) = PortableHash.permCoef(CmsCoefBase + i)
+      s"($i, $a, $b)"
+    }.mkString(", ")
+    val bucket = s"((h % ${PortableHash.P}) * a + b) % ${PortableHash.P} % $CmsWidth"
+    s"""WITH ${graft.functions.Shingles.shinglesCteSql()},
+       |vocab AS (SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df
+       |          FROM sh GROUP BY s),
+       |hv AS (SELECT shingle, df, ${PortableHash.long60Sql("shingle")} AS h
+       |       FROM vocab),
+       |coef(i, a, b) AS (VALUES $coefRows),
+       |cells AS (SELECT i, $bucket AS bucket, CAST(SUM(df) AS BIGINT) AS reg
+       |          FROM hv CROSS JOIN coef GROUP BY 1, 2),
+       |cand AS (SELECT * FROM hv ORDER BY df DESC, shingle LIMIT $TopNgramsK)
+       |SELECT cand.shingle, cand.df AS df_exact,
+       |  CAST(MIN(cells.reg) AS BIGINT) AS cms_est
+       |FROM cand CROSS JOIN coef
+       |JOIN cells ON cells.i = coef.i AND cells.bucket = $bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   // ---- #34e test-set decontamination --------------------------------
 
   /** Contamination n-gram width — wide enough that sharing one is
@@ -964,6 +1044,7 @@ object TextAnalysis {
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
     "tx_top_ngrams" -> (txTopNgrams _),
+    "tx_cms_topk" -> (txCmsTopk _),
     "tx_decontaminate" -> (txDecontaminate _),
     "tx_token_count" -> (txTokenCount _),
     "tx_quality_score" -> (txQualityScore _),
@@ -983,6 +1064,7 @@ object TextAnalysis {
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
     "tx_top_ngrams" -> txTopNgramsSql,
+    "tx_cms_topk" -> txCmsTopkSql,
     "tx_decontaminate" -> txDecontaminateSql,
     "tx_token_count" -> txTokenCountSql,
     "tx_quality_score" -> txQualityScoreSql,

@@ -356,6 +356,28 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Filter") >= 1, p)
   }
 
+  test("tx_cms_topk: ONE vocabulary exchange feeds candidates and registers") {
+    val df = graft.queries.TextAnalysis.txCmsTopk(spark, sf)
+    df.collect() // executed plan, not the logical shape
+    val p = physical(df)
+    // the corpus-sized shuffle is the vocab agg; candidates + registers
+    // must consume the SAME one (AQE stage reuse), so the corpus is
+    // tokenized exactly once — the executed plan must carry the
+    // ReusedExchange and a single documents scan in its final section
+    assert(nodes(p, "ReusedExchange") >= 1, p)
+    val cut = p.indexOf("Initial Plan")
+    val finalSection = if (cut >= 0) p.substring(0, cut) else p
+    assert("documents\\.parquet".r.findAllIn(finalSection).size <= 1, p)
+    assert(nodes(p, "CartesianProduct") === 0, p)
+  }
+
+  test("q_zorder_layout: map-only interleave, one agg shuffle, no join") {
+    val p = physical(Analytics.qZorderLayout(spark, sf))
+    assert(shuffles(p) === 1, p) // the per-file agg only
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+    assert(nodes(p, "HashAggregate") === 2, p) // partial+final
+  }
+
   test("q_interval_count: sweep-line rewrites the range join as equi-join") {
     val df = Analytics.qIntervalCount(spark, sf)
     val p = physical(df)
