@@ -41,10 +41,11 @@ object Soak {
     "dd_chunk_dup", "dd_cluster", "dd_cluster_incremental", "dd_embed_cosine",
     "dd_semantic",
     "ann_topk_brute", "ann_lsh_bucket", "ann_ivf", "ann_pq",
-    "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack",
+    "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack", "tx_cms_topk",
     "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
     "gl_vid_assign", "gl_poi_block_digest",
-    "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct")
+    "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct",
+    "q_zorder_layout", "q_bloom_join", "q_bloom_join_off")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -79,6 +80,22 @@ object Soak {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/events.parquet")
 
+    // lineitem + part for the fact⋈dim family: part keys remap WITH
+    // the fact's foreign keys, so the dim grows `copies`× too (the
+    // realistic axis for q_bloom_join — a bigger dim, same selectivity)
+    val li = Tables.lineitem(spark, srcDir)
+    (0 until copies).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * off))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    val pt = Tables.part(spark, srcDir)
+    (0 until copies).map(i => pt.withColumn("p_partkey", col("p_partkey") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/part.parquet")
+
     val nDocs = spark.read.parquet(s"$workDir/documents.parquet").count()
     val nVecs = spark.read.parquet(s"$workDir/embeddings.parquet").count()
     println(s"""{"soak_corpus":{"docs":$nDocs,"vecs":$nVecs,"copies":$copies,"src":"$srcDir"}}""")
@@ -91,7 +108,11 @@ object Soak {
     val only = sys.env.get("SPARK_GRAFT_SOAK_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     SoakQueries.filter(q => only.forall(_.contains(q))).foreach { name =>
-      val fn = queries(name)
+      // counterfactual row, not a gated key: q_bloom_join with the
+      // runtime filter off — the soak report pairs the two so the
+      // map-side reduction is a measured delta
+      val fn = if (name == "q_bloom_join_off") graft.queries.Analytics.qBloomJoinOff _
+        else queries(name)
       listener.reset()
       val t0 = System.nanoTime()
       val res =

@@ -670,12 +670,22 @@ object Analytics {
     * BloomJoinSpec additionally gates the plan: bloom probe present in
     * the fact scan's filter, no broadcast, and bloom-on == bloom-off
     * row-for-row. */
-  def qBloomJoin(spark: SparkSession, dir: String): DataFrame = {
+  def qBloomJoin(spark: SparkSession, dir: String): DataFrame =
+    bloomJoinImpl(spark, dir, bloom = true)
+
+  /** The Soak counterfactual: the identical shuffle-join with the
+    * runtime filter OFF — what every fact row shuffling actually costs
+    * (Soak prints both rows so the reduction is measured, not argued). */
+  private[graft] def qBloomJoinOff(spark: SparkSession, dir: String): DataFrame =
+    bloomJoinImpl(spark, dir, bloom = false)
+
+  private def bloomJoinImpl(spark: SparkSession, dir: String, bloom: Boolean): DataFrame = {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom.toString)
     s2.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      if (bloom) "0" else "10GB")
     val dim = Tables.part(s2, dir).filter(col("p_size") <= 2)
     val fact = Tables.lineitem(s2, dir)
     fact.join(dim, col("l_partkey") === col("p_partkey"))
