@@ -98,18 +98,30 @@ object Ann {
   val NumTables = 8
   val ProbeDist = 2
 
+  /** All 8 tables' integer bucket keys in one single-pass expression. */
+  private def tableBuckets(v: Column) =
+    Vectors.signBucketsInt(v, NumTables * NumPlanes, Dims)
+
+  /** The standing LSH index over any quantized corpus frame: one row
+    * per (vector, table) with its bucket key — the structure a
+    * production deployment keeps ON DISK between ingests and that
+    * [[annLshIncremental]] / [[graft.streaming.AnnStream]] probe. */
+  private[graft] def lshIndex(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("qv"), col("n2"),
+      posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
+
   /** LSH-bucketed ANN: corpus bucketed once per table by the
     * deterministic sign-LSH; each query probes its own bucket plus all
     * hamming<=2 neighbors in every table. Scale: the bucket equi-join
     * replaces the cross product; recall vs brute is spec-checked. */
   def annLshBucket(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d)
-    // all 8 tables' integer bucket keys in one single-pass expression
-    def tableBuckets(v: Column) = Vectors.signBucketsInt(v, NumTables * NumPlanes, Dims)
+    lshAnswer(lshIndex(e), e)
+  }
 
-    val corpus = e.select(col("vec_id"), col("qv"), col("n2"),
-      posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "bucket")))
-
+  /** The probe/re-rank path over an already-built index — shared by
+    * the batch, incremental, and (structurally) streaming entries. */
+  private[graft] def lshAnswer(corpus: DataFrame, e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"),
         posexplode(tableBuckets(col("qv"))).as(Seq("tbl", "qbucket")))
@@ -136,6 +148,38 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+  }
+
+  // ---- #33d incremental LSH index maintenance -----------------------
+
+  private val lshStateMemo = graft.SessionMemo.named[DataFrame]("ann_lsh_incremental_state")
+
+  /** #33d ann_lsh_incremental — fold a batch of NEW vectors into a
+    * STANDING LSH bucket index: only the batch is quantized and
+    * bucketed (O(batch) per ingest — prior vectors are never
+    * re-hashed; in production the standing index is the on-disk
+    * (vec_id, tbl, bucket) table and the ingest appends to it), and
+    * the merged index must be INDISTINGUISHABLE from rebuilding on
+    * prior ∪ batch — gated by answering the standard query set through
+    * the merged index with the FULL-recompute oracle (the LSH planes
+    * are static literals, so [[annLshBucketSql]] applies verbatim).
+    * This closes the incremental-state family across the engine:
+    * scd2/squash (entities), exact/cluster (dedup), and now the ANN
+    * serving index — each with the same contract, per-ingest cost
+    * O(batch + state), oracle = full recompute. Batch = `vec_id % 5
+    * == 0` (the [[graft.queries.Dedup.ddClusterIncremental]] split
+    * convention); the same state feeds [[graft.streaming.AnnStream]]'s
+    * standing side. Disjointness contract as everywhere in the
+    * incremental family: batch ids must not already exist in the
+    * state (ingest is append-only; upserts route through the SCD2
+    * surface). */
+  def annLshIncremental(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val state = lshStateMemo.getOrBuild(s, d) {
+      lshIndex(e.filter(col("vec_id") % 5 =!= 0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    lshAnswer(state.unionAll(lshIndex(e.filter(col("vec_id") % 5 === 0))), e)
   }
 
   // ---- #33b IVF top-k (rows-only) -----------------------------------
@@ -472,6 +516,7 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_lsh_bucket" -> (annLshBucket _),
+    "ann_lsh_incremental" -> (annLshIncremental _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
     "dd_semantic" -> (ddSemantic _)
@@ -663,7 +708,10 @@ object Ann {
     * genuinely rows-only key. */
   def oracles: Map[String, String] = Map(
     "ann_topk_brute" -> annTopkBruteSql,
-    "ann_lsh_bucket" -> annLshBucketSql
+    "ann_lsh_bucket" -> annLshBucketSql,
+    // the merged index must equal the rebuilt one — same full-pipeline
+    // recompute gates the incremental entry (planes are static literals)
+    "ann_lsh_incremental" -> annLshBucketSql
   ) ++ trainedCentroids.map(c => "ann_ivf" -> annIvfSql(c)) ++
     trainedBooks.map(b => "ann_pq" -> annPqSql(b)) ++
     semCentroids.map(c => "dd_semantic" -> ddSemanticSql(c))
