@@ -451,25 +451,37 @@ object TextAnalysis {
     * consumers (gated in PlanSpec), the register aggregate collapses
     * map-side to ≤ depth·width rows per task, and the K·depth probe
     * joins broadcast. */
-  def txCmsTopk(s: SparkSession, d: String): DataFrame = {
+  /** The per-key (row, bucket) cell coordinates — shared by the batch
+    * register build, the probe, and [[graft.streaming.CmsStream]]. */
+  private[graft] def cmsCells: Seq[Column] = {
     import graft.functions.PortableHash
-    val vocab = Tables.documents(s, d)
-      .withColumn("w", toks(col("text")))
-      .select(explode(graft.functions.Shingles.fromTokens(col("w"))).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val h = PortableHash.long60(col("shingle"))
-    val cells = (0 until CmsDepth).map { i =>
+    (0 until CmsDepth).map { i =>
       struct(lit(i).as("i"),
         (PortableHash.perm(CmsCoefBase + i, h) % CmsWidth).as("bucket"))
     }
-    val regs = vocab
-      .select(explode(array(cells: _*)).as("e"), col("df"))
+  }
+
+  /** Per-doc-distinct shingle df table over any (doc_id, text) frame. */
+  private[graft] def cmsVocab(docs: DataFrame): DataFrame =
+    docs.withColumn("w", toks(col("text")))
+      .select(explode(graft.functions.Shingles.fromTokens(col("w"))).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+
+  /** The sketch registers folded from a vocab frame — weighted fold,
+    * arithmetically identical to folding the raw shingle stream. */
+  private[graft] def cmsRegisters(vocab: DataFrame): DataFrame =
+    vocab.select(explode(array(cmsCells: _*)).as("e"), col("df"))
       .groupBy(col("e.i").as("i"), col("e.bucket").as("bucket"))
       .agg(sum(col("df")).as("reg"))
+
+  def txCmsTopk(s: SparkSession, d: String): DataFrame = {
+    val vocab = cmsVocab(Tables.documents(s, d))
+    val regs = cmsRegisters(vocab)
     val cand = vocab.orderBy(col("df").desc, col("shingle")).limit(TopNgramsK)
     cand
       .select(col("shingle"), col("df").as("df_exact"),
-        explode(array(cells: _*)).as("e"))
+        explode(array(cmsCells: _*)).as("e"))
       .join(regs, col("e.i") === regs("i") && col("e.bucket") === regs("bucket"))
       .groupBy(col("shingle"), col("df_exact"))
       .agg(min(col("reg")).as("cms_est"))

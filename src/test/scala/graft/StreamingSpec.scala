@@ -743,4 +743,42 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.values.forall(_._2 === 3L))
     } finally q.stop()
   }
+
+  test("cms stream: batch-split fold equals the batch registers exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // shingle-rich docs with heavy cross-doc overlap; each doc arrives
+    // exactly once (the documented disjointness contract — sums are
+    // not idempotent)
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over", "a", "lazy", "dog")
+    val all = (0 until 120).map { i =>
+      (i.toLong, (0 until 12).map(k => words((i + k * k) % words.length)).mkString(" "))
+    }
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.CmsStream.sketchContinuous(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(40)); q.processAllAvailable()
+      input.addData(all.slice(40, 110)); q.processAllAvailable()
+      input.addData(all.drop(110)); q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Long]("n_folds"), r.getAs[Seq[Long]]("regs")))
+        .groupBy(_._1).map { case (i, rows) => i -> rows.maxBy(_._2) }
+      assert(streamed.keySet === (0 until graft.queries.TextAnalysis.CmsDepth).toSet)
+      assert(streamed.values.forall(_._2 === 3L))
+      // sparse batch registers == dense streamed arrays, cell by cell
+      val batch = graft.queries.TextAnalysis.cmsRegisters(
+          graft.queries.TextAnalysis.cmsVocab(all.toDF("doc_id", "text")))
+        .collect()
+        .map(r => (r.getAs[Int]("i"), r.getAs[Long]("bucket")) -> r.getAs[Long]("reg"))
+        .toMap
+      for (i <- 0 until graft.queries.TextAnalysis.CmsDepth;
+           b <- 0 until graft.queries.TextAnalysis.CmsWidth.toInt) {
+        val want = batch.getOrElse((i, b.toLong), 0L)
+        assert(streamed(i)._3(b) === want, s"row $i bucket $b")
+      }
+    } finally q.stop()
+  }
 }
