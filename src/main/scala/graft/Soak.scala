@@ -40,7 +40,7 @@ object Soak {
     "dd_exact", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
     "dd_chunk_dup", "dd_cluster", "dd_cluster_incremental", "dd_embed_cosine",
     "dd_semantic",
-    "ann_topk_brute", "ann_lsh_bucket", "ann_ivf", "ann_pq",
+    "ann_topk_brute", "ann_lsh_bucket", "ann_lsh_incremental", "ann_ivf", "ann_pq",
     "tx_rarity", "tx_repetition", "tx_top_ngrams", "tx_pack", "tx_cms_topk",
     "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
     "gl_vid_assign", "gl_poi_block_digest",
