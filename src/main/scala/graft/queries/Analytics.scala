@@ -757,7 +757,79 @@ object Analytics {
        |  MIN(tb) AS t_min, MAX(tb) AS t_max
        |FROM z GROUP BY 1""".stripMargin
 
+  // ---- #26m histogram quantiles -------------------------------------
+
+  /** Histogram geometry: 1024 unit-width bins over the DECLARED value
+    * domain [0, 1024) — domain bounds are part of the operator's
+    * contract (like every production histogram sketch), values above
+    * clamp into the last bin. */
+  val HistBins = 1024
+
+  /** #26m q_quantile_hist — approximate per-group quantiles from a
+    * FIXED 1024-bin histogram: the third sketch in the family (HLL =
+    * distinct, CMS = frequency, histogram = rank). q_median's exact
+    * double-ended-rank answer costs a corpus-wide ordered shuffle per
+    * group; the histogram is a sum-monoid — each task folds its split
+    * into ≤ |groups|·1024 counters map-side, merge is counter-wise
+    * add, and EVERY quantile then reads off the tiny cumulative table,
+    * with error bounded by one bin width. Cross-engine determinism:
+    * bin = clamped integer floor; the quantile rule is the EXACT
+    * integer comparison `cum·100 ≥ p·n` (no FP percentile
+    * interpolation — the q_median design note, now for the
+    * approximate tier); output is each quantile's bin LOWER BOUND as
+    * an integer. One corpus shuffle of ≤ groups·bins partial counters;
+    * everything after is bounded by the histogram size. */
+  /** Per-row (event_type, bin) projection — the single pipeline shared
+    * with [[graft.streaming.QuantileStream]], so the streamed fold and
+    * the batch histogram bin identically by construction. Null values
+    * are excluded on BOTH sides of the oracle (Spark windows order
+    * nulls first, DuckDB last — excluding beats depending on either). */
+  def histRows(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"),
+        least(floor(col("value")), lit(HistBins - 1)).cast("long").as("bin"))
+
+  def qQuantileHist(spark: SparkSession, dir: String): DataFrame =
+    quantileHist(Tables.events(spark, dir))
+
+  /** The histogram build + quantile readoff over any events frame —
+    * also the batch twin the [[graft.streaming.QuantileStream]] spec
+    * folds against. */
+  def quantileHist(events: DataFrame): DataFrame = {
+    val hist = histRows(events)
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(w))
+    def q(p: Int) = min(when(col("cum") * 100 >= lit(p) * col("n"), col("bin")))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        q(50).as("p50_lb"), q(90).as("p90_lb"), q(99).as("p99_lb"))
+  }
+
+  val qQuantileHistSql: String =
+    s"""WITH hist AS (
+       |  SELECT event_type,
+       |         least(CAST(floor(value) AS BIGINT), ${HistBins - 1}) AS bin,
+       |         COUNT(*) AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT event_type, bin, cnt,
+       |         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |                        ROWS UNBOUNDED PRECEDING) AS cum,
+       |         SUM(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM hist)
+       |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       |  CAST(MIN(CASE WHEN cum*100 >= 50*n THEN bin END) AS BIGINT) AS p50_lb,
+       |  CAST(MIN(CASE WHEN cum*100 >= 90*n THEN bin END) AS BIGINT) AS p90_lb,
+       |  CAST(MIN(CASE WHEN cum*100 >= 99*n THEN bin END) AS BIGINT) AS p99_lb
+       |FROM cum GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_hist" -> (qQuantileHist _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_hll_distinct" -> (qHllDistinct _),
@@ -778,6 +850,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_quantile_hist" -> qQuantileHistSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_hll_distinct" -> qHllDistinctSql,
