@@ -45,7 +45,7 @@ object Soak {
     "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
     "gl_vid_assign", "gl_poi_block_digest",
     "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct",
-    "q_zorder_layout", "q_bloom_join", "q_bloom_join_off")
+    "q_quantile_hist", "q_zorder_layout", "q_bloom_join", "q_bloom_join_off")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

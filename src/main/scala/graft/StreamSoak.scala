@@ -17,13 +17,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *     watermark horizon — state rows must plateau at ~one horizon's
   *     distinct hashes, not grow with stream length;
   *   - EmbedDedupStream: stream-static anti-join — NO state operator
-  *     at all, the progress must report none.
+  *     at all, the progress must report none;
+  *   - QuantileStream: state = one 1024-long bin array per event
+  *     type — rows must stay at |types| forever, at any input rate.
   *
   * Usage: `sbt "runMain graft.StreamSoak"`; env knobs:
   *   SPARK_GRAFT_SOAK_SRC     sf dir        (default /root/testdata/sf0.1)
   *   SPARK_GRAFT_SOAK_COPIES  rate factor   (default 10)
   *   SPARK_GRAFT_SOAK_BATCHES micro-batches (default 8)
   *   SPARK_GRAFT_CPUS         local cores   (default 8)
+  *   SPARK_GRAFT_SOAK_STREAMS comma-separated subset (default: all)
   * Prints one JSON line per (stream, batch).
   */
 object StreamSoak {
@@ -43,8 +46,12 @@ object StreamSoak {
     }
   }
 
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SOAK_STREAMS").map(_.split(",").map(_.trim).toSet)
+
   private def run(name: String, copies: Int, batches: Int)
                  (mk: () => (Int => Unit, StreamingQuery)): Unit = {
+    if (!only.forall(_.contains(name))) return
     val (feed, q) = mk()
     try {
       (0 until batches).foreach { b =>
@@ -139,6 +146,24 @@ object StreamSoak {
       (b => input.addData((0 until baseVecBatch * copies).map { i =>
         val (id, v) = embs((b * baseVecBatch * copies + i) % embs.length)
         (id + (b.toLong * baseVecBatch * copies + i) / embs.length * off, v)
+      }), q)
+    }
+
+    // ---- QuantileStream ----
+    // values cycle the real distribution; state must hold exactly
+    // |event types| rows (one 8 KiB bin array each) at any rate
+    val evRows = Tables.events(spark, srcDir)
+      .filter($"value".isNotNull)
+      .select($"event_type", $"value").as[(String, Double)]
+      .collect()
+    run("quantile_stream", copies, batches) { () =>
+      val input = MemoryStream[(String, Double)]
+      val q = graft.streaming.QuantileStream.sketchContinuous(
+          input.toDF().toDF("event_type", "value"))
+        .writeStream.format("noop").outputMode("update")
+        .option("checkpointLocation", s"$ckRoot/quantile").start()
+      (b => input.addData((0 until baseDocBatch * copies).map { i =>
+        evRows((b * baseDocBatch * copies + i) % evRows.length)
       }), q)
     }
 

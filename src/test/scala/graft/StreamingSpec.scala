@@ -781,4 +781,44 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("quantile stream: batch-split fold equals the batch sketch exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    // three types, values spread over many bins incl. the clamp bin
+    // and nulls (excluded by the shared projection); each event
+    // arrives once (sums are not idempotent — documented contract)
+    val all: Seq[(String, java.lang.Double)] = (0 until 400).map { i =>
+      val v: java.lang.Double =
+        if (i % 19 == 0) null
+        else if (i % 31 == 0) 5000.0 // clamps into bin 1023
+        else (i * 7 % 997) + (i % 10) / 10.0
+      (Seq("click", "view", "buy")(i % 3), v)
+    }
+    val input = MemoryStream[(String, java.lang.Double)]
+    val q = graft.streaming.QuantileStream.sketchContinuous(
+        input.toDF().toDF("event_type", "value"))
+      .writeStream.format("memory").queryName("quantile_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(120)); q.processAllAvailable()
+      input.addData(all.slice(120, 330)); q.processAllAvailable()
+      input.addData(all.drop(330)); q.processAllAvailable()
+      val streamed = spark.table("quantile_stream").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_folds"),
+          (r.getAs[Long]("n"), r.getAs[Long]("p50_lb"),
+           r.getAs[Long]("p90_lb"), r.getAs[Long]("p99_lb"))))
+        .groupBy(_._1).map { case (et, rows) => et -> rows.maxBy(_._2) }
+      val batch = graft.queries.Analytics.quantileHist(
+          all.toDF("event_type", "value")).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("p50_lb"),
+            r.getAs[Long]("p90_lb"), r.getAs[Long]("p99_lb")))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (et, (_, folds, qs)) =>
+        assert(qs === batch(et), s"type $et")
+        assert(folds === 3L)
+      }
+    } finally q.stop()
+  }
 }
