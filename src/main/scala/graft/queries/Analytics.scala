@@ -828,7 +828,125 @@ object Analytics {
        |  CAST(MIN(CASE WHEN cum*100 >= 99*n THEN bin END) AS BIGINT) AS p99_lb
        |FROM cum GROUP BY 1""".stripMargin
 
+  // ---- #26n ordered-step window funnel ------------------------------
+
+  /** Funnel horizon: step 2/3 must land within 7 days of step 1.
+    * Integer MICROSECONDS end-to-end — the raw nanos column truncates
+    * identically in both engines (`unix_micros` / `epoch_us`), so the
+    * strict `>` ordering tests below can never disagree on a
+    * sub-precision tie. */
+  val FunnelHorizonUs: Long = 7L * 86400L * 1000000L
+
+  def qWindowFunnel(spark: SparkSession, dir: String): DataFrame =
+    windowFunnel(Tables.events(spark, dir))
+
+  /** #26n q_window_funnel — ordered-step conversion funnel
+    * (view → click → purchase within 7 days of the first view), the
+    * product-analytics staple every event warehouse runs.
+    *
+    * Semantics: s1 = the user's first view; s2 = first click STRICTLY
+    * after s1; s3 = first purchase strictly after s2; a user counts for
+    * step k iff s_k exists and lies within the horizon of s1. An
+    * unordered per-type min is NOT the funnel (a click before the
+    * first view must not count), which is why s2/s3 are conditional on
+    * the previous step's timestamp.
+    *
+    * Scale: ONE shuffle total. The three step minima are whole-frame
+    * window aggregates chained over the same user partitioning (no
+    * ordering ⇒ no sort), the per-user reduce reuses that exchange,
+    * and the final funnel is a 1-row all-reduce unpivoted with
+    * `stack`. Per-user state is three longs regardless of history
+    * depth — survives users with millions of events. */
+  def windowFunnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .withColumn("s1", min(when(col("event_type") === "view", col("tus"))).over(w))
+      .withColumn("s2", min(when(col("event_type") === "click" && col("tus") > col("s1"),
+        col("tus"))).over(w))
+      .withColumn("s3", min(when(col("event_type") === "purchase" && col("tus") > col("s2"),
+        col("tus"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("s1")).as("s1"), max(col("s2")).as("s2"), max(col("s3")).as("s3"))
+      .agg(
+        count(when(col("s1").isNotNull, lit(1))).as("u1"),
+        count(when(col("s2").isNotNull &&
+          col("s2") <= col("s1") + FunnelHorizonUs, lit(1))).as("u2"),
+        count(when(col("s3").isNotNull &&
+          col("s3") <= col("s1") + FunnelHorizonUs, lit(1))).as("u3"))
+      .selectExpr(
+        "stack(3, CAST(1 AS BIGINT), u1, CAST(2 AS BIGINT), u2, CAST(3 AS BIGINT), u3) AS (step, users)")
+  }
+
+  /** Oracle twin — the step minima via grouped aggregation + re-join
+    * (DuckDB can't chain window columns in one SELECT), deliberately a
+    * different plan shape from the Spark window chain. */
+  val qWindowFunnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |u1 AS (SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN tus END) AS s1
+       |       FROM ev GROUP BY 1),
+       |u2 AS (SELECT e.user_id,
+       |         min(CASE WHEN e.event_type = 'click' AND e.tus > u1.s1 THEN e.tus END) AS s2
+       |       FROM ev e JOIN u1 USING (user_id) GROUP BY 1),
+       |u3 AS (SELECT e.user_id,
+       |         min(CASE WHEN e.event_type = 'purchase' AND e.tus > u2.s2 THEN e.tus END) AS s3
+       |       FROM ev e JOIN u2 USING (user_id) GROUP BY 1),
+       |u AS (SELECT u1.user_id, s1, s2, s3
+       |      FROM u1 JOIN u2 USING (user_id) JOIN u3 USING (user_id))
+       |SELECT CAST(1 AS BIGINT) AS step,
+       |       CAST(count(CASE WHEN s1 IS NOT NULL THEN 1 END) AS BIGINT) AS users FROM u
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT),
+       |       CAST(count(CASE WHEN s2 IS NOT NULL AND s2 <= s1 + $FunnelHorizonUs THEN 1 END) AS BIGINT) FROM u
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT),
+       |       CAST(count(CASE WHEN s3 IS NOT NULL AND s3 <= s1 + $FunnelHorizonUs THEN 1 END) AS BIGINT) FROM u""".stripMargin
+
+  // ---- #26o cohort retention ----------------------------------------
+
+  /** Calendar-free integer week: epoch micros DIV one week. Portable
+    * (no timezone/ISO-week library variance between engines) and
+    * monotone, which is all a cohort grid needs. */
+  val WeekUs: Long = 7L * 86400L * 1000000L
+
+  def qRetention(spark: SparkSession, dir: String): DataFrame =
+    retention(Tables.events(spark, dir))
+
+  /** #26o q_retention — the cohort retention grid: users bucketed by
+    * their FIRST-ever active week (the cohort), then counted distinct
+    * in each later week, keyed by the week offset. The other
+    * product-analytics staple next to the funnel (#26n).
+    *
+    * Scale: per-user first week is a user-keyed min (map-side partial
+    * agg); attaching it back is the same whole-frame window trick as
+    * the funnel, so the attach reuses the one user shuffle instead of
+    * a join; the (user, cohort, offset) dedup + grid count then
+    * shuffle rows bounded by |users|·|weeks|, not |events|. The grid
+    * itself is O(weeks²) — tiny forever. */
+  def retention(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .withColumn("cohort_week", min(col("wk")).over(w))
+      .select(col("user_id"), col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  val qRetentionSql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) // $WeekUs AS wk FROM events),
+       |c AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+       |SELECT c.cohort_week, e.wk - c.cohort_week AS week_offset,
+       |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+       |FROM ev e JOIN c USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_funnel" -> (qWindowFunnel _),
+    "q_retention" -> (qRetention _),
     "q_quantile_hist" -> (qQuantileHist _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_join" -> (qBloomJoin _),
@@ -850,6 +968,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_funnel" -> qWindowFunnelSql,
+    "q_retention" -> qRetentionSql,
     "q_quantile_hist" -> qQuantileHistSql,
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_bloom_join" -> qBloomJoinSql,

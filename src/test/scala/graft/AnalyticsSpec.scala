@@ -147,4 +147,42 @@ class AnalyticsSpec extends SparkSpec {
         s"flag ${r.getAs[String]("l_returnflag")}")
     }
   }
+
+  test("q_window_funnel: ordered steps, click-before-view excluded, horizon cutoff") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val h = 3600L * 1000000L // one hour in micros
+    val day = 24 * h
+    // u1 completes in order; u2's only click PRECEDES its first view
+    // (must not count — the ordered-min trap); u3 purchases outside the
+    // 7-day horizon; u4 never views (excluded from every step)
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", h), (1L, "purchase", 2 * h),
+      (2L, "click", 0L), (2L, "view", h), (2L, "purchase", 2 * h),
+      (3L, "view", 0L), (3L, "click", h), (3L, "purchase", 8 * day),
+      (4L, "click", 0L), (4L, "purchase", h)
+    ).toDF("user_id", "event_type", "tus")
+      .select($"user_id", $"event_type", timestamp_micros($"tus").as("ts"))
+    val got = Analytics.windowFunnel(ev).collect()
+      .map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+    // u2: view exists (step 1) but no click after it; its purchase can
+    // never count either (s2 is null). u3 reaches step 2 only.
+    assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("q_retention: cohort = first week, offsets dedup within-week activity") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wk = Analytics.WeekUs
+    // a active weeks {0,0,2} (dup in week 0), b active {1}, c {1,2}
+    val ev = Seq(
+      (10L, 0L), (10L, 1000L), (10L, 2 * wk),
+      (20L, wk), (30L, wk + 5L), (30L, 2 * wk)
+    ).toDF("user_id", "tus")
+      .select($"user_id", lit("view").as("event_type"), timestamp_micros($"tus").as("ts"))
+    val got = Analytics.retention(ev).collect()
+      .map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("week_offset")) ->
+        r.getAs[Long]("active_users")).toMap
+    assert(got === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 2L, (1L, 1L) -> 1L))
+  }
 }

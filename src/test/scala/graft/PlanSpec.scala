@@ -390,4 +390,26 @@ class PlanSpec extends SparkSpec {
     // single-partition exchange carries |distinct dates| rows, not data
     assert(nodes(p, "Window \\[") === 1, p)
   }
+
+  test("q_window_funnel: one data shuffle — step windows and user reduce share it") {
+    val df = Analytics.qWindowFunnel(spark, sf)
+    val p = physical(df)
+    // three chained whole-frame windows over the SAME user partitioning
+    // plus the per-user reduce = ONE hash exchange; the only other
+    // exchange is the 1-row final funnel's single partition
+    assert(nodes(p, "Exchange hashpartitioning") === 1, p)
+    assert(shuffles(p) <= 2, p)
+    // WindowExec sorts on its partition key even for whole-frame
+    // windows — but all three step windows must REUSE one sort
+    assert(nodes(p, "Sort \\[") <= 1, p)
+    assert(crossJoins(p) === 0, p)
+  }
+
+  test("q_retention: cohort attach is a window, not a self-join") {
+    val df = Analytics.qRetention(spark, sf)
+    val p = physical(df)
+    // window(user) + dedup + grid agg — no join back to events at all
+    assert(bigJoins(p) === 0 && bhj(p) === 0, p)
+    assert(nodes(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }
