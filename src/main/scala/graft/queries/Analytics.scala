@@ -90,6 +90,62 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- #21b incremental aggregate maintenance -----------------------
+
+  /** Partial Q1 state in EXACT integer units — the mergeable form of
+    * the aggregate (sums and counts are a monoid; the presentation
+    * doubles are not, which is why the fold happens in units and
+    * canonicalization is deferred to the read side). */
+  private[graft] def q1State(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("qty_units"),
+        sum(cents(col("l_extendedprice"))).as("base_units"),
+        sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .as("disc_units"),
+        count(lit(1)).as("count_order"))
+
+  /** Fold a batch's partial state into the standing state: per group,
+    * unit sums and counts add. CONTRACT (the incremental-family rule):
+    * the two states must summarize DISJOINT row sets. */
+  def mergeQ1State(prior: DataFrame, batch: DataFrame): DataFrame =
+    prior.unionByName(batch)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("qty_units")).as("qty_units"),
+        sum(col("base_units")).as("base_units"),
+        sum(col("disc_units")).as("disc_units"),
+        sum(col("count_order")).as("count_order"))
+
+  /** #21b q_agg_incremental — incremental materialized-aggregate
+    * maintenance, the q1_agg MV a daily ingest keeps warm: yesterday's
+    * standing per-group unit sums + today's batch fold to the SAME
+    * result a full recompute produces, without re-reading prior rows.
+    * Deterministic split (l_orderkey mod 5 = the "new batch"), oracle
+    * = the full q1_agg over everything — the dd_exact_incremental /
+    * gl_scd2_incremental gate pattern.
+    *
+    * Scale: the standing state is |groups| rows of longs; each ingest
+    * costs O(batch + state) — one map-side-combined agg over the delta
+    * and a groups-sized fold — never O(corpus). ANSI long sums fail
+    * loudly on overflow (headroom ≈9e14 currency units, see
+    * [[fromUnits]]). */
+  def qAggIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val prior = q1State(li.filter(col("l_orderkey") % 5 =!= 0))
+    val batch = q1State(li.filter(col("l_orderkey") % 5 === 0))
+    mergeQ1State(prior, batch)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        fromUnits(col("qty_units"), 2).as("sum_qty"),
+        fromUnits(col("base_units"), 2).as("sum_base_price"),
+        fromUnits(col("disc_units"), 4).as("sum_disc_price"),
+        col("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Oracle = the FULL recompute: incremental must be indistinguishable. */
+  val qAggIncrementalSql: String = q1AggSql
+
   /** TPC-H Q3 shape: 3-way join + agg + top-N.
     * Scale: customer filter is pushed to the scan; orders⋈lineitem is
     * the only big shuffle; top-N via sort-limit (partial limits).
@@ -945,6 +1001,7 @@ object Analytics {
        |GROUP BY 1, 2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_incremental" -> (qAggIncremental _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_retention" -> (qRetention _),
     "q_quantile_hist" -> (qQuantileHist _),
@@ -968,6 +1025,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_agg_incremental" -> qAggIncrementalSql,
     "q_window_funnel" -> qWindowFunnelSql,
     "q_retention" -> qRetentionSql,
     "q_quantile_hist" -> qQuantileHistSql,

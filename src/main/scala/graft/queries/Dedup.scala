@@ -165,7 +165,11 @@ object Dedup {
     * bounded by DfCap² per bucket, never a cross join and never a
     * second pass over the index. The threshold test is exact integer
     * arithmetic — no FP, oracle-portable. */
-  def ddNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** (doc_a, doc_b, inter, na, nb) for every candidate pair from the
+    * capped shingle buckets — the shared front half of the jaccard
+    * (#28) and containment (#28b) thresholds, which differ only in
+    * the final set-overlap predicate. */
+  private def bucketPairStats(s: SparkSession, d: String): DataFrame = {
     val buckets = shingleBuckets(s, d)
     // all (a<b) pairs inside one bucket via TWO chained explodes —
     // both run in GenerateExec's codegen path, where the equivalent
@@ -187,10 +191,13 @@ object Dedup {
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+  }
+
+  def ddNgramJaccard(s: SparkSession, d: String): DataFrame =
+    bucketPairStats(s, d)
       .withColumn("union_n", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * JacDen >= col("union_n") * JacNum)
       .select(col("doc_a"), col("doc_b"), col("inter"), col("union_n"))
-  }
 
   /** Oracle twin — deliberately the CLASSIC index self-join
     * formulation, independent of the bucket-combination plan above:
@@ -209,6 +216,47 @@ object Dedup {
        |JOIN sizes sa ON sa.doc_id = doc_a
        |JOIN sizes sb ON sb.doc_id = doc_b
        |WHERE inter * $JacDen >= (sa.n_sh + sb.n_sh - inter) * $JacNum""".stripMargin
+
+  // ---- #28b n-gram containment --------------------------------------
+
+  /** Containment threshold as exact ratio:
+    * inter * ContDen >= min(na, nb) * ContNum. */
+  val ContNum = 9L
+  val ContDen = 10L
+
+  /** #28b dd_containment — near-SUPERSET detection: the smaller
+    * document's shingles are ≥ 90% contained in the larger's. Jaccard
+    * misses exactly this case (a paragraph quoted inside a 10× longer
+    * page has tiny union-overlap but full containment — the
+    * boilerplate-wrapping / quote-inclusion dup class a web corpus is
+    * full of), which is why curation pipelines run both predicates.
+    * Same capped inverted index, same bounded pair generation, same
+    * exact integer threshold — only the final overlap test differs
+    * from #28, so the front half is shared ([[bucketPairStats]]) and
+    * the scale story is identical: DfCap²-bounded bucket pairs, one
+    * index shuffle, never all-pairs. */
+  def ddContainment(s: SparkSession, d: String): DataFrame =
+    bucketPairStats(s, d)
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .filter(col("inter") * ContDen >= col("n_small") * ContNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_small"))
+
+  /** Oracle twin — classic index self-join, same independence argument
+    * as [[ddNgramJaccardSql]]. */
+  val ddContainmentSql: String =
+    s"""WITH ${Shingles.hashedShinglesCteSql()},
+       |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
+       |idx AS (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, least(sa.n_sh, sb.n_sh) AS n_small
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE inter * $ContDen >= least(sa.n_sh, sb.n_sh) * $ContNum""".stripMargin
 
   // ---- #29 MinHash + LSH --------------------------------------------
 
@@ -884,6 +932,7 @@ object Dedup {
     "dd_exact_incremental" -> (ddExactIncremental _),
     "dd_chunk_dup" -> (ddChunkDup _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment" -> (ddContainment _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incremental" -> (ddClusterIncremental _),
@@ -897,6 +946,7 @@ object Dedup {
     "dd_exact_incremental" -> ddExactIncrementalSql,
     "dd_chunk_dup" -> ddChunkDupSql,
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
+    "dd_containment" -> ddContainmentSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incremental" -> ddClusterIncrementalSql,

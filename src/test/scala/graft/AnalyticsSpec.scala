@@ -148,6 +148,31 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_incremental: fold equals full recompute, any split incl. empty batch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("l_returnflag"), r.getAs[String]("l_linestatus"))
+    def vals(r: org.apache.spark.sql.Row) =
+      (r.getAs[Double]("sum_qty"), r.getAs[Double]("sum_base_price"),
+       r.getAs[Double]("sum_disc_price"), r.getAs[Long]("count_order"))
+    val full = Analytics.q1Agg(spark, sf).collect().map(r => key(r) -> vals(r)).toMap
+    // the registered mod-5 split
+    val inc = Analytics.qAggIncremental(spark, sf).collect().map(r => key(r) -> vals(r)).toMap
+    assert(inc === full)
+    // empty-batch extreme: folding nothing must be the identity
+    val idOnEmpty = Analytics.mergeQ1State(
+        Analytics.q1State(li), Analytics.q1State(li.filter($"l_orderkey" < 0)))
+      .select($"l_returnflag", $"l_linestatus",
+        ($"qty_units".cast("double") / 100).as("sum_qty"),
+        ($"base_units".cast("double") / 100).as("sum_base_price"),
+        ($"disc_units".cast("double") / 10000).as("sum_disc_price"),
+        $"count_order")
+      .collect().map(r => key(r) -> vals(r)).toMap
+    assert(idOnEmpty === full)
+  }
+
   test("q_window_funnel: ordered steps, click-before-view excluded, horizon cutoff") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

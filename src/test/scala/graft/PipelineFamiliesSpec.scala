@@ -40,6 +40,41 @@ class DedupSpec extends SparkSpec {
     assert(keys.distinct.length === keys.length)
   }
 
+  test("dd_containment: threshold holds on real data; pairs ordered and distinct") {
+    val rows = Dedup.ddContainment(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("inter") * 10 >= r.getAs[Long]("n_small") * 9)
+      assert(r.getAs[Long]("inter") <= r.getAs[Long]("n_small"))
+    }
+    val keys = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(keys.distinct.length === keys.length)
+  }
+
+  test("dd_containment: planted near-superset found where jaccard rejects it") {
+    import spark.implicits._
+    // doc 0 = a 30-word passage; doc 1 = that passage verbatim plus a
+    // 300-word continuation: containment(0 in 1) = 1.0 but jaccard
+    // ~ 28/328 — the quote-inclusion class only the containment
+    // predicate catches. doc 2 is unrelated.
+    def words(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val small = words("a", 30)
+    val docs = Seq(
+      (0L, small, "en", "web", small.length.toLong),
+      (1L, small + " " + words("b", 300), "en", "web", 0L),
+      (2L, words("c", 50), "en", "web", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cont = Dedup.ddContainment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(cont.toSet === Set((0L, 1L)))
+    val jac = Dedup.ddNgramJaccard(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(!jac.contains((0L, 1L)), "jaccard should reject the asymmetric pair")
+  }
+
   test("dd_minhash_lsh: exact duplicates always collide") {
     import spark.implicits._
     // exact dups share every shingle => identical signature => same bands
