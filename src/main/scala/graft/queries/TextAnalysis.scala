@@ -418,6 +418,47 @@ object TextAnalysis {
        |ORDER BY df DESC, shingle
        |LIMIT $TopNgramsK""".stripMargin
 
+  // ---- #34n tokenizer-training pair counts ---------------------------
+
+  val BpeTopK = 20
+
+  /** #34n tx_bpe_pairs — the inner loop of BPE tokenizer training at
+    * corpus scale: count every adjacent character-pair occurrence
+    * inside every word and surface the top merges (the first BPE merge
+    * IS the argmax of this table; training iterates it). Counts are
+    * per OCCURRENCE, not per document — the BPE objective weights by
+    * frequency.
+    *
+    * Scale: the pair domain is ≤ charset² — tiny — so the count agg is
+    * map-side-combined down to almost nothing before its one shuffle,
+    * and top-k is `TakeOrderedAndProject` (per-partition heads; no
+    * global sort, no vocabulary materialization). This is the shape
+    * that lets a tokenizer train on the full 100 TB corpus instead of
+    * a sample. Ties break on the pair's binary order — identical in
+    * both engines. */
+  def txBpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("word"))
+      // guarded explicitly: Spark's sequence(1, 0) would DESCEND
+      .select(explode(when(length(col("word")) >= 2,
+        expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .otherwise(array().cast("array<string>"))).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+
+  val txBpePairsSql: String =
+    s"""WITH wrd AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |pr AS (
+       |  SELECT substr(word, i, 2) AS pair
+       |  FROM wrd CROSS JOIN LATERAL (
+       |    SELECT unnest(range(1, length(word))) AS i) t)
+       |SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+       |FROM pr GROUP BY 1
+       |ORDER BY cnt DESC, pair
+       |LIMIT $BpeTopK""".stripMargin
+
   // ---- #34m count-min-sketch heavy hitters --------------------------
 
   /** Sketch geometry: 4 rows × 2048 counters = 64 KiB of int64 state
@@ -1056,6 +1097,7 @@ object TextAnalysis {
     "tx_curation" -> (txCuration _),
     "tx_sample_mix" -> (txSampleMix _),
     "tx_top_ngrams" -> (txTopNgrams _),
+    "tx_bpe_pairs" -> (txBpePairs _),
     "tx_cms_topk" -> (txCmsTopk _),
     "tx_decontaminate" -> (txDecontaminate _),
     "tx_token_count" -> (txTokenCount _),
@@ -1076,6 +1118,7 @@ object TextAnalysis {
     "tx_curation" -> txCurationSql,
     "tx_sample_mix" -> txSampleMixSql,
     "tx_top_ngrams" -> txTopNgramsSql,
+    "tx_bpe_pairs" -> txBpePairsSql,
     "tx_cms_topk" -> txCmsTopkSql,
     "tx_decontaminate" -> txDecontaminateSql,
     "tx_token_count" -> txTokenCountSql,

@@ -801,3 +801,26 @@ class FrameSampleSpec extends SparkSpec {
     }
   }
 }
+
+class BpePairsSpec extends SparkSpec {
+
+  test("tx_bpe_pairs: top merges equal a brute-force single-threaded count") {
+    val got = TextAnalysis.txBpePairs(spark, sf).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+    // brute force: every adjacent char pair of every word occurrence
+    val counts = new scala.collection.mutable.HashMap[String, Long]()
+    Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0)))
+      .foreach(_.split(" ", -1).foreach { w =>
+        var i = 0
+        while (i + 1 < w.length) {
+          val p = w.substring(i, i + 2)
+          counts.update(p, counts.getOrElse(p, 0L) + 1L)
+          i += 1
+        }
+      })
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(TextAnalysis.BpeTopK)
+    assert(got.toSeq === want)
+  }
+}

@@ -782,6 +782,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel stream: ordered fold equals the batch funnel, incl. the traps") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val h = 3600L * 1000000L
+    val day = 24 * h
+    // the batch spec's scenario: u1 converts, u2's click precedes its
+    // view, u3 purchases outside the horizon, u4 never views
+    val all = Seq(
+      (1L, "view", 0L), (1L, "click", h), (1L, "purchase", 2 * h),
+      (2L, "click", 0L), (2L, "view", h), (2L, "purchase", 2 * h),
+      (3L, "view", 0L), (3L, "click", h), (3L, "purchase", 8 * day),
+      (4L, "click", 0L), (4L, "purchase", h)
+    ).sortBy(_._3) // event-time ordered feed — the documented contract
+    val input = MemoryStream[(Long, String, Long)]
+    val q = graft.streaming.FunnelStream.steps(
+        input.toDF().toDF("user_id", "event_type", "tus")
+          .select($"user_id", $"event_type", timestamp_micros($"tus").as("ts")))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(all.take(4)); q.processAllAvailable()
+      input.addData(all.slice(4, 9)); q.processAllAvailable()
+      input.addData(all.drop(9)); q.processAllAvailable()
+      // latest state per user (the memory sink appends updates; the
+      // final batch's row per user is the standing state)
+      val steps = spark.table("funnel_stream")
+        .groupBy($"user_id").agg(max_by($"step", $"n_folds").as("step"))
+        .collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("step")).toMap
+      assert(steps === Map(1L -> 3, 2L -> 1, 3L -> 2, 4L -> 0))
+      // aggregate conversion counts equal the batch funnel exactly
+      val batch = graft.queries.Analytics.windowFunnel(
+          all.toDF("user_id", "event_type", "tus")
+            .select($"user_id", $"event_type", timestamp_micros($"tus").as("ts")))
+        .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("users")).toMap
+      val fromStream = Map(
+        1L -> steps.values.count(_ >= 1).toLong,
+        2L -> steps.values.count(_ >= 2).toLong,
+        3L -> steps.values.count(_ >= 3).toLong)
+      assert(fromStream === batch)
+    } finally q.stop()
+  }
+
   test("quantile stream: batch-split fold equals the batch sketch exactly") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
