@@ -187,6 +187,95 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual-hash geometry: 64 dHash bits split into 4 bands of 16
+    * for Hamming-banded candidate generation. */
+  val PhashSamples = 64
+  val PhashBands = 4
+  val PhashBandBits: Int = PhashSamples / PhashBands
+
+  /** Output schema of the fingerprinter — 4 band ints ARE the hash
+    * (b3‖b2‖b1‖b0); kept as separate INTs so band-join keys need no
+    * bit-slicing and the signed-shift corner of a packed BIGINT never
+    * arises cross-engine. */
+  val PhashSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("b0", IntegerType, nullable = false),
+    StructField("b1", IntegerType, nullable = false),
+    StructField("b2", IntegerType, nullable = false),
+    StructField("b3", IntegerType, nullable = false)))
+
+  /** STUB perceptual hash (dHash): 64 evenly-spaced payload samples,
+    * bit i = sample(i) > sample((i+1) mod 64). A real deployment
+    * decodes the image, rescales to a 9×8 grid, and compares adjacent
+    * luminances — the sampling stub keeps the exact same bit-geometry
+    * (64 gradient-sign bits) deterministic over raw payload bytes so
+    * the fingerprint is spec- and oracle-checkable without a codec. */
+  def stubPhash(payload: Array[Byte]): Array[Int] = {
+    val n = payload.length
+    val smp = Array.tabulate(PhashSamples)(i => payload(((i.toLong * n) / PhashSamples).toInt) & 0xff)
+    Array.tabulate(PhashBands) { b =>
+      var acc = 0
+      var j = 0
+      while (j < PhashBandBits) {
+        val i = b * PhashBandBits + j
+        if (smp(i) > smp((i + 1) % PhashSamples)) acc |= 1 << j
+        j += 1
+      }
+      acc
+    }
+  }
+
+  /** #38e mm_phash — per-payload perceptual fingerprint, the kernel an
+    * image-dedup pipeline computes at ingest and stores in its index
+    * (decode → fixed-grid dHash, here the deterministic byte stub, per
+    * partition like the rest of the mm family). The dump IS the
+    * per-doc hash table: map-only, hash-gated for every payload; the
+    * Hamming pair-mining step over it is [[phashPairs]] (spec-gated
+    * with planted near-identical payloads — the synthetic corpus has
+    * no sub-threshold image pairs to mine, so the join's correctness
+    * gate lives in the spec, the fingerprint math in the oracle). */
+  def mmPhash(s: SparkSession, d: String): DataFrame = {
+    val in = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(PhashSchema)
+    in.mapPartitions { rows =>
+      rows.map { r =>
+        val h = stubPhash(r.getAs[Array[Byte]]("payload"))
+        Row(r.getAs[Long]("doc_id"), h(0), h(1), h(2), h(3))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate payload pairs from a [[mmPhash]]-shaped frame:
+    * candidates share at least one exact 16-bit band (one shuffle on
+    * the band key — never all-pairs), then the exact popcount filter
+    * keeps Hamming ≤ `maxHamming`. By pigeonhole the banding is
+    * EXACT (recall 1.0) for maxHamming ≤ PhashBands − 1: ≤3 differing
+    * bits cannot touch all 4 disjoint bands. Larger thresholds trade
+    * recall for the same bounded cost — the standard LSH dial (same
+    * contract as dd_minhash_lsh's band count). Band buckets on a
+    * boilerplate-heavy corpus concentrate exact twins; compose with
+    * dd_exact's md5-collapse first (the dd_cluster round-5 fix) when
+    * twin cliques dominate. */
+  def phashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = hashed.select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))).as(Seq("bi", "bv")))
+    val ham = (0 to 3).map(i =>
+        bit_count(col(s"a.b$i").bitwiseXOR(col(s"b.b$i"))))
+      .reduce(_ + _)
+    bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      // hamming is a pure function of the pair, so distinct over
+      // (a_id, b_id, hamming) deduplicates multi-band collisions
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        ham.cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** #38c dumped form: the binary-out transform (`mmResize`) projected
     * to hash-gated metadata + an md5 digest OF the real payload bytes.
     * The digest rides through the actual `mapPartitions` resize path,
@@ -203,7 +292,8 @@ object Multimodal {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_window" -> (mmAudioWindow _),
-    "mm_resize" -> (mmResizeDigest _)
+    "mm_resize" -> (mmResizeDigest _),
+    "mm_phash" -> (mmPhash _)
   )
 
   /** The stub decode is deterministic byte math, so its outputs ARE
@@ -251,6 +341,22 @@ object Multimodal {
         |                  substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)),
         |                'string_agg', '')
         |           END) AS resized_md5
-        |FROM documents WHERE text IS NOT NULL""".stripMargin
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "mm_phash" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64), i ->
+        |           ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1))) AS smp
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN smp[j + 1]  > smp[(j + 1)  % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b0,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN smp[j + 17] > smp[(j + 17) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b1,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN smp[j + 33] > smp[(j + 33) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b2,
+        |  CAST(list_sum(list_transform(range(0, 16), j ->
+        |    CASE WHEN smp[j + 49] > smp[(j + 49) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b3
+        |FROM s""".stripMargin
   )
 }

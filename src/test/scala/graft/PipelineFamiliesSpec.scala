@@ -824,3 +824,49 @@ class BpePairsSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 }
+
+class PhashSpec extends SparkSpec {
+
+  test("mm_phash: bands equal an independent bit-level recompute") {
+    val texts = Tables.documents(spark, sf).collect()
+      .flatMap(r => Option(r.getString(1)).filter(_.nonEmpty)
+        .map(t => r.getAs[Long]("doc_id") -> t)).toMap
+    val got = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("b0"), r.getAs[Int]("b1"), r.getAs[Int]("b2"), r.getAs[Int]("b3")))
+      .toMap
+    assert(got.keySet === texts.keySet)
+    texts.foreach { case (id, t) =>
+      // independent path: 64-bit hash assembled MSB-first, then split
+      val p = t.getBytes("UTF-8")
+      var hash = BigInt(0)
+      for (i <- 63 to 0 by -1) {
+        val a = p(((i.toLong * p.length) / 64).toInt) & 0xff
+        val b = p((((i + 1) % 64).toLong * p.length / 64).toInt) & 0xff
+        hash = (hash << 1) | (if (a > b) 1 else 0)
+      }
+      val want = Tuple4(
+        (hash & 0xffff).toInt, ((hash >> 16) & 0xffff).toInt,
+        ((hash >> 32) & 0xffff).toInt, ((hash >> 48) & 0xffff).toInt)
+      assert(got(id) === want, s"doc $id")
+    }
+  }
+
+  test("phashPairs: planted near-identical payloads pair up, distinct ones don't") {
+    import spark.implicits._
+    val base = Array.tabulate(256)(i => ((i * 37 + 11) % 251).toByte)
+    // byte 8 is sample 2; 250 crosses both adjacent compares (159, 204)
+    val near = base.clone(); near(8) = 250.toByte
+    val far = base.reverse
+    val hashed = Seq(1L -> base, 2L -> near, 3L -> far)
+      .map { case (id, p) =>
+        val h = Multimodal.stubPhash(p); (id, h(0), h(1), h(2), h(3))
+      }.toDF("doc_id", "b0", "b1", "b2", "b3")
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    // one flipped sample flips at most its two adjacent-compare bits,
+    // and pigeonhole over 4 bands makes recall exact at ≤3
+    assert(pairs.head._3 <= 2 && pairs.head._3 >= 1)
+  }
+}
