@@ -864,4 +864,53 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("retention stream: shuffled out-of-order fold equals the batch grid") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val wk = graft.queries.Analytics.WeekUs
+    // three users, activity spread over weeks 0..9 with dups; delivery
+    // order is deliberately scrambled ACROSS batches — the fold is
+    // order-independent (min-fold + bitmask rebase), unlike the funnel
+    val activity = Seq(
+      (1L, 3L), (1L, 5L), (1L, 0L), (1L, 5L), (1L, 9L),
+      (2L, 7L), (2L, 2L), (2L, 2L),
+      (3L, 4L)
+    )
+    val scrambled = Seq(
+      (1L, 5L), (2L, 7L), (1L, 9L), (3L, 4L), (1L, 3L),
+      (2L, 2L), (1L, 0L), (2L, 2L), (1L, 5L)
+    )
+    assert(scrambled.sorted === activity.sorted)
+    val input = MemoryStream[(Long, Long)]
+    val q = graft.streaming.RetentionStream.weeks(
+        input.toDF().toDF("user_id", "wus")
+          .select($"user_id", timestamp_micros($"wus" * wk + 1000L).as("ts")))
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(scrambled.take(3)); q.processAllAvailable()
+      input.addData(scrambled.slice(3, 7)); q.processAllAvailable()
+      input.addData(scrambled.drop(7)); q.processAllAvailable()
+      val latest = spark.table("retention_stream")
+        .groupBy($"user_id")
+        .agg(max_by(struct($"cohort_week", $"mask"), $"n_folds").as("s"))
+        .select($"user_id", $"s.cohort_week", $"s.mask")
+      // state is exact: user 1 cohort 0, weeks {0,3,5,9}
+      val m = latest.collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("cohort_week"), r.getAs[Long]("mask"))).toMap
+      assert(m(1L) === (0L, (1L << 0) | (1L << 3) | (1L << 5) | (1L << 9)))
+      assert(m(2L) === (2L, (1L << 0) | (1L << 5)))
+      assert(m(3L) === (4L, 1L))
+      // grid over latest state == batch retention of the same events
+      val batchGrid = graft.queries.Analytics.retention(
+          activity.toDF("user_id", "wus")
+            .select($"user_id", timestamp_micros($"wus" * wk + 1000L).as("ts")))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val streamGrid = graft.streaming.RetentionStream.grid(latest)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamGrid === batchGrid)
+    } finally q.stop()
+  }
+
 }
