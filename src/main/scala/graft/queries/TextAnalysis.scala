@@ -459,6 +459,63 @@ object TextAnalysis {
        |ORDER BY cnt DESC, pair
        |LIMIT $BpeTopK""".stripMargin
 
+  // ---- #34o tokenizer inference -------------------------------------
+
+  /** Trained merge table (rank order): the fixed artifact a tokenizer
+    * ships. Derived once from the corpus by iterating #34n's argmax
+    * (ties on binary pair order) — pinned as a LITERAL so both engines
+    * segment identically, the tx_classify trained-weights convention.
+    * Later merges compose earlier outputs (m+er, p+ar, jo+in). */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in")
+
+  /** #34o tx_bpe_apply — BPE tokenizer INFERENCE at scan speed: apply
+    * the trained merge table to every word and emit the per-doc piece
+    * count plus a digest of the full segmentation.
+    *
+    * Spark-first trick: a word's segmentation state is its characters
+    * joined by spaces, and one merge (x,y)→xy is `replace(seg, "x y",
+    * "xy")` — left-to-right non-overlapping replacement IS the BPE
+    * merge application (a merge never recreates its own pair: xy ≠ x
+    * suffix/y prefix composition), and applying each rank fully in
+    * order equals the min-rank-iterative reference algorithm because a
+    * later merge's output symbol cannot appear in an earlier merge's
+    * pair. So the whole tokenizer is |merges| nested codegen'd
+    * `replace` calls riding in the projection — no UDF, no join, no
+    * per-token state; the 100 TB corpus tokenizes at scan speed. */
+  def txBpeApply(s: SparkSession, d: String): DataFrame = {
+    val segWord: Column => Column = w =>
+      BpeMerges.foldLeft(array_join(filter(split(w, ""), c => c =!= ""), " ")) {
+        case (acc, (x, y)) => replace(acc, lit(x + " " + y), lit(x + y))
+      }
+    val segs = transform(filter(toks(col("text")), w => w =!= ""), segWord)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        aggregate(segs, lit(0L),
+          (acc, sg) => acc + size(split(sg, " "))).as("n_pieces"),
+        md5(array_join(segs, "/")).as("seg_md5"))
+  }
+
+  val txBpeApplySql: String = {
+    val seg = BpeMerges.foldLeft(
+      "array_to_string(string_split(w, ''), ' ')") { case (acc, (x, y)) =>
+        s"replace($acc, '$x $y', '$x$y')" }
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |         list_transform(list_filter(string_split(text, ' '), w -> w != ''),
+       |                        w -> $seg) AS segs
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT doc_id,
+       |       CAST(coalesce(list_sum(list_transform(segs,
+       |         sg -> len(string_split(sg, ' ')))), 0) AS BIGINT) AS n_pieces,
+       |       md5(array_to_string(segs, '/')) AS seg_md5
+       |FROM s""".stripMargin
+  }
+
   // ---- #34m count-min-sketch heavy hitters --------------------------
 
   /** Sketch geometry: 4 rows × 2048 counters = 64 KiB of int64 state
@@ -1098,6 +1155,7 @@ object TextAnalysis {
     "tx_sample_mix" -> (txSampleMix _),
     "tx_top_ngrams" -> (txTopNgrams _),
     "tx_bpe_pairs" -> (txBpePairs _),
+    "tx_bpe_apply" -> (txBpeApply _),
     "tx_cms_topk" -> (txCmsTopk _),
     "tx_decontaminate" -> (txDecontaminate _),
     "tx_token_count" -> (txTokenCount _),
@@ -1119,6 +1177,7 @@ object TextAnalysis {
     "tx_sample_mix" -> txSampleMixSql,
     "tx_top_ngrams" -> txTopNgramsSql,
     "tx_bpe_pairs" -> txBpePairsSql,
+    "tx_bpe_apply" -> txBpeApplySql,
     "tx_cms_topk" -> txCmsTopkSql,
     "tx_decontaminate" -> txDecontaminateSql,
     "tx_token_count" -> txTokenCountSql,

@@ -870,3 +870,64 @@ class PhashSpec extends SparkSpec {
     assert(pairs.head._3 <= 2 && pairs.head._3 >= 1)
   }
 }
+
+class BpeApplySpec extends SparkSpec {
+
+  /** Reference algorithm: repeatedly merge the LOWEST-RANK pair
+    * present anywhere in the word (the original BPE apply), not the
+    * rank-order full-pass form the query compiles to — the spec gates
+    * their equivalence. */
+  private def refSegment(word: String): Seq[String] = {
+    val rank = graft.queries.TextAnalysis.BpeMerges.zipWithIndex.toMap
+    var s: Vector[String] = word.map(_.toString).toVector
+    var done = false
+    while (!done && s.length > 1) {
+      val present = s.zip(s.tail).flatMap(p => rank.get(p).map(_ -> p))
+      if (present.isEmpty) done = true
+      else {
+        val (_, (x, y)) = present.minBy(_._1)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == x && s(i + 1) == y) {
+            out += x + y; i += 2
+          } else { out += s(i); i += 1 }
+        }
+        s = out.result()
+      }
+    }
+    s
+  }
+
+  test("tx_bpe_apply: nested-replace segmentation equals min-rank-iterative BPE") {
+    val texts = Tables.documents(spark, sf).collect()
+      .flatMap(r => Option(r.getString(1)).map(r.getAs[Long]("doc_id") -> _)).toMap
+    val got = TextAnalysis.txBpeApply(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_pieces"), r.getAs[String]("seg_md5"))).toMap
+    assert(got.keySet === texts.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    texts.foreach { case (id, t) =>
+      val segs = t.split(" ", -1).filter(_.nonEmpty).map(refSegment)
+      val joined = segs.map(_.mkString(" ")).mkString("/")
+      md.reset()
+      val want = md.digest(joined.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(id)._1 === segs.map(_.length.toLong).sum, s"doc $id pieces")
+      assert(got(id)._2 === want, s"doc $id digest")
+    }
+  }
+
+  test("tx_bpe_apply: merges actually fire, incl. composed ones") {
+    import spark.implicits._
+    val one = Seq((1L, "join the merger party")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text"))
+    one.createOrReplaceTempView("ignored")
+    val seg = TextAnalysis.txBpeApply(spark, sf) // smoke real table path
+    assert(seg.columns.toSeq === Seq("doc_id", "n_pieces", "seg_md5"))
+    // direct check of the composed chain on a planted word: "join" ->
+    // j o i n -> (i,n)-> j o in -> (j,o)-> jo in -> (jo,in)-> join
+    assert(refSegment("join") === Seq("join"))
+    assert(refSegment("merger") === Seq("mer", "g", "er"))
+  }
+}
