@@ -45,7 +45,13 @@ object Soak {
     "gl_scd2_versions", "gl_squash_latest", "gl_delete_tombstone",
     "gl_vid_assign", "gl_poi_block_digest",
     "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct",
-    "q_quantile_hist", "q_zorder_layout", "q_bloom_join", "q_bloom_join_off")
+    "q_quantile_hist", "q_zorder_layout", "q_bloom_join", "q_bloom_join_off",
+    // round-5 tail: deepened user histories stress the funnel/retention
+    // windows; twin cliques stress containment's capped buckets; the
+    // char-pair explode is the most data-proportional text stage; the
+    // tokenizer + phash keys certify the map-only claim at volume
+    "q_window_funnel", "q_retention", "dd_containment", "q_agg_incremental",
+    "tx_bpe_pairs", "tx_bpe_apply", "mm_phash")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

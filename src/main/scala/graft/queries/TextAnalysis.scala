@@ -516,6 +516,90 @@ object TextAnalysis {
        |FROM s""".stripMargin
   }
 
+  // ---- #34p tokenizer training --------------------------------------
+
+  /** Merge rounds the trainer runs (each = one tiny argmax job). */
+  val BpeTrainIters = 6
+
+  /** #34p tx_bpe_train — the BPE TRAINER itself, distributed: iterate
+    * #34n's argmax `BpeTrainIters` times, applying each chosen merge
+    * before recounting, and emit the learned merge table (the artifact
+    * #34o ships as its literal).
+    *
+    * Scale design: training state is the WEIGHTED VOCABULARY — words
+    * collapsed to (segmentation, occurrence count) once, so every
+    * iteration costs O(|vocab|), not O(corpus); pair counts are
+    * cnt-weighted sums over a ≤symbol² domain (map-side combined to
+    * almost nothing), and the only driver state is ONE collected row
+    * per round (the argmax pair — the same bounded-collect contract as
+    * dd_cluster's convergence probe). Merges apply as substring
+    * `replace` on the space-joined segmentation: left-to-right
+    * non-overlapping replacement is exactly the symbol-level BPE merge
+    * whenever no merge's left side is a proper suffix of a
+    * co-occurring symbol — the spec gates bit-exact equivalence
+    * against a symbol-level reference trainer on the full corpus, and
+    * both engines run the identical substring form so the oracle is
+    * bit-for-bit either way. Ties break on (count DESC, pair binary
+    * ASC) in both engines. */
+  def txBpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val vocab = Tables.documents(s, d)
+      .select(explode(filter(toks(col("text")), w => w =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(array_join(filter(split(col("w"), ""), c => c =!= ""), " ").as("seg"),
+        col("cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var segs = vocab
+    for (i <- 0 until BpeTrainIters) {
+      val top = segs
+        .filter(size(split(col("seg"), " ")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(split(seg, ' ')) - 1), " +
+          "i -> concat(element_at(split(seg, ' '), i), ' ', " +
+          "element_at(split(seg, ' '), i + 1)))")).as("ps"), col("cnt"))
+        .groupBy(col("ps")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("ps"))
+        .limit(1)
+        .collect() // ONE row per round — the bounded driver collect
+      val ps = top(0).getAs[String]("ps")
+      val c = top(0).getAs[Long]("c")
+      val mg = ps.replace(" ", "")
+      merges += ((i, ps, mg, c))
+      segs = segs.withColumn("seg", replace(col("seg"), lit(ps), lit(mg)))
+    }
+    merges.toSeq.toDF("rank", "pair", "merged", "cnt")
+  }
+
+  val txBpeTrainSql: String = {
+    val head =
+      """WITH v AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w
+        |    FROM documents WHERE text IS NOT NULL) t
+        |  WHERE w != '' GROUP BY 1),
+        |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS seg, cnt FROM v)""".stripMargin
+    val stages = (0 until BpeTrainIters).map { i =>
+      val next = if (i < BpeTrainIters - 1)
+        s""",
+           |w${i + 1} AS (
+           |  SELECT replace(seg, (SELECT ps FROM m$i), (SELECT mg FROM m$i)) AS seg, cnt FROM w$i)""".stripMargin
+      else ""
+      s"""p$i AS (
+         |  SELECT ss[i] || ' ' || ss[i + 1] AS ps, sum(cnt) AS c
+         |  FROM (SELECT string_split(seg, ' ') AS ss, cnt FROM w$i
+         |        WHERE len(string_split(seg, ' ')) >= 2) t
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) u
+         |  GROUP BY 1),
+         |m$i AS (SELECT $i AS rank, ps, replace(ps, ' ', '') AS mg, c FROM p$i
+         |        ORDER BY c DESC, ps LIMIT 1)$next""".stripMargin
+    }
+    val union = (0 until BpeTrainIters).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"""$head,
+       |${stages.mkString(",\n")}
+       |SELECT CAST(rank AS INT) AS rank, ps AS pair, mg AS merged,
+       |       CAST(c AS BIGINT) AS cnt
+       |FROM ($union) ORDER BY rank""".stripMargin
+  }
+
   // ---- #34m count-min-sketch heavy hitters --------------------------
 
   /** Sketch geometry: 4 rows × 2048 counters = 64 KiB of int64 state
@@ -1156,6 +1240,7 @@ object TextAnalysis {
     "tx_top_ngrams" -> (txTopNgrams _),
     "tx_bpe_pairs" -> (txBpePairs _),
     "tx_bpe_apply" -> (txBpeApply _),
+    "tx_bpe_train" -> (txBpeTrain _),
     "tx_cms_topk" -> (txCmsTopk _),
     "tx_decontaminate" -> (txDecontaminate _),
     "tx_token_count" -> (txTokenCount _),
@@ -1178,6 +1263,7 @@ object TextAnalysis {
     "tx_top_ngrams" -> txTopNgramsSql,
     "tx_bpe_pairs" -> txBpePairsSql,
     "tx_bpe_apply" -> txBpeApplySql,
+    "tx_bpe_train" -> txBpeTrainSql,
     "tx_cms_topk" -> txCmsTopkSql,
     "tx_decontaminate" -> txDecontaminateSql,
     "tx_token_count" -> txTokenCountSql,

@@ -931,3 +931,41 @@ class BpeApplySpec extends SparkSpec {
     assert(refSegment("merger") === Seq("mer", "g", "er"))
   }
 }
+
+class BpeTrainSpec extends SparkSpec {
+
+  test("tx_bpe_train: learned merges equal a symbol-level reference trainer") {
+    val words = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => Option(r.getString(0)))
+      .flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    // reference: symbol-level merge application, occurrence-weighted
+    var segs: Map[Vector[String], Long] = words.groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+    val want = (0 until TextAnalysis.BpeTrainIters).map { rank =>
+      val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      segs.foreach { case (s, c) =>
+        s.zip(s.tail).foreach(p => cnt.update(p, cnt.getOrElse(p, 0L) + c))
+      }
+      val ((x, y), c) = cnt.toSeq.minBy { case ((a, b), n) => (-n, a + " " + b) }
+      segs = segs.groupMapReduce { case (s, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == x && s(i + 1) == y) { out += x + y; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      (rank, s"$x $y", x + y, c)
+    }
+    val got = TextAnalysis.txBpeTrain(spark, sf).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("pair"),
+        r.getAs[String]("merged"), r.getAs[Long]("cnt"))).sortBy(_._1).toSeq
+    assert(got === want)
+    // the first learned merge IS tx_bpe_pairs' argmax (round 0 counts
+    // character pairs, before any merged symbol exists)
+    val topPair = TextAnalysis.txBpePairs(spark, sf).collect().head
+    assert(got.head._3 === topPair.getAs[String]("pair"))
+    assert(got.head._4 === topPair.getAs[Long]("cnt"))
+  }
+}
