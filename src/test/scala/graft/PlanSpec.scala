@@ -412,4 +412,31 @@ class PlanSpec extends SparkSpec {
     assert(bigJoins(p) === 0 && bhj(p) === 0, p)
     assert(nodes(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("mm_phash / tx_bpe_apply: map-only — fingerprint and tokenizer shuffle nothing") {
+    for (df <- Seq(graft.queries.Multimodal.mmPhash(spark, sf),
+        graft.queries.TextAnalysis.txBpeApply(spark, sf))) {
+      val p = physical(df)
+      assert(shuffles(p) === 0, p)
+      assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+      assert(nodes(p, "HashAggregate") === 0, p)
+    }
+  }
+
+  test("tx_bpe_pairs: one count exchange, top-k is TakeOrderedAndProject") {
+    val p = physical(graft.queries.TextAnalysis.txBpePairs(spark, sf))
+    // pair domain <= charset^2: partial agg map-side, ONE exchange, and
+    // the global sort must be per-partition heads, never a full sort
+    assert(nodes(p, "Exchange hashpartitioning") === 1, p)
+    assert(nodes(p, "TakeOrderedAndProject") === 1, p)
+    assert(nodes(p, "Sort \\[") === 0, p)
+  }
+
+  test("phashPairs: banded join is equi on (band, value) — no cartesian") {
+    val hashed = graft.queries.Multimodal.mmPhash(spark, sf)
+    val p = physical(graft.queries.Multimodal.phashPairs(hashed, 3))
+    assert(crossJoins(p) === 0, p)
+    assert(bigJoins(p) + bhj(p) === 1, p)
+  }
+
 }
