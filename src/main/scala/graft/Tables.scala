@@ -18,21 +18,31 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 refuses to
-    * read as a timestamp. Read it as raw nanos (legacy conf) and truncate
-    * to microseconds — the same floor DuckDB applies at `epoch_ms`
-    * granularity, so oracle comparisons agree. `DIV` keeps the math in
-    * exact integer space (ns since 2024 overflows double's 2^53). */
+  /** events.ts normalization — the generated parquet has carried two
+    * physical shapes across rounds, both mapped to a UTC TIMESTAMP so
+    * every consumer sees one type:
+    *   - TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+    *     timestamp: read as raw nanos (legacy conf) and truncate to
+    *     microseconds — the same floor DuckDB applies at `epoch_ms`
+    *     granularity (`DIV` keeps the math in exact integer space; ns
+    *     since 2024 overflows double's 2^53);
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4
+    *     infers as TIMESTAMP_NTZ (no unix_* functions): cast to
+    *     TIMESTAMP_LTZ — the session timezone is pinned UTC
+    *     (GraftSession), so the cast is identity on the stored micros
+    *     and DuckDB's plain-timestamp epoch math agrees bit-for-bit. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       // derived copies (ScaleUp / Soak rewrites) already carry a
-      // microsecond TIMESTAMP — only the testdata's raw nanos long
-      // needs the truncating conversion
+      // microsecond TIMESTAMP — only the raw testdata shapes convert
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          raw("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

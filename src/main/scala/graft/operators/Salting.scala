@@ -46,4 +46,27 @@ object Salting {
     partial.groupBy(col("__k"))
       .agg(finalCols.head, finalCols.tail: _*)
   }
+
+  /** Salted replicated JOIN for a fact side whose join key has too few
+    * (or too hot) values to spread over a cluster: every fact row gets
+    * a deterministic salt in [0, salts) from `saltSource`, the dim side
+    * is replicated once per salt value, and the join runs on
+    * (key, salt) — so a key that would land on ONE reducer spreads over
+    * `salts` of them. Dim cost is |dim|·salts rows, which is why this
+    * targets small-but-not-broadcastable dims or low-cardinality keys.
+    *
+    * AQE's skew-join split covers the runtime-detected case for
+    * sort-merge joins; salting is the writer-side guarantee for keys
+    * KNOWN to be degenerate (a 5-value type column joining a routing
+    * dim leaves ≥995 of a 1000-reducer cluster idle without it). The
+    * salt is plan-only — it is dropped after the join and every fact
+    * row still matches exactly its key's dim rows, so the result is
+    * indistinguishable from the plain join (the q_skew_join oracle). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, salts: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val repDim = dim.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedFact.join(repDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

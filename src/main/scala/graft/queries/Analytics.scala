@@ -455,6 +455,60 @@ object Analytics {
       |  MAX(user_id) AS max_user
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Salt fan-out for the skewed JOIN demonstration — 16 spreads each
+    * of the 5 event types over 16 reducers (80 partitions of work where
+    * the plain join has 5, whatever the cluster size). */
+  val SkewJoinSalts = 16
+
+  /** #26p q_skew_join — the JOIN arm of the skew story (q_skew_agg is
+    * the aggregation arm): events join a per-type routing dim on
+    * `event_type`, a FIVE-VALUE key. On a 1000-reducer cluster the
+    * plain shuffle join puts every fact row on one of 5 reducers and
+    * idles the other 995 — key-cardinality skew that no runtime
+    * statistic fixes, because the skew is structural, not a surprise.
+    * [[graft.operators.Salting.saltedJoin]] gives each fact row a
+    * deterministic salt from `event_id` and replicates the 5-row dim
+    * 16×, so the join key becomes (event_type, salt) with 80 evenly
+    * loaded partitions. AQE's skew split only rescues sort-merge joins
+    * whose partition-size stats reveal the skew at runtime; salting is
+    * the writer-side guarantee for keys KNOWN to be degenerate, and
+    * the demonstration (like q_bucket_join/q_bloom_join) runs in a
+    * cloned session with broadcast off — at 100 TB the realistic dim
+    * for this shape is over broadcast budget.
+    *
+    * The salt is plan-only: the oracle is the PLAIN join+agg, so the
+    * salted path must be semantically invisible. Weighted revenue is
+    * exact integer cents·weight, divided once at presentation. */
+  def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val ev = Tables.events(s2, dir)
+    graft.operators.Salting
+      .saltedJoin(ev, eventTypeDim(s2), "event_type", col("event_id"), SkewJoinSalts)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        fromUnits(sum(cents(col("value")) * col("weight")), 2).as("weighted_value"))
+  }
+
+  /** The 5-row routing dim — literal, deterministic, mirrored row for
+    * row by the oracle's VALUES clause. */
+  private def eventTypeDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(("click", "engage", 2L), ("view", "engage", 1L),
+      ("signup", "convert", 5L), ("purchase", "convert", 10L),
+      ("error", "ops", 0L))
+      .toDF("event_type", "category", "weight")
+  }
+
+  val qSkewJoinSql: String =
+    """WITH dim(event_type, category, weight) AS (VALUES
+      |  ('click','engage',2), ('view','engage',1), ('signup','convert',5),
+      |  ('purchase','convert',10), ('error','ops',0))
+      |SELECT category, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(round(value*100) AS BIGINT) * weight) AS DOUBLE)/100.0 AS weighted_value
+      |FROM events JOIN dim USING (event_type)
+      |GROUP BY category""".stripMargin
+
   private val bucketTablesMemo =
     graft.SessionMemo.named[(String, String)]("q_bucket_join_tables")
 
@@ -1012,6 +1066,7 @@ object Analytics {
     "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
     "q_skew_agg" -> (qSkewAgg _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_pivot" -> (qPivot _),
     "q_rollup" -> (qRollup _),
     "q_median" -> (qMedian _),
@@ -1036,6 +1091,7 @@ object Analytics {
     "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,
     "q_skew_agg" -> qSkewAggSql,
+    "q_skew_join" -> qSkewJoinSql,
     "q_pivot" -> qPivotSql,
     "q_rollup" -> qRollupSql,
     "q_median" -> qMedianSql,

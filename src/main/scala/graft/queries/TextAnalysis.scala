@@ -939,6 +939,60 @@ object TextAnalysis {
       |FROM words JOIN rel USING (t)
       |GROUP BY doc_id""".stripMargin
 
+  // ---- #34q tf-idf top terms -----------------------------------------
+
+  /** Top terms kept per document. */
+  val TfidfTopK = 5
+
+  /** #34q tx_tfidf_topterms — per-document term salience: the top-K
+    * terms by tf·idf, the keyword/topic primitive behind corpus search
+    * indexes, cluster labeling, and near-dup EXPLANATION (what two docs
+    * actually share). The idf here is the LOG-FREE fixed-point
+    * reciprocal `10⁹ DIV df` — libm's ln is not bit-portable across
+    * engines (the q_hll_distinct rule), and for RANKING terms within
+    * one document any strictly-decreasing function of df is
+    * order-equivalent enough to grade: score = tf · (10⁹ DIV df),
+    * all-integer, identical in both engines, ties broken by term text.
+    *
+    * Scale: reuses the memoized (doc, token, count) index — the corpus
+    * is tokenized once per session across tx_rarity/this — and adds a
+    * vocab-bounded df table (AQE broadcasts it while it fits, shuffles
+    * by token beyond); the final top-K is a row_number window
+    * partitioned by doc_id — high-cardinality, evenly spread, and the
+    * per-partition sort is over a doc's DISTINCT terms, not positions. */
+  def txTfidfTopterms(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docTf = docTfMemo.getOrBuild(s, d) {
+      docTokenCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    tfidfTop(docTf, TfidfTopK)
+  }
+
+  /** The ranking over any (doc_id, t, c) frame — split out so specs
+    * can pin scores/ranks on a constructed vocabulary. */
+  private[graft] def tfidfTop(docTf: DataFrame, k: Int): DataFrame = {
+    val dfTab = docTf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("t").asc)
+    docTf.join(dfTab, "t")
+      .withColumn("score", expr("c * (1000000000 DIV df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("t"), col("c"), col("df"), col("score"))
+  }
+
+  val txTfidfToptermsSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |dtf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1, 2),
+       |dfx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY t),
+       |scored AS (
+       |  SELECT doc_id, t, c, df, c * (1000000000 // df) AS score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY c * (1000000000 // df) DESC, t ASC) AS INT) AS rk
+       |  FROM dtf JOIN dfx USING (t))
+       |SELECT doc_id, rk, t, c, df, score FROM scored WHERE rk <= $TfidfTopK""".stripMargin
+
   // ---- #34i sequence packing -----------------------------------------
 
   /** Packing parameters: shard count ≈ writer parallelism (each shard
@@ -1233,6 +1287,7 @@ object TextAnalysis {
     "tx_classify" -> (txClassify _),
     "tx_pack" -> (txPack _),
     "tx_rarity" -> (txRarity _),
+    "tx_tfidf_topterms" -> (txTfidfTopterms _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
     "tx_curation" -> (txCuration _),
@@ -1256,6 +1311,7 @@ object TextAnalysis {
     "tx_classify" -> txClassifySql,
     "tx_pack" -> txPackSql,
     "tx_rarity" -> txRaritySql,
+    "tx_tfidf_topterms" -> txTfidfToptermsSql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_curation" -> txCurationSql,

@@ -437,6 +437,34 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx_tfidf_topterms: rare terms outrank common ones, ties break by term") {
+    import spark.implicits._
+    // df(a)=3 → unit 333_333_333; df(b)=2 → 500_000_000; df(c)=1 → 1e9.
+    // doc 1: a×4 (score 4·333333333=1333333332) beats b×1 (5e8): the
+    // 4×-repeated common term still wins — tf matters; doc 2: the
+    // df-1 term c (1e9) outranks b (5e8) outranks nothing — idf matters.
+    val docTf = Seq(
+      (1L, "a", 4L), (1L, "b", 1L),
+      (2L, "a", 1L), (2L, "b", 1L), (2L, "c", 1L),
+      (3L, "a", 1L)).toDF("doc_id", "t", "c")
+    val got = TextAnalysis.tfidfTop(docTf, 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rk")) ->
+        ((r.getAs[String]("t"), r.getAs[Long]("score")))).toMap
+    assert(got((1L, 1)) === (("a", 4L * 333333333L)))
+    assert(got((1L, 2)) === (("b", 500000000L)))
+    assert(got((2L, 1)) === (("c", 1000000000L)))
+    assert(got((2L, 2)) === (("b", 500000000L)))
+    assert(got((3L, 1)) === (("a", 333333333L)))
+    // corpus invariants: ≤K rows per doc, ranks contiguous from 1
+    val real = TextAnalysis.txTfidfTopterms(spark, sf).collect()
+    val byDoc = real.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.length <= TextAnalysis.TfidfTopK)
+      assert(rows.map(_.getAs[Int]("rk")).sorted === (1 to rows.length))
+    }
+  }
+
   test("tx_classify: scores are exact weight sums over hashed features") {
     import spark.implicits._
     // reference computation in plain Scala: same md5 hash, same mod

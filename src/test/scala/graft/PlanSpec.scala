@@ -295,6 +295,27 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange SinglePartition") === 0, p)
   }
 
+  test("q_skew_join: the join runs on (key, salt) with nothing broadcast") {
+    val p = physical(graft.queries.Analytics.qSkewJoin(spark, sf))
+    // broadcast is disabled in the cloned session: the join must be a
+    // shuffle join whose key includes the salt — that IS the operator
+    assert(bigJoins(p) >= 1, p)
+    assert(nodes(p, "BroadcastExchange") === 0, p)
+    assert(p.contains("__salt"), p)
+    assert(crossJoins(p) === 0, p)
+  }
+
+  test("tx_tfidf_topterms: rank-limit pushed below the window shuffle") {
+    val df = graft.queries.TextAnalysis.txTfidfTopterms(spark, sf)
+    val p = physical(df)
+    // rk <= K becomes WindowGroupLimit partial+final: each task keeps
+    // only its top-K per doc BEFORE the exchange — the window shuffle
+    // moves ≤K rows per (task, doc), not every distinct term
+    assert(nodes(p, "WindowGroupLimit") === 2, p)
+    assert(nodes(p, "Window \\[") === 1, p)
+    assert(crossJoins(p) === 0, p)
+  }
+
   test("dd_minhash_lsh: signatures are map-only — only the bucket join shuffles") {
     val df = graft.queries.Dedup.ddMinhashLsh(spark, sf)
     val p = physical(df)
