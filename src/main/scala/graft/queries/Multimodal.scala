@@ -276,6 +276,46 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Scene-cut threshold on the stub frame feature: consecutive-frame
+    * feature deltas ≥ this start a new scene. On the byte-feature stub
+    * 32 separates letter↔letter deltas (<26) from letter↔space jumps —
+    * a real pipeline puts its frame-histogram distance here. */
+  val SceneTau = 32
+
+  /** #38f mm_scene_cut — scene segmentation, the step after frame
+    * sampling in every video curation pipeline (shot boundaries drive
+    * clip extraction, caption alignment, and per-scene dedup). A scene
+    * starts where the inter-frame feature delta jumps ≥ [[SceneTau]];
+    * the output is one row per (doc, scene) with its frame span and
+    * feature envelope — bounded by frames, usually far fewer.
+    *
+    * Spark-first: lag + running-sum windows over (doc_id ORDER BY
+    * frame_idx), then a per-(doc, scene) aggregate. ONE shuffle total:
+    * both windows and the final agg cluster on doc_id, and
+    * HashPartitioning(doc_id) satisfies the (doc_id, scene_id)
+    * clustering, so EnsureRequirements inserts no second exchange
+    * (plan-gated). Frames per payload are bounded (codec sampling
+    * rate), so per-doc window state is bounded at any corpus size. */
+  def mmSceneCut(s: SparkSession, d: String): DataFrame =
+    sceneCut(mmFrameSample(s, d))
+
+  /** The segmentation over any frames frame — split out for specs. */
+  private[graft] def sceneCut(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames
+      .withColumn("prev", lag(col("frame_feature"), 1).over(w))
+      .withColumn("cut", when(col("prev").isNull ||
+        abs(col("frame_feature") - col("prev")) >= SceneTau, 1).otherwise(0))
+      .withColumn("scene_id", sum(col("cut")).over(run))
+      .groupBy(col("doc_id"), col("scene_id"))
+      .agg(min(col("frame_idx")).as("first_frame"),
+        count(lit(1)).as("n_frames"),
+        min(col("frame_feature")).as("f_min"),
+        max(col("frame_feature")).as("f_max"))
+  }
+
   /** #38c dumped form: the binary-out transform (`mmResize`) projected
     * to hash-gated metadata + an md5 digest OF the real payload bytes.
     * The digest rides through the actual `mapPartitions` resize path,
@@ -293,7 +333,8 @@ object Multimodal {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_window" -> (mmAudioWindow _),
     "mm_resize" -> (mmResizeDigest _),
-    "mm_phash" -> (mmPhash _)
+    "mm_phash" -> (mmPhash _),
+    "mm_scene_cut" -> (mmSceneCut _)
   )
 
   /** The stub decode is deterministic byte math, so its outputs ARE
@@ -332,6 +373,27 @@ object Multimodal {
         |CROSS JOIN range(0, 4) t(i)
         |WHERE d.text IS NOT NULL
         |  AND t.i * greatest(length(d.text) // 4, 1) < length(d.text)""".stripMargin,
+    "mm_scene_cut" ->
+      """WITH frames AS (
+        |  SELECT d.doc_id, CAST(t.i AS INT) AS frame_idx,
+        |         ascii(substr(d.text, t.i * greatest(length(d.text) // 4, 1) + 1, 1)) AS f
+        |  FROM documents d CROSS JOIN range(0, 4) t(i)
+        |  WHERE d.text IS NOT NULL
+        |    AND t.i * greatest(length(d.text) // 4, 1) < length(d.text)),
+        |marked AS (
+        |  SELECT doc_id, frame_idx, f,
+        |    CASE WHEN lag(f) OVER w IS NULL
+        |           OR abs(f - lag(f) OVER w) >= 32 THEN 1 ELSE 0 END AS cut
+        |  FROM frames WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)),
+        |scenes AS (
+        |  SELECT doc_id, frame_idx, f,
+        |    CAST(SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scene_id
+        |  FROM marked)
+        |SELECT doc_id, scene_id, CAST(MIN(frame_idx) AS INT) AS first_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |  CAST(MIN(f) AS INT) AS f_min, CAST(MAX(f) AS INT) AS f_max
+        |FROM scenes GROUP BY doc_id, scene_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id,
         |       length(text) AS orig_len,

@@ -897,6 +897,32 @@ class PhashSpec extends SparkSpec {
     // and pigeonhole over 4 bands makes recall exact at ≤3
     assert(pairs.head._3 <= 2 && pairs.head._3 >= 1)
   }
+
+  test("mm_scene_cut: cuts exactly at deltas >= tau; scenes aggregate spans") {
+    import spark.implicits._
+    // doc 1: deltas 2, 78, 1 → cut at frame 0 (start) and frame 2:
+    // scenes (1: frames 0-1), (2: frames 2-3); doc 2: single frame
+    val frames = Seq(
+      (1L, 0, 0, 10), (1L, 1, 5, 12), (1L, 2, 10, 90), (1L, 3, 15, 91),
+      (2L, 0, 0, 40))
+      .toDF("doc_id", "frame_idx", "frame_offset", "frame_feature")
+    val got = Multimodal.sceneCut(frames).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("scene_id")) ->
+        ((r.getAs[Int]("first_frame"), r.getAs[Long]("n_frames"),
+          r.getAs[Int]("f_min"), r.getAs[Int]("f_max")))).toMap
+    assert(got.keySet === Set((1L, 1L), (1L, 2L), (2L, 1L)))
+    assert(got((1L, 1L)) === ((0, 2L, 10, 12)))
+    assert(got((1L, 2L)) === ((2, 2L, 90, 91)))
+    assert(got((2L, 1L)) === ((0, 1L, 40, 40)))
+    // corpus invariants: scene frame counts partition each doc's frames
+    val frameCounts = Multimodal.mmFrameSample(spark, sf)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sceneSums = Multimodal.mmSceneCut(spark, sf)
+      .groupBy("doc_id").agg(sum("n_frames").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sceneSums === frameCounts)
+  }
 }
 
 class BpeApplySpec extends SparkSpec {

@@ -316,6 +316,14 @@ class PlanSpec extends SparkSpec {
     assert(crossJoins(p) === 0, p)
   }
 
+  test("mm_scene_cut: both windows and the scene agg share one doc_id shuffle") {
+    val p = physical(graft.queries.Multimodal.mmSceneCut(spark, sf))
+    // HashPartitioning(doc_id) satisfies the (doc_id, scene_id)
+    // clustering, so the agg reuses the windows' exchange
+    assert(shuffles(p) === 1, p)
+    assert(bigJoins(p) + bhj(p) + crossJoins(p) === 0, p)
+  }
+
   test("dd_minhash_lsh: signatures are map-only — only the bucket join shuffles") {
     val df = graft.queries.Dedup.ddMinhashLsh(spark, sf)
     val p = physical(df)
