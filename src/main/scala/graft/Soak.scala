@@ -51,7 +51,12 @@ object Soak {
     // char-pair explode is the most data-proportional text stage; the
     // tokenizer + phash keys certify the map-only claim at volume
     "q_window_funnel", "q_retention", "dd_containment", "q_agg_incremental",
-    "tx_bpe_pairs", "tx_bpe_apply", "mm_phash")
+    "tx_bpe_pairs", "tx_bpe_apply", "mm_phash",
+    // round-5 close-out keys: the salted join must keep its fact
+    // shuffle linear while the 5 hot keys deepen 10×; tfidf's df table
+    // gains no vocabulary from exact twins (counts only); scene-cut
+    // certifies the single-exchange window+agg at frame volume
+    "q_skew_join", "tx_tfidf_topterms", "mm_scene_cut")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

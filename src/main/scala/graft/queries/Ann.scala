@@ -73,11 +73,11 @@ object Ann {
     val qv = Vectors.quantizeSql("embedding")
     s"""WITH e AS (
        |  SELECT vec_id, $qv AS qv FROM embeddings),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2 FROM e),
-       |nn AS (SELECT * FROM n WHERE n2 > 0),
-       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
-       |scored AS (
+       |nn AS MATERIALIZED (SELECT * FROM n WHERE n2 > 0),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
        |  SELECT qid, vec_id,
        |         ${Vectors.cosineSql(Vectors.dotSql("qv", "qqv"), "n2", "qn2")} AS cos
        |  FROM nn, q WHERE vec_id <> qid)
@@ -479,32 +479,32 @@ object Ann {
       .map { case (c, j) => s"($j, ${c.map(x => x * x).sum})" }.mkString(", ")
     s"""WITH $oraclePreambleSql,
        |${matrixCteSql("cmat", cents.flatten.toIndexedSeq, Dims)},
-       |cn AS (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
-       |cdots AS (
+       |cn AS MATERIALIZED (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
+       |cdots AS MATERIALIZED (
        |  SELECT vec_id, r AS j, CAST(SUM(v * w) AS BIGINT) AS dot
        |  FROM vels JOIN cmat USING (i) GROUP BY 1, 2),
-       |cscore AS (
+       |cscore AS MATERIALIZED (
        |  SELECT c.vec_id, c.j,
        |         ${Vectors.cosineSql("c.dot", "nn.n2", "cn.cn2")} AS s
        |  FROM cdots c JOIN nn ON nn.vec_id = c.vec_id JOIN cn ON cn.j = c.j),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT vec_id, j AS cent, s AS ccos FROM cscore
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) = 1),
-       |av AS (SELECT nn.vec_id, nn.n2, a.cent, a.ccos
+       |av AS MATERIALIZED (SELECT nn.vec_id, nn.n2, a.cent, a.ccos
        |       FROM nn JOIN assign a ON a.vec_id = nn.vec_id),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT u.vec_id AS uid, u.n2 AS un2, u.ccos AS uccos,
        |         v.vec_id AS vid, v.n2 AS vn2
        |  FROM av u JOIN av v ON u.cent = v.cent
        |   AND (u.ccos < v.ccos OR (u.ccos = v.ccos AND u.vec_id < v.vec_id))),
-       |pdot AS (
+       |pdot AS MATERIALIZED (
        |  SELECT c.uid, c.vid, c.uccos,
        |         ${Vectors.cosineSql("CAST(SUM(a.v * b.v) AS BIGINT)", "c.un2", "c.vn2")} AS cos
        |  FROM cand c
        |  JOIN vels a ON a.vec_id = c.uid
        |  JOIN vels b ON b.vec_id = c.vid AND b.i = a.i
        |  GROUP BY 1, 2, 3, c.un2, c.vn2),
-       |pruned AS (
+       |pruned AS MATERIALIZED (
        |  SELECT vid AS vec_id, uid AS witness_id FROM pdot WHERE cos >= $SemTau
        |  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY uccos, uid) = 1)
        |SELECT av.vec_id, av.cent,
@@ -550,12 +550,12 @@ object Ann {
     * made the round-4 LSH oracle dominate the whole DuckDB suite. */
   private def oraclePreambleSql: String = {
     val qv = Vectors.quantizeSql("embedding")
-    s"""e AS (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id, $qv AS qv FROM embeddings),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2 FROM e),
-       |nn AS (SELECT * FROM n WHERE n2 > 0),
-       |vels AS (
+       |nn AS MATERIALIZED (SELECT * FROM n WHERE n2 > 0),
+       |vels AS MATERIALIZED (
        |  SELECT vec_id, t.i AS i, qv[t.i] AS v
        |  FROM nn CROSS JOIN generate_series(1, $Dims) t(i))""".stripMargin
   }
@@ -575,23 +575,23 @@ object Ann {
       .filter(m => Integer.bitCount(m) <= ProbeDist).mkString("[", ", ", "]")
     s"""WITH $oraclePreambleSql,
        |${matrixCteSql("pmat", Vectors.planeMatrix(NumTables * NumPlanes, Dims), Dims)},
-       |pdots AS (
+       |pdots AS MATERIALIZED (
        |  SELECT vec_id, r AS p, CAST(SUM(v * w) AS BIGINT) AS dot
        |  FROM vels JOIN pmat USING (i) GROUP BY 1, 2),
-       |corpus_b AS (
+       |corpus_b AS MATERIALIZED (
        |  SELECT vec_id, CAST(p // $NumPlanes AS INT) AS tbl,
        |         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % $NumPlanes) ELSE 0 END) AS BIGINT) AS bucket
        |  FROM pdots GROUP BY 1, 2),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT c.vec_id AS qid, c.tbl, xor(c.bucket, m.mask) AS probe
        |  FROM corpus_b c CROSS JOIN (SELECT unnest($masks) AS mask) m
        |  WHERE c.vec_id < $NumQueries),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT p.qid, c.vec_id
        |  FROM probes p JOIN corpus_b c ON c.tbl = p.tbl AND c.bucket = p.probe
        |  WHERE c.vec_id <> p.qid),
-       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
-       |scored AS (
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
        |  SELECT cand.qid, cand.vec_id,
        |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
        |  FROM cand
@@ -617,22 +617,22 @@ object Ann {
       .map { case (c, j) => s"($j, ${c.map(x => x * x).sum})" }.mkString(", ")
     s"""WITH $oraclePreambleSql,
        |${matrixCteSql("cmat", cents.flatten.toIndexedSeq, Dims)},
-       |cn AS (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
-       |cdots AS (
+       |cn AS MATERIALIZED (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
+       |cdots AS MATERIALIZED (
        |  SELECT vec_id, r AS j, CAST(SUM(v * w) AS BIGINT) AS dot
        |  FROM vels JOIN cmat USING (i) GROUP BY 1, 2),
-       |cscore AS (
+       |cscore AS MATERIALIZED (
        |  SELECT c.vec_id, c.j,
        |         ${Vectors.cosineSql("c.dot", "nn.n2", "cn.cn2")} AS s
        |  FROM cdots c JOIN nn ON nn.vec_id = c.vec_id JOIN cn ON cn.j = c.j),
-       |assign AS (
+       |assign AS MATERIALIZED (
        |  SELECT vec_id, j AS cent FROM cscore
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) = 1),
-       |probes AS (
+       |probes AS MATERIALIZED (
        |  SELECT vec_id AS qid, j AS cent FROM cscore WHERE vec_id < $NumQueries
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) <= $NumProbes),
-       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
-       |scored AS (
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
        |  SELECT p.qid, a.vec_id,
        |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
        |  FROM assign a
@@ -658,37 +658,37 @@ object Ann {
     val flat = books.flatMap(_.flatMap(_.toSeq)).toIndexedSeq
     s"""WITH $oraclePreambleSql,
        |${matrixCteSql("bflat", flat, PqSubDims)},
-       |bmat AS (
+       |bmat AS MATERIALIZED (
        |  SELECT CAST(r // $PqK AS INT) AS m, CAST(r % $PqK AS INT) AS j, i AS sd, w
        |  FROM bflat),
-       |svels AS (
+       |svels AS MATERIALIZED (
        |  SELECT vec_id, CAST((i - 1) // $PqSubDims AS INT) AS m,
        |         CAST((i - 1) % $PqSubDims + 1 AS INT) AS sd, v
        |  FROM vels),
-       |dists AS (
+       |dists AS MATERIALIZED (
        |  SELECT s.vec_id, b.m, b.j, SUM((s.v - b.w) * (s.v - b.w)) AS l2
        |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
        |  GROUP BY 1, 2, 3),
-       |codes AS (
+       |codes AS MATERIALIZED (
        |  SELECT vec_id, m, j AS code FROM dists
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY l2 ASC, j ASC) = 1),
-       |qtab AS (
+       |qtab AS MATERIALIZED (
        |  SELECT s.vec_id AS qid, b.m, b.j, CAST(SUM(s.v * b.w) AS BIGINT) AS dot
        |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
        |  WHERE s.vec_id < $NumQueries
        |  GROUP BY 1, 2, 3),
-       |adc AS (
+       |adc AS MATERIALIZED (
        |  SELECT t.qid, c.vec_id, CAST(SUM(t.dot) AS BIGINT) AS adc
        |  FROM codes c JOIN qtab t ON t.m = c.m AND t.j = c.code
        |  WHERE c.vec_id <> t.qid
        |  GROUP BY 1, 2),
-       |shortlist AS (
+       |shortlist AS MATERIALIZED (
        |  SELECT a.qid, a.vec_id
        |  FROM adc a JOIN nn ON nn.vec_id = a.vec_id
        |  QUALIFY row_number() OVER (PARTITION BY a.qid
        |    ORDER BY CAST(a.adc AS DOUBLE) / sqrt(CAST(nn.n2 AS DOUBLE)) DESC, a.vec_id) <= $PqShortlist),
-       |q AS (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
-       |scored AS (
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
        |  SELECT sl.qid, sl.vec_id,
        |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
        |  FROM shortlist sl

@@ -204,10 +204,10 @@ object Dedup {
     * agreement of two different algorithms is a stronger check. */
   val ddNgramJaccardSql: String =
     s"""WITH ${Shingles.hashedShinglesCteSql()},
-       |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
-       |idx AS (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
-       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
-       |pairs AS (
+       |hot AS MATERIALIZED (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
+       |idx AS MATERIALIZED (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
        |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
@@ -245,10 +245,10 @@ object Dedup {
     * as [[ddNgramJaccardSql]]. */
   val ddContainmentSql: String =
     s"""WITH ${Shingles.hashedShinglesCteSql()},
-       |hot AS (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
-       |idx AS (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
-       |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
-       |pairs AS (
+       |hot AS MATERIALIZED (SELECT h FROM hsh GROUP BY h HAVING COUNT(*) > ${DfCap}),
+       |idx AS MATERIALIZED (SELECT doc_id, h FROM hsh WHERE h NOT IN (SELECT h FROM hot)),
+       |sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM idx GROUP BY doc_id),
+       |pairs AS MATERIALIZED (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
        |  FROM idx a JOIN idx b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
@@ -322,13 +322,13 @@ object Dedup {
       s"SELECT doc_id, $b AS band, $cat AS bkey FROM mh"
     }.mkString("\n  UNION ALL\n  ")
     s"""${Shingles.hashedShinglesCteSql()},
-       |mh AS (
+       |mh AS MATERIALIZED (
        |  SELECT doc_id,
        |    $mins
        |  FROM hsh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandRows),
-       |mh_pairs AS (
+       |mh_pairs AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
@@ -672,7 +672,7 @@ object Dedup {
     * composed oracles (tx_curation). Requires `WITH RECURSIVE`. */
   val clusterCtes: String =
     s"""$minhashCtes,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS s, doc_b AS t FROM mh_pairs
        |  UNION SELECT doc_b, doc_a FROM mh_pairs),
        |reach(s, t) AS (
@@ -756,11 +756,11 @@ object Dedup {
       s"CASE WHEN b$j > 0 THEN CAST($v AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
     s"""WITH ${Shingles.hashedShinglesCteSql()},
-       |g AS (SELECT doc_id, $gdefs FROM hsh),
-       |bits AS (SELECT doc_id,
+       |g AS MATERIALIZED (SELECT doc_id, $gdefs FROM hsh),
+       |bits AS MATERIALIZED (SELECT doc_id,
        |    $bitSums
        |  FROM g GROUP BY doc_id),
-       |sim AS (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits)
+       |sim AS MATERIALIZED (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits)
        |SELECT doc_id, simhash, (simhash >> 56) & 255 AS band FROM sim""".stripMargin
   }
 
@@ -818,7 +818,7 @@ object Dedup {
 
   val ddChunkDupSql: String =
     s"""WITH ${graft.queries.TextAnalysis.chunkCtesSql},
-       |occ AS (
+       |occ AS MATERIALIZED (
        |  SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_occ FROM chunks GROUP BY chunk_fp)
        |SELECT doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
@@ -861,7 +861,7 @@ object Dedup {
     val qv = Vectors.quantizeSql("embedding")
     s"""WITH q AS (
        |  SELECT vec_id, $qv AS qv FROM embeddings),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2,
        |         ${Vectors.signBucketIntSql("qv", NumPlanes, Dims)} AS bucket
        |  FROM q)
@@ -906,16 +906,16 @@ object Dedup {
     // quality subquery mirrors txQualityScoreSql's alpha/stop columns
     val en = graft.queries.TextAnalysis.Stopwords("en").map(w => s"'$w'").mkString(", ")
     s"""WITH RECURSIVE $clusterCtes,
-       |clusters AS (
+       |clusters AS MATERIALIZED (
        |  SELECT s AS doc_id, LEAST(s, MIN(t)) AS cluster_id FROM reach GROUP BY s),
-       |q AS (
+       |q AS MATERIALIZED (
        |  SELECT doc_id,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ($en))) AS BIGINT) * 1000
        |      // greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS stop_x1000,
        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000
        |      // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_x1000
        |  FROM documents),
-       |ranked AS (
+       |ranked AS MATERIALIZED (
        |  SELECT c.cluster_id, c.doc_id, q.alpha_x1000,
        |    row_number() OVER (PARTITION BY c.cluster_id
        |      ORDER BY q.alpha_x1000 DESC, q.stop_x1000 DESC, c.doc_id) AS rn,

@@ -104,7 +104,7 @@ object TextAnalysis {
     }
     s"""WITH t AS (
        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS wd FROM documents),
-       |scored AS (
+       |scored AS MATERIALIZED (
        |  SELECT doc_id,
        |  $scores
        |  FROM t)
@@ -176,18 +176,18 @@ object TextAnalysis {
     * tx_chunk_fingerprint oracle and dd_chunk_dup's (which rolls the
     * same chunks up per doc). */
   val chunkCtesSql: String =
-    s"""words AS (
+    s"""words AS MATERIALIZED (
        |  SELECT doc_id, i - 1 AS pos, w[i] AS word,
        |    CASE WHEN ${graft.functions.PortableHash.long60Sql("w[i]")} % $ChunkDivisor = 0
        |         THEN 1 ELSE 0 END AS boundary
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
-       |chunked AS (
+       |chunked AS MATERIALIZED (
        |  SELECT doc_id, pos, word,
        |    CAST(COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk
        |  FROM words),
-       |chunks AS (
+       |chunks AS MATERIALIZED (
        |  SELECT doc_id, chunk, COUNT(*) AS n_words,
        |         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_fp
        |  FROM chunked GROUP BY doc_id, chunk)""".stripMargin
@@ -263,16 +263,16 @@ object TextAnalysis {
 
   val txCurationSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterCtes},
-       |losers AS (
+       |losers AS MATERIALIZED (
        |  SELECT s AS doc_id FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) <> s),
-       |quality AS (
+       |quality AS MATERIALIZED (
        |  SELECT doc_id, text,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
        |    CAST(len(regexp_extract_all(text, '$TokenPattern')) AS BIGINT) AS n_bpe,
        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) * 1000
        |      // greatest(CAST(length(text) AS BIGINT), 1) AS alpha_x1000
        |  FROM documents),
-       |surv AS (
+       |surv AS MATERIALIZED (
        |  SELECT q.*, list_distinct(string_split(q.text, ' ')) AS wd
        |  FROM quality q
        |  WHERE q.n_tok >= $MinTokens AND q.alpha_x1000 >= $MinAlphaX1000
@@ -383,8 +383,8 @@ object TextAnalysis {
        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars_total,
        |         CAST(CASE lang $shareCase ELSE 0 END AS BIGINT) AS share_ppm
        |  FROM documents GROUP BY lang),
-       |per2 AS (SELECT * FROM per WHERE share_ppm > 0),
-       |b AS (SELECT MIN(CAST(CAST(chars_total AS HUGEINT) * 1000000 // share_ppm AS BIGINT)) AS budget
+       |per2 AS MATERIALIZED (SELECT * FROM per WHERE share_ppm > 0),
+       |b AS MATERIALIZED (SELECT MIN(CAST(CAST(chars_total AS HUGEINT) * 1000000 // share_ppm AS BIGINT)) AS budget
        |      FROM per2)
        |SELECT lang, chars_total, share_ppm, budget,
        |  CAST(CAST(CAST(budget AS HUGEINT) * share_ppm // 1000000 AS HUGEINT)
@@ -450,7 +450,7 @@ object TextAnalysis {
   val txBpePairsSql: String =
     s"""WITH wrd AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-       |pr AS (
+       |pr AS MATERIALIZED (
        |  SELECT substr(word, i, 2) AS pair
        |  FROM wrd CROSS JOIN LATERAL (
        |    SELECT unnest(range(1, length(word))) AS i) t)
@@ -570,26 +570,30 @@ object TextAnalysis {
   }
 
   val txBpeTrainSql: String = {
+    // every chained CTE is MATERIALIZED: w_{i+1} references w_i twice
+    // (once directly, once through m_i -> p_i), so DuckDB\'s default
+    // inlining re-evaluates the vocabulary pipeline ~2^iters times —
+    // measured 30 s at sf0.1 vs 0.07 s materialized, identical rows
     val head =
-      """WITH v AS (
+      """WITH v AS MATERIALIZED (
         |  SELECT w, count(*) AS cnt FROM (
         |    SELECT unnest(string_split(text, ' ')) AS w
         |    FROM documents WHERE text IS NOT NULL) t
         |  WHERE w != '' GROUP BY 1),
-        |w0 AS (SELECT array_to_string(string_split(w, ''), ' ') AS seg, cnt FROM v)""".stripMargin
+        |w0 AS MATERIALIZED (SELECT array_to_string(string_split(w, ''), ' ') AS seg, cnt FROM v)""".stripMargin
     val stages = (0 until BpeTrainIters).map { i =>
       val next = if (i < BpeTrainIters - 1)
         s""",
-           |w${i + 1} AS (
+           |w${i + 1} AS MATERIALIZED (
            |  SELECT replace(seg, (SELECT ps FROM m$i), (SELECT mg FROM m$i)) AS seg, cnt FROM w$i)""".stripMargin
       else ""
-      s"""p$i AS (
+      s"""p$i AS MATERIALIZED (
          |  SELECT ss[i] || ' ' || ss[i + 1] AS ps, sum(cnt) AS c
          |  FROM (SELECT string_split(seg, ' ') AS ss, cnt FROM w$i
          |        WHERE len(string_split(seg, ' ')) >= 2) t
          |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(ss))) AS i) u
          |  GROUP BY 1),
-         |m$i AS (SELECT $i AS rank, ps, replace(ps, ' ', '') AS mg, c FROM p$i
+         |m$i AS MATERIALIZED (SELECT $i AS rank, ps, replace(ps, ' ', '') AS mg, c FROM p$i
          |        ORDER BY c DESC, ps LIMIT 1)$next""".stripMargin
     }
     val union = (0 until BpeTrainIters).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
@@ -677,14 +681,14 @@ object TextAnalysis {
     }.mkString(", ")
     val bucket = s"((h % ${PortableHash.P}) * a + b) % ${PortableHash.P} % $CmsWidth"
     s"""WITH ${graft.functions.Shingles.shinglesCteSql()},
-       |vocab AS (SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df
+       |vocab AS MATERIALIZED (SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS df
        |          FROM sh GROUP BY s),
-       |hv AS (SELECT shingle, df, ${PortableHash.long60Sql("shingle")} AS h
+       |hv AS MATERIALIZED (SELECT shingle, df, ${PortableHash.long60Sql("shingle")} AS h
        |       FROM vocab),
        |coef(i, a, b) AS (VALUES $coefRows),
-       |cells AS (SELECT i, $bucket AS bucket, CAST(SUM(df) AS BIGINT) AS reg
+       |cells AS MATERIALIZED (SELECT i, $bucket AS bucket, CAST(SUM(df) AS BIGINT) AS reg
        |          FROM hv CROSS JOIN coef GROUP BY 1, 2),
-       |cand AS (SELECT * FROM hv ORDER BY df DESC, shingle LIMIT $TopNgramsK)
+       |cand AS MATERIALIZED (SELECT * FROM hv ORDER BY df DESC, shingle LIMIT $TopNgramsK)
        |SELECT cand.shingle, cand.df AS df_exact,
        |  CAST(MIN(cells.reg) AS BIGINT) AS cms_est
        |FROM cand CROSS JOIN coef
@@ -727,7 +731,7 @@ object TextAnalysis {
 
   val txDecontaminateSql: String =
     s"""WITH ${graft.functions.Shingles.shinglesCteSql(DecontamN)},
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0)
+       |bench AS MATERIALIZED (SELECT DISTINCT s FROM sh WHERE doc_id % $BenchMod = 0)
        |SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_hit_ngrams
        |FROM sh JOIN bench USING (s)
        |WHERE doc_id % $BenchMod <> 0
@@ -829,11 +833,11 @@ object TextAnalysis {
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |  FROM documents),
-       |grams AS (
+       |grams AS MATERIALIZED (
        |  SELECT doc_id, n_tok, w[i] || ' ' || w[i + 1] AS g
        |  FROM base, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
        |  WHERE n_tok >= 2),
-       |counts AS (
+       |counts AS MATERIALIZED (
        |  SELECT doc_id, n_tok, g, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM grams GROUP BY 1, 2, 3)
        |SELECT doc_id, n_tok,
@@ -929,8 +933,8 @@ object TextAnalysis {
   val txRaritySql: String =
     """WITH words AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-      |tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY t),
-      |rel AS (
+      |tf AS MATERIALIZED (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY t),
+      |rel AS MATERIALIZED (
       |  SELECT t, CAST(CAST(cnt AS HUGEINT) * 1000000000
       |    // (SELECT SUM(cnt) FROM tf) AS BIGINT) AS freq_x1e9
       |  FROM tf)
@@ -984,9 +988,9 @@ object TextAnalysis {
   val txTfidfToptermsSql: String =
     s"""WITH words AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-       |dtf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1, 2),
-       |dfx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY t),
-       |scored AS (
+       |dtf AS MATERIALIZED (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1, 2),
+       |dfx AS MATERIALIZED (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY t),
+       |scored AS MATERIALIZED (
        |  SELECT doc_id, t, c, df, c * (1000000000 // df) AS score,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
        |      ORDER BY c * (1000000000 // df) DESC, t ASC) AS INT) AS rk
@@ -1103,9 +1107,9 @@ object TextAnalysis {
        |  SELECT i, (${graft.functions.PortableHash.long60Sql(s"'w_' || CAST(i AS VARCHAR)")}
        |    % 2001) - 1000 AS wv
        |  FROM (SELECT unnest(generate_series(0, ${ClsDims - 1})) AS i)),
-       |words AS (
+       |words AS MATERIALIZED (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
-       |feat AS (SELECT doc_id, $h % $ClsDims AS i FROM words)
+       |feat AS MATERIALIZED (SELECT doc_id, $h % $ClsDims AS i FROM words)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
        |  CAST(SUM(wv) AS BIGINT) AS score,
        |  CAST(CASE WHEN CAST(SUM(wv) AS BIGINT) > 0
@@ -1198,8 +1202,8 @@ object TextAnalysis {
       " || CASE WHEN doc_id % 5 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END" +
       " || CASE WHEN doc_id % 7 = 0 THEN ' call +1555' || CAST(doc_id % 100000 + 1000000 AS VARCHAR) ELSE '' END"
     s"""WITH p AS (SELECT doc_id, $pii AS t FROM documents),
-       |e AS (SELECT doc_id, t, regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g') AS t1 FROM p),
-       |i AS (SELECT doc_id, t, t1, regexp_replace(t1, '$Ipv4Pattern', '<IP>', 'g') AS t2 FROM e)
+       |e AS MATERIALIZED (SELECT doc_id, t, regexp_replace(t, '$EmailPattern', '<EMAIL>', 'g') AS t1 FROM p),
+       |i AS MATERIALIZED (SELECT doc_id, t, t1, regexp_replace(t1, '$Ipv4Pattern', '<IP>', 'g') AS t2 FROM e)
        |SELECT doc_id,
        |  CAST(len(regexp_extract_all(t, '$EmailPattern')) AS BIGINT) AS n_email,
        |  CAST(len(regexp_extract_all(t1, '$Ipv4Pattern')) AS BIGINT) AS n_ipv4,
@@ -1266,9 +1270,9 @@ object TextAnalysis {
     """WITH chars AS (
       |  SELECT doc_id, unnest(string_split(text, '')) AS ch
       |  FROM documents WHERE length(text) > 0),
-      |cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |cc AS MATERIALIZED (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
       |       FROM chars GROUP BY doc_id, ch),
-      |agg AS (
+      |agg AS MATERIALIZED (
       |  SELECT doc_id,
       |         CAST(SUM(c) AS BIGINT) AS n_ch,
       |         CAST(COUNT(*) AS BIGINT) AS distinct_chars,
