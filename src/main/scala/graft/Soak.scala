@@ -56,7 +56,14 @@ object Soak {
     // shuffle linear while the 5 hot keys deepen 10×; tfidf's df table
     // gains no vocabulary from exact twins (counts only); scene-cut
     // certifies the single-exchange window+agg at frame volume
-    "q_skew_join", "tx_tfidf_topterms", "mm_scene_cut")
+    "q_skew_join", "tx_tfidf_topterms", "mm_scene_cut",
+    // round-5 continuation keys: the exact-twin corpus inflates every
+    // LSH bucket 10×, so the candidate-pair set the verify keys join
+    // texts/signatures onto grows quadratically IN PAIRS (their
+    // declared output) — the claim under test is that nothing beyond
+    // the pair set itself blows up; bigram-lm's pair vocabulary gains
+    // nothing from twins (counts only, the tx_tfidf argument)
+    "dd_minhash_est", "dd_lev_verify", "tx_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -337,6 +337,111 @@ object Dedup {
   val ddMinhashLshSql: String =
     s"WITH $minhashCtes\nSELECT doc_a, doc_b FROM mh_pairs"
 
+  // ---- #29e signature-estimated Jaccard -------------------------------
+
+  /** #29e dd_minhash_est — per-candidate-pair Jaccard ESTIMATE from the
+    * MinHash signatures alone: est = (matching permutations)/16, the
+    * unbiased MinHash estimator. This is the thresholding step a
+    * production LSH pipeline actually runs between candidate
+    * generation and (optional) exact verification — banding alone
+    * over-admits (any one matching band admits a pair), and the
+    * signature estimate filters to the target similarity WITHOUT
+    * touching document text: the verify pass costs 16 integer
+    * comparisons per pair instead of a shingle-set intersection.
+    *
+    * The match count is a statically-unrolled 16-term sum over the
+    * already-computed signature arrays (the ann_pq ADC convention —
+    * no higher-order lambda, stays in whole-stage codegen), and
+    * `est_x1e6 = n_match · 62500` keeps the estimate integer-exact
+    * cross-engine (16 divides 10⁶).
+    *
+    * Scale: signatures are map-only ([[graft.functions.MinhashSigs]]);
+    * the pair set is LSH-bounded; the two signature joins are equi on
+    * doc_id (high-cardinality, AQE-broadcast while pairs are small).
+    * Nothing here reads text — at 100 TB the verify pass moves
+    * 128 B/doc of signature instead of the documents themselves. */
+  def ddMinhashEst(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
+      .filter(col("hs").isNotNull)
+    val nMatch = (0 until NumPerms)
+      .map(i => s"IF(element_at(ha, ${i + 1}) = element_at(hb, ${i + 1}), 1, 0)")
+      .mkString(" + ")
+    ddMinhashLsh(s, d)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST($nMatch AS INT)").as("n_match"),
+        expr(s"CAST(($nMatch) * ${1000000 / NumPerms} AS BIGINT)").as("est_x1e6"))
+  }
+
+  val ddMinhashEstSql: String = {
+    val nMatch = (0 until NumPerms)
+      .map(i => s"CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH $minhashCtes
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST($nMatch AS INT) AS n_match,
+       |       CAST(($nMatch) * ${1000000 / NumPerms} AS BIGINT) AS est_x1e6
+       |FROM mh_pairs p
+       |JOIN mh a ON a.doc_id = p.doc_a
+       |JOIN mh b ON b.doc_id = p.doc_b""".stripMargin
+  }
+
+  // ---- #29f edit-distance verification --------------------------------
+
+  /** Near-dup verdict: a pair is near iff lev ≤ 20% of the longer
+    * text (lev·LevDen ≤ max_len·LevNum — exact integer ratio). */
+  val LevNum = 1L
+  val LevDen = 5L
+
+  /** #29f dd_lev_verify — EDIT-DISTANCE verification of the LSH
+    * candidate pairs: exact Levenshtein distance between the two
+    * texts, with the near verdict as an exact integer ratio test.
+    * Completes the candidate→verify family with its third metric:
+    * [[ddMinhashEst]] estimates set similarity from sketches,
+    * [[ddNgramJaccard]] computes it exactly on shingle sets, and this
+    * key measures CHARACTER-level edit similarity — the metric that
+    * distinguishes small in-place edits (typo/template variable
+    * changes, low lev) from block rearrangements (same shingle set,
+    * high lev), which set-based measures cannot see.
+    *
+    * Both engines implement classic Wagner-Fischer (unit-cost
+    * insert/delete/substitute, no transpositions), so the distance is
+    * integer-identical; all output rows (not just passers) are kept so
+    * the verdict column itself is hash-gated.
+    *
+    * Scale: lev is O(len_a·len_b) per pair — affordable precisely
+    * BECAUSE the pair set is LSH-bounded (never run it all-pairs); the
+    * two text joins are equi on doc_id and each candidate text moves
+    * once. A production corpus with megabyte documents verifies on
+    * bounded prefixes or chunk digests first; the testdata documents
+    * are KB-scale, where the full-text DP is the right call. */
+  def ddLevVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    ddMinhashLsh(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("text_a"), col("text_b")).as("lev"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+      .withColumn("near",
+        (col("lev") * LevDen <= col("max_len") * LevNum).cast("int"))
+  }
+
+  val ddLevVerifySql: String =
+    s"""WITH $minhashCtes
+       |SELECT p.doc_a, p.doc_b,
+       |       CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+       |       CAST(greatest(length(a.text), length(b.text)) AS INT) AS max_len,
+       |       CAST(CASE WHEN levenshtein(a.text, b.text) * $LevDen
+       |                  <= greatest(length(a.text), length(b.text)) * $LevNum
+       |            THEN 1 ELSE 0 END AS INT) AS near
+       |FROM mh_pairs p
+       |JOIN documents a ON a.doc_id = p.doc_a
+       |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin
+
   // ---- #29b near-dup clusters ----------------------------------------
 
   /** Convergence backstop for the CC loop. With pointer jumping each
@@ -934,6 +1039,8 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_containment" -> (ddContainment _),
     "dd_minhash_lsh" -> (ddMinhashLsh _),
+    "dd_minhash_est" -> (ddMinhashEst _),
+    "dd_lev_verify" -> (ddLevVerify _),
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incremental" -> (ddClusterIncremental _),
     "dd_simhash" -> (ddSimhash _),
@@ -948,6 +1055,8 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccardSql,
     "dd_containment" -> ddContainmentSql,
     "dd_minhash_lsh" -> ddMinhashLshSql,
+    "dd_minhash_est" -> ddMinhashEstSql,
+    "dd_lev_verify" -> ddLevVerifySql,
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incremental" -> ddClusterIncrementalSql,
     "dd_simhash" -> ddSimhashSql,

@@ -263,6 +263,55 @@ object GraphLoad {
         col("op"),
         col("value").cast("decimal(20,2)").cast("string").as("value"))).as("line"))
 
+  /** Compaction group target size in bytes. Chosen so the sf0.01
+    * manifest (10 bundles, ~60 KB each) packs into several groups; a
+    * production deployment sets this to its parquet row-group /
+    * object-store sweet spot (128-512 MB). */
+  val CompactTarget = 150000L
+
+  /** #5b gl_compaction_plan — SMALL-FILE COMPACTION planning over the
+    * bundle manifest: the maintenance job every long-running sink
+    * needs (the reference writes one JSONL file per `bundleSize` block
+    * range — bundler.go:181-203 — so a sparse entity accumulates
+    * thousands of KB-scale files that throttle any downstream scan).
+    * The plan bin-packs CONSECUTIVE bundles into ≥target-byte groups:
+    * each bundle's group = the bin of its cumulative-byte START offset
+    * (`floor(start_off / target)`), so groups are contiguous block
+    * ranges (compacted files keep the bundle invariant: one file = one
+    * block range), sized target ± one bundle, and the assignment is a
+    * pure prefix-sum — deterministic, engine-portable, no sequential
+    * greedy state.
+    *
+    * Scale: the input to the window is the AGGREGATED manifest — one
+    * row per bundle (corpus blocks / bundleSize), metadata-sized by
+    * construction, the same bound as gl_range_contiguity /
+    * CopyInjector; the single-partition window sorts |bundles| rows,
+    * never data. Everything data-proportional (the line-length sums)
+    * happens in the map-side-combined manifest agg. */
+  def glCompactionPlan(s: SparkSession, d: String): DataFrame = {
+    val man = glJsonlEncode(s, d)
+      .groupBy(col("bundle"))
+      .agg(count(lit(1)).as("n_lines"), sum(length(col("line"))).as("bytes"))
+    compactionGroups(man, CompactTarget)
+  }
+
+  /** The planning step over any (bundle, n_lines, bytes) manifest —
+    * split out so specs pin the grouping on constructed manifests. */
+  private[graft] def compactionGroups(man: DataFrame, target: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("bundle"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    man
+      .withColumn("start_off", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("grp", expr(s"start_off DIV $target"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_bundles"),
+        min(col("bundle")).as("first_bundle"),
+        max(col("bundle")).as("last_bundle"),
+        sum(col("bytes")).as("bytes"),
+        sum(col("n_lines")).as("n_lines"))
+  }
+
   def glJsonlParse(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
@@ -469,7 +518,32 @@ object GraphLoad {
     "gl_jsonl_parse" ->
       """SELECT event_id, k FROM (
         |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
-        |) WHERE k > 90""".stripMargin
+        |) WHERE k > 90""".stripMargin,
+
+    "gl_compaction_plan" ->
+      s"""$W,
+         |enc AS (
+         |  SELECT block_num // $BundleSize AS bundle,
+         |         to_json(struct_pack(
+         |           id := id, block_num := block_num, op := op,
+         |           value := CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR))) AS line
+         |  FROM changes),
+         |man AS MATERIALIZED (
+         |  SELECT bundle, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |         CAST(SUM(length(line)) AS BIGINT) AS bytes
+         |  FROM enc GROUP BY 1),
+         |off AS (
+         |  SELECT *, CAST(SUM(bytes) OVER (ORDER BY bundle
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes AS BIGINT)
+         |    AS start_off
+         |  FROM man)
+         |SELECT start_off // $CompactTarget AS grp,
+         |       CAST(COUNT(*) AS BIGINT) AS n_bundles,
+         |       MIN(bundle) AS first_bundle,
+         |       MAX(bundle) AS last_bundle,
+         |       CAST(SUM(bytes) AS BIGINT) AS bytes,
+         |       CAST(SUM(n_lines) AS BIGINT) AS n_lines
+         |FROM off GROUP BY 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -499,6 +573,7 @@ object GraphLoad {
     "gl_generic_tocsv" -> (glGenericTocsv _),
     "gl_change_validation" -> (glChangeValidation _),
     "gl_undo_canonical" -> (glUndoCanonical _),
-    "gl_jsonl_encode" -> (glJsonlEncode _)
+    "gl_jsonl_encode" -> (glJsonlEncode _),
+    "gl_compaction_plan" -> (glCompactionPlan _)
   )
 }

@@ -943,6 +943,99 @@ object TextAnalysis {
       |FROM words JOIN rel USING (t)
       |GROUP BY doc_id""".stripMargin
 
+  // ---- #34r bigram LM score ------------------------------------------
+
+  /** #34r tx_bigram_lm — bigram-LM commonness score, the CONTEXTUAL
+    * upgrade of [[txRarity]]'s unigram proxy (CCNet-style pipelines
+    * score documents with an n-gram LM and cut the perplexity tails;
+    * the bigram form is the smallest model that sees word ORDER): per
+    * doc, the mean conditional relative frequency P(w_i | w_{i-1}) =
+    * C(w_{i-1}, w_i) / C(w_{i-1}, ·) over its bigram positions. A
+    * shuffled bag of common words scores HIGH on the unigram proxy but
+    * LOW here — exactly the garbled/spam class an LM filter exists to
+    * catch.
+    *
+    * Exactness: the conditional frequency is quantized to integer
+    * parts-per-billion via decimal(38) cross-multiplication (the
+    * [[txRarity]] rule — C12·10⁹ overflows int64 on a 100 TB corpus),
+    * then position-weighted sums ride plain longs: order-independent,
+    * bit-for-bit cross-engine where any log-prob double sum diverges.
+    *
+    * Scale: ONE pair construction — a map-only zip of each token array
+    * with its own tail (no position explode survives: the explode
+    * collapses immediately by map-side combine to (doc, w1, w2,
+    * in-doc count)); the corpus bigram table re-aggregates that frame,
+    * the left-context totals re-aggregate the bigram table (vocab-
+    * bounded, each strictly smaller), and the probe join runs on
+    * (w1, w2) against distinct in-doc pairs, not positions. Hot
+    * stopword-pair keys stay AQE-splittable (one build row per key).
+    * The (doc, w1, w2, c) frame is memoized+persisted so the corpus
+    * is paired once per session ([[txRarity]]'s structural
+    * one-tokenize guarantee, same pattern). */
+  private val docBigramMemo = graft.SessionMemo.named[DataFrame]("tx_bigram_lm_dbc")
+
+  def txBigramLm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val dbc = docBigramMemo.getOrBuild(s, d) {
+      docBigramCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    bigramLmScores(dbc)
+  }
+
+  /** (doc_id, w1, w2, in-doc count) — map-only pair construction via
+    * zip_with over the token array and its tail, collapsed immediately
+    * by a map-side-combined agg (distinct in-doc pairs, far fewer rows
+    * than bigram positions). */
+  private[graft] def docBigramCounts(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), toks(col("text")).as("ts"))
+    .filter(size(col("ts")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1)," +
+        " (a, b) -> struct(a, b))")).as("p"))
+    .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    .groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+
+  /** The scorer over any (doc_id, w1, w2, c) frame — split out so
+    * specs pin exact parts-per-billion on a constructed corpus. */
+  private[graft] def bigramLmScores(dbc: DataFrame): DataFrame = {
+    val big = dbc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+    val left = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val cond = big.join(left, "w1")
+      .select(col("w1"), col("w2"),
+        expr("CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000000 DIV c1 AS BIGINT)")
+          .as("cond_x1e9"))
+    dbc.join(cond, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * col("cond_x1e9")).as("sum_cond"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_cond DIV n_bigrams").as("mean_cond_x1e9"))
+  }
+
+  val txBigramLmSql: String =
+    """WITH toksv AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, ts[t.i] AS w1, ts[t.i + 1] AS w2
+      |  FROM toksv CROSS JOIN LATERAL (
+      |    SELECT unnest(range(1, length(ts))) AS i) t
+      |  WHERE length(ts) >= 2),
+      |dbc AS MATERIALIZED (
+      |  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM pairs GROUP BY 1, 2, 3),
+      |big AS MATERIALIZED (
+      |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS c12 FROM dbc GROUP BY 1, 2),
+      |lft AS MATERIALIZED (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      |cond AS MATERIALIZED (
+      |  SELECT w1, w2,
+      |    CAST(CAST(c12 AS HUGEINT) * 1000000000 // c1 AS BIGINT) AS cond_x1e9
+      |  FROM big JOIN lft USING (w1))
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |       CAST(SUM(c * cond_x1e9) AS BIGINT) // CAST(SUM(c) AS BIGINT)
+      |         AS mean_cond_x1e9
+      |FROM dbc JOIN cond USING (w1, w2)
+      |GROUP BY doc_id""".stripMargin
+
   // ---- #34q tf-idf top terms -----------------------------------------
 
   /** Top terms kept per document. */
@@ -1291,6 +1384,7 @@ object TextAnalysis {
     "tx_classify" -> (txClassify _),
     "tx_pack" -> (txPack _),
     "tx_rarity" -> (txRarity _),
+    "tx_bigram_lm" -> (txBigramLm _),
     "tx_tfidf_topterms" -> (txTfidfTopterms _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
@@ -1315,6 +1409,7 @@ object TextAnalysis {
     "tx_classify" -> txClassifySql,
     "tx_pack" -> txPackSql,
     "tx_rarity" -> txRaritySql,
+    "tx_bigram_lm" -> txBigramLmSql,
     "tx_tfidf_topterms" -> txTfidfToptermsSql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,

@@ -87,4 +87,38 @@ class GraphLoadSpec extends SparkSpec {
         s"incremental != full at split=$split")
     }
   }
+
+  test("gl_compaction_plan: bin-by-start grouping on a constructed manifest") {
+    import spark.implicits._
+    // start offsets 0,100,200,300,550,610 at target 200 → bins
+    // 0,0,1,1,2,3: consecutive bundles group until the cumulative
+    // byte axis crosses a bin boundary; the 250-byte bundle lands
+    // whole in bin 1 (files never split); small trailing bundles that
+    // straddle a boundary stay separate (the documented ±one-bundle
+    // slack of prefix-sum binning vs sequential greedy).
+    val man = Seq((0L, 10L, 100L), (1L, 10L, 100L), (2L, 10L, 100L),
+      (3L, 10L, 250L), (4L, 10L, 60L), (5L, 10L, 40L))
+      .toDF("bundle", "n_lines", "bytes")
+    val got = GraphLoad.compactionGroups(man, 200L).collect()
+      .map(r => r.getAs[Long]("grp") ->
+        ((r.getAs[Long]("first_bundle"), r.getAs[Long]("last_bundle"),
+          r.getAs[Long]("n_bundles"), r.getAs[Long]("bytes")))).toMap
+    assert(got === Map(
+      0L -> ((0L, 1L, 2L, 200L)), 1L -> ((2L, 3L, 2L, 350L)),
+      2L -> ((4L, 4L, 1L, 60L)), 3L -> ((5L, 5L, 1L, 40L))))
+    // real-manifest invariants: groups cover every line/byte exactly
+    // once and group block ranges are ascending and non-overlapping
+    val plan = GraphLoad.glCompactionPlan(spark, sf).collect()
+      .sortBy(_.getAs[Long]("grp"))
+    assert(plan.nonEmpty)
+    val enc = GraphLoad.glJsonlEncode(spark, sf)
+    assert(plan.map(_.getAs[Long]("n_lines")).sum === enc.count())
+    plan.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("last_bundle") < b.getAs[Long]("first_bundle"))
+      case _ =>
+    }
+    plan.foreach(r =>
+      assert(r.getAs[Long]("first_bundle") <= r.getAs[Long]("last_bundle")))
+  }
 }

@@ -1023,3 +1023,83 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.head._4 === topPair.getAs[Long]("cnt"))
   }
 }
+
+class BigramLmSpec extends SparkSpec {
+
+  test("tx_bigram_lm: exact parts-per-billion on a constructed corpus") {
+    import spark.implicits._
+    // bigrams: (p,q)×10, (q,r)×10 from the ordered docs; (r,q), (q,p)
+    // from the scrambled one. Left-context totals: p=10, q=11, r=1.
+    // cond(p,q) = 10e9 DIV 10 = 1e9; cond(q,r) = 10e9 DIV 11;
+    // cond(r,q) = 1e9; cond(q,p) = 1e9 DIV 11.
+    val docs = ((1L to 10L).map(i => (i, "p q r")) :+ (11L, "r q p"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(TextAnalysis.docBigramCounts(docs))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("mean_cond_x1e9")))).toMap
+    val condQR = 10L * 1000000000L / 11L
+    val condQP = 1000000000L / 11L
+    assert(got(1L) === ((2L, (1000000000L + condQR) / 2)))
+    assert(got(11L) === ((2L, (1000000000L + condQP) / 2)))
+    // the point of the bigram upgrade: same WORDS, rare ORDER scores
+    // strictly lower than the common order (the unigram proxy cannot
+    // distinguish these two docs at all)
+    assert(got(11L)._2 < got(1L)._2)
+    // corpus invariants: one row per ≥2-token doc, scores in (0, 1e9]
+    val real = TextAnalysis.txBigramLm(spark, sf).collect()
+    assert(real.length > 0)
+    real.foreach { r =>
+      val m = r.getAs[Long]("mean_cond_x1e9")
+      assert(m > 0 && m <= 1000000000L, r.toString)
+      assert(r.getAs[Long]("n_bigrams") >= 1L)
+    }
+  }
+}
+
+class CandidateVerifySpec extends SparkSpec {
+
+  test("dd_minhash_est: match counts equal the explode+agg signature twin") {
+    // independent path: signatures from the retained explode+min-agg
+    // pipeline, matches recomputed in Scala per candidate pair
+    val sigs = Dedup.minhashSignaturesComposable(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until Dedup.NumPerms).map(i => r.getAs[Long](s"h$i"))).toMap
+    val est = Dedup.ddMinhashEst(spark, sf).collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      val want = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      assert(r.getAs[Int]("n_match") === want, s"pair ($a,$b)")
+      assert(r.getAs[Long]("est_x1e6") === want.toLong * 62500L)
+    }
+  }
+
+  test("dd_lev_verify: distances match a reference Wagner-Fischer DP") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val cur = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = prev(j); prev(j) = cur
+        }
+      }
+      prev(b.length)
+    }
+    val texts = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = Dedup.ddLevVerify(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getAs[Long]("doc_a"); val b = r.getAs[Long]("doc_b")
+      val want = lev(texts(a), texts(b))
+      assert(r.getAs[Int]("lev") === want, s"pair ($a,$b)")
+      val maxLen = math.max(texts(a).length, texts(b).length)
+      assert(r.getAs[Int]("max_len") === maxLen)
+      assert(r.getAs[Int]("near") ===
+        (if (want * Dedup.LevDen <= maxLen * Dedup.LevNum) 1 else 0))
+    }
+  }
+}

@@ -468,4 +468,40 @@ class PlanSpec extends SparkSpec {
     assert(bigJoins(p) + bhj(p) === 1, p)
   }
 
+  test("dd_minhash_est / dd_lev_verify: all joins equi, never a cartesian") {
+    for (df <- Seq(Dedup.ddMinhashEst(spark, sf),
+        Dedup.ddLevVerify(spark, sf))) {
+      val p = physical(df)
+      assert(crossJoins(p) === 0, p)
+      // pair generation + two signature/text attach joins; signatures
+      // themselves stay map-only (the dd_minhash_lsh gate) so the only
+      // exchanges belong to the joins/distinct
+      assert(nodes(p, "Generate explode") <= 3, p)
+    }
+  }
+
+  test("tx_bigram_lm: corpus paired once — every consumer reads the memo") {
+    val p = physical(graft.queries.TextAnalysis.txBigramLm(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // the ONLY explode lives inside the persisted (doc,w1,w2,c) frame:
+    // every consumer (probe side, bigram table, left-context totals)
+    // scans the InMemoryRelation instead of re-pairing the corpus
+    assert(nodes(p, "InMemoryTableScan") >= 2, p)
+    assert(nodes(p, "Generate explode") ===
+      nodes(p, "InMemoryRelation"), p)
+  }
+
+  test("gl_compaction_plan: the global window sorts the manifest, not data") {
+    val df = GraphLoad.glCompactionPlan(spark, sf)
+    val p = physical(df)
+    // the single-partition exchange is fed by the bundle-level
+    // aggregate (|bundles| rows, metadata-sized), never by raw lines:
+    // the manifest agg must appear BELOW the singlepartition exchange
+    val iSingle = p.indexOf("Exchange SinglePartition")
+    assert(iSingle >= 0, p)
+    val below = p.substring(iSingle)
+    assert(below.contains("HashAggregate"), p)
+    assert(crossJoins(p) === 0, p)
+  }
+
 }
