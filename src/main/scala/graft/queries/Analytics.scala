@@ -1054,7 +1054,157 @@ object Analytics {
        |FROM ev e JOIN c USING (user_id)
        |GROUP BY 1, 2""".stripMargin
 
+  // ---- #26q q_shuffle_shard -----------------------------------------
+
+  /** Export shard count. Small here so sf0.01 exercises multi-doc
+    * shards; in production S is chosen so one shard ≈ one target file
+    * (~512 MB), i.e. S grows with the corpus and the per-shard window
+    * below always sorts roughly one file's worth of rows. */
+  val ShuffleShards = 8
+
+  def qShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shuffleShard(Tables.documents(spark, dir), ShuffleShards)
+
+  /** #26q q_shuffle_shard — the deterministic global shuffle every
+    * training-data export ends with: each document lands in one of S
+    * shard files at a pseudo-random but REPRODUCIBLE position
+    * (seeded portable hash), with its byte offset inside the shard
+    * precomputed so writers can emit index sidecars in the same pass.
+    *
+    * Scale: one hash shuffle keyed on `shard` and one in-partition
+    * sort — exactly the exchange the shard files need anyway, so the
+    * operator adds nothing over the write itself. Both window frames
+    * (position + running offset) share the single partitioning/sort.
+    * No global order exists anywhere (a total ORDER BY would funnel
+    * 100 TB through one range exchange); determinism comes from the
+    * per-shard (hash, doc_id) sort alone. */
+  def shuffleShard(docs: DataFrame, shards: Int): DataFrame = {
+    import graft.functions.PortableHash
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("n_chars"),
+        PortableHash.long60(concat(lit("shard:"), col("doc_id"))).as("h"))
+      .withColumn("shard", col("h") % shards) // h ≥ 0 (60-bit) ⇒ % == pmod
+      .select(col("doc_id"), col("shard"),
+        (row_number().over(w).cast("long") - 1L).as("pos"),
+        coalesce(sum(col("n_chars"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("start_offset"))
+  }
+
+  val qShuffleShardSql: String = {
+    val h = graft.functions.PortableHash.long60Sql("'shard:' || doc_id")
+    s"""WITH s AS (SELECT doc_id, n_chars, $h AS h,
+       |                  $h % $ShuffleShards AS shard FROM documents)
+       |SELECT doc_id, shard,
+       |  CAST(row_number() OVER w - 1 AS BIGINT) AS pos,
+       |  CAST(coalesce(sum(n_chars) OVER (PARTITION BY shard
+       |         ORDER BY h, doc_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |       AS BIGINT) AS start_offset
+       |FROM s WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)""".stripMargin
+  }
+
+  // ---- #26r q_pagerank ----------------------------------------------
+
+  /** Fixed-point rank scale: 1e9 "rank units" per node of initial
+    * mass. All PageRank arithmetic below is exact integer (long
+    * sums, DIV) so both engines agree bit-for-bit regardless of
+    * accumulation order — double-precision PageRank would drift by FP
+    * associativity across partitionings. Headroom: 85·Σmass must stay
+    * under 2^63, i.e. ≲10^8 nodes at this scale; a larger graph drops
+    * the scale a decade (quantization, not correctness — ranks stay
+    * deterministic at any scale choice). */
+  val PrScale = 1000000000L
+  val PrIters = 3
+  val PrTopK = 100
+
+  private val prEdgesMemo =
+    graft.SessionMemo.named[DataFrame]("q_pagerank_edges")
+
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    // bipartite trade graph: customer ⟷ supplier, one edge per
+    // lineitem (multiplicity kept as the edge weight)
+    val edges = prEdgesMemo.getOrBuild(spark, dir) {
+      val e = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val deg = und.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      und.join(deg, "src").repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    pagerank(edges, PrIters, PrTopK)
+  }
+
+  /** #26r q_pagerank — iterative link analysis over a weighted
+    * undirected graph (the web-graph quality signal a training-data
+    * pipeline ranks domains with). Damping 0.85 in exact integers:
+    * r₀ = SCALE; rᵢ₊₁(v) = 15·SCALE DIV 100 + (85·Σ_{u→v} w·(rᵢ(u)
+    * DIV deg(u))) DIV 100. Truncating DIV == DuckDB's floor `//` here
+    * because every operand is non-negative.
+    *
+    * Scale: the edge+degree frame is built ONCE, repartitioned on
+    * `src`, and persisted; the measured per-iteration plan (after the
+    * cache materializes) is a BroadcastHashJoin of the |V|-row rank
+    * frame against the cache scan — zero edge-side exchange — plus
+    * ONE shuffle: the |E|→|V| contribution aggregation on `dst`. If
+    * |V| ever outgrows the broadcast threshold, store the edge frame
+    * bucketed on `src` (the q_bucket_join layout) and the iteration
+    * join stays exchange-free on the big side. Undirected ⇒ no
+    * dangling mass, every node has out-degree ≥ 1. Top-K output is
+    * TakeOrderedAndProject (per-partition heaps, never a global
+    * sort), so the dump stays K rows at any graph size. */
+  def pagerank(edges: DataFrame, iters: Int, topK: Int): DataFrame = {
+    val base = 15L * PrScale / 100L
+    var rank = edges.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(PrScale))
+    for (_ <- 1 to iters) {
+      rank = edges.join(rank, edges("src") === rank("node"))
+        .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+    }
+    rank.select(col("node"), col("r").as("rank_scaled"))
+      .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
+  }
+
+  val qPagerankSql: String = {
+    val base = 15L * PrScale / 100L
+    def step(prev: String, out: String, last: Boolean) = {
+      val mat = if (last) "" else " MATERIALIZED"
+      s"""$out AS$mat (SELECT e.dst AS node,
+         |  CAST($base + (85 * sum(e.w * (r.r // e.deg))) // 100 AS BIGINT) AS r
+         |  FROM e JOIN $prev r ON r.node = e.src GROUP BY 1)"""
+    }
+    s"""WITH eraw AS (SELECT o_custkey*2 AS src, l_suppkey*2+1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |und AS MATERIALIZED (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT src, dst FROM eraw
+       |        UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+       |  GROUP BY 1, 2),
+       |deg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS deg
+       |  FROM und GROUP BY 1),
+       |e AS MATERIALIZED (SELECT und.src, und.dst, und.w, deg.deg
+       |  FROM und JOIN deg USING (src)),
+       |r0 AS (SELECT DISTINCT src AS node, CAST($PrScale AS BIGINT) AS r
+       |  FROM und),
+       |${step("r0", "it1", last = false)},
+       |${step("it1", "it2", last = false)},
+       |${step("it2", "it3", last = true)}
+       |SELECT node, r AS rank_scaled FROM it3
+       |ORDER BY r DESC, node LIMIT $PrTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shuffle_shard" -> (qShuffleShard _),
+    "q_pagerank" -> (qPagerank _),
     "q_agg_incremental" -> (qAggIncremental _),
     "q_window_funnel" -> (qWindowFunnel _),
     "q_retention" -> (qRetention _),
@@ -1080,6 +1230,8 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_shuffle_shard" -> qShuffleShardSql,
+    "q_pagerank" -> qPagerankSql,
     "q_agg_incremental" -> qAggIncrementalSql,
     "q_window_funnel" -> qWindowFunnelSql,
     "q_retention" -> qRetentionSql,

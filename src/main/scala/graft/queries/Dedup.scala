@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{PortableHash, Shingles, Vectors}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family (SURVEY.md §2 #27-31) over `documents` /
@@ -848,7 +849,11 @@ object Dedup {
       .select(col("doc_id"), col("simhash"), col("band"))
   }
 
-  val ddSimhashSql: String = {
+  /** The WITH-body computing `sim(doc_id, simhash)` in DuckDB —
+    * shared by the dd_simhash and dd_diversity_sample oracles so both
+    * gates recompute the native expression's output from the same
+    * independent SQL. */
+  private val simhashCtesSql: String = {
     val gdefs = (0 until SimhashBits / 16).map(g =>
       s"${PortableHash.permSql(SimhashPermBase + g, "h")} AS g$g").mkString(",\n    ")
     val bitSums = (0 until SimhashBits).map { j =>
@@ -860,13 +865,71 @@ object Dedup {
       val v = if (j == 63) "(-9223372036854775807 - 1)" else (1L << j).toString
       s"CASE WHEN b$j > 0 THEN CAST($v AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
-    s"""WITH ${Shingles.hashedShinglesCteSql()},
+    s"""${Shingles.hashedShinglesCteSql()},
        |g AS MATERIALIZED (SELECT doc_id, $gdefs FROM hsh),
        |bits AS MATERIALIZED (SELECT doc_id,
        |    $bitSums
        |  FROM g GROUP BY doc_id),
-       |sim AS MATERIALIZED (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits)
+       |sim AS MATERIALIZED (SELECT doc_id, CAST($terms AS BIGINT) AS simhash FROM bits)"""
+  }
+
+  val ddSimhashSql: String =
+    s"""WITH $simhashCtesSql
        |SELECT doc_id, simhash, (simhash >> 56) & 255 AS band FROM sim""".stripMargin
+
+  // ---- #30b diversity downsampling -----------------------------------
+
+  /** Quota denominator: keep ⌈n/10⌉ docs per semantic bucket. */
+  val DiversityKeepDiv = 10L
+
+  /** #30b dd_diversity_sample — density-equalizing downsampling: cap
+    * each SimHash semantic bucket at ⌈n/10⌉ documents, chosen by a
+    * seeded portable hash so the sample is reproducible. Where
+    * dd_semantic prunes near-duplicate PAIRS inside a cluster, this
+    * flattens the density profile of the whole corpus — the standard
+    * counter to boilerplate-heavy domains drowning the mixture.
+    *
+    * Scale: bucket key = top 12 simhash bits, computed by the native
+    * map-only `graft_simhash` expression (zero shuffle); then ONE
+    * hash shuffle on `bucket` shared by both window frames (the
+    * quota rank and the bucket size). Bucket cardinality is 4096 ⇒
+    * at 100 TB a bucket holds ~millions of rows, still one window
+    * partition per bucket — if a corpus concentrates harder, widen
+    * the prefix (more buckets), never re-shuffle. The quota rule is
+    * all-integer ((n + 9) DIV 10), so both engines agree exactly. */
+  def ddDiversitySample(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+      .filter(col("simhash").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
+      // (x >> 52) & 4095 keeps bits 52-63 regardless of sign fill —
+      // the same idiom as dd_simhash's band
+      .withColumn("bucket",
+        shiftright(col("simhash"), 52).bitwiseAND(lit(4095L)))
+      .withColumn("h",
+        PortableHash.long60(concat(lit("div:"), col("doc_id"))))
+      .withColumn("pick", row_number().over(w).cast("long"))
+      .withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("pick") <=
+        (col("bucket_n") + (DiversityKeepDiv - 1L)) / DiversityKeepDiv)
+      .select(col("doc_id"), col("bucket"), col("bucket_n"), col("pick"))
+  }
+
+  val ddDiversitySampleSql: String = {
+    val h = PortableHash.long60Sql("'div:' || doc_id")
+    s"""WITH $simhashCtesSql,
+       |b AS (SELECT doc_id, (simhash >> 52) & 4095 AS bucket, $h AS h
+       |      FROM sim),
+       |r AS (SELECT doc_id, bucket,
+       |        CAST(row_number() OVER (PARTITION BY bucket
+       |               ORDER BY h, doc_id) AS BIGINT) AS pick,
+       |        CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT)
+       |          AS bucket_n
+       |      FROM b)
+       |SELECT doc_id, bucket, bucket_n, pick FROM r
+       |WHERE pick <= (bucket_n + ${DiversityKeepDiv - 1}) // $DiversityKeepDiv""".stripMargin
   }
 
   // ---- #27b chunk-level duplication profile --------------------------
@@ -1044,6 +1107,7 @@ object Dedup {
     "dd_cluster" -> (ddCluster _),
     "dd_cluster_incremental" -> (ddClusterIncremental _),
     "dd_simhash" -> (ddSimhash _),
+    "dd_diversity_sample" -> (ddDiversitySample _),
     "dd_embed_cosine" -> (ddEmbedCosine _)
   )
 
@@ -1060,6 +1124,7 @@ object Dedup {
     "dd_cluster" -> ddClusterSql,
     "dd_cluster_incremental" -> ddClusterIncrementalSql,
     "dd_simhash" -> ddSimhashSql,
+    "dd_diversity_sample" -> ddDiversitySampleSql,
     "dd_embed_cosine" -> ddEmbedCosineSql
   )
 }

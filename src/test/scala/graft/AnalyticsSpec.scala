@@ -210,4 +210,57 @@ class AnalyticsSpec extends SparkSpec {
         r.getAs[Long]("active_users")).toMap
     assert(got === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 2L, (1L, 1L) -> 1L))
   }
+
+  test("q_shuffle_shard: dense positions, exact running offsets, reproducible") {
+    val docs = Tables.documents(spark, sf)
+    val nChars = docs.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    val rows = Analytics.qShuffleShard(spark, sf).collect()
+    assert(rows.length === nChars.size) // every doc lands exactly once
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until Analytics.ShuffleShards).toSet))
+    byShard.values.foreach { rs =>
+      val inOrder = rs.sortBy(_.getAs[Long]("pos"))
+      assert(inOrder.map(_.getAs[Long]("pos")).toSeq ===
+        (0L until rs.length).toSeq) // dense 0..n-1 within the shard
+      // start_offset is the exact running sum of preceding doc sizes
+      var off = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("start_offset") === off)
+        off += nChars(r.getAs[Long]("doc_id"))
+      }
+    }
+    // seeded hash ⇒ the layout is identical on a second run
+    val again = Analytics.qShuffleShard(spark, sf).collect()
+    assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
+
+  test("q_pagerank: distributed integer iteration equals an in-memory reference") {
+    import org.apache.spark.sql.functions.col
+    val got = Analytics.qPagerank(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank_scaled")))
+
+    // rebuild the graph and run the same exact-integer recurrence
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_orderkey").cast("long"), col("o_custkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edgesDir = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_suppkey").cast("long"))
+      .collect().flatMap(r => orders.get(r.getLong(0))
+        .map(c => (c * 2, r.getLong(1) * 2 + 1)))
+    val und = (edgesDir ++ edgesDir.map(e => (e._2, e._1)))
+      .groupBy(identity).map { case (e, os) => e -> os.length.toLong }
+    val deg = und.groupBy(_._1._1).map { case (s, es) => s -> es.values.sum }
+    val nodes = deg.keySet
+    val base = 15L * Analytics.PrScale / 100L
+    var r = nodes.map(_ -> Analytics.PrScale).toMap
+    for (_ <- 1 to Analytics.PrIters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s, d), w) <- und) in(d) += w * (r(s) / deg(s))
+      r = nodes.map(v => v -> (base + (85L * in(v)) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (n, rk) => (-rk, n) }
+      .take(Analytics.PrTopK)
+    assert(got.toSeq === want)
+  }
 }

@@ -220,6 +220,29 @@ class DedupSpec extends SparkSpec {
     assert(joined === 1L)
   }
 
+  test("dd_diversity_sample: exact ceil(n/10) quota per bucket, reproducible") {
+    val rows = Dedup.ddDiversitySample(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one row per kept doc, and keeps are a subset of the corpus
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length === ids.length)
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("bucket_n")
+      assert(rs.forall(_.getAs[Long]("bucket_n") === n))
+      val quota = (n + Dedup.DiversityKeepDiv - 1) / Dedup.DiversityKeepDiv
+      assert(rs.length.toLong === quota)
+      // picks are the dense prefix 1..quota of the bucket's hash order
+      assert(rs.map(_.getAs[Long]("pick")).sorted.toSeq === (1L to quota))
+    }
+    // bucket sizes account for every signable doc (≥3 tokens)
+    val signable = Dedup.ddSimhash(spark, sf).count()
+    val totalN = rows.groupBy(_.getAs[Long]("bucket"))
+      .map(_._2.head.getAs[Long]("bucket_n")).sum
+    assert(totalN === signable)
+    val again = Dedup.ddDiversitySample(spark, sf).collect()
+    assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
+  }
+
   test("dd_keep_best: kept doc is the argmax of (alpha, stop, -id) within its cluster") {
     val clusters = Dedup.ddCluster(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))

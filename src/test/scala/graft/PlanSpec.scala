@@ -504,6 +504,36 @@ class PlanSpec extends SparkSpec {
     assert(explodesOutsideCache(df.queryExecution.executedPlan) === 0, p)
   }
 
+  test("q_shuffle_shard: both window frames share the one shard shuffle") {
+    val p = physical(Analytics.qShuffleShard(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // position + running offset collapse into one Window over one
+    // hashpartitioning(shard) exchange — the exchange the shard files
+    // need anyway; a global ORDER BY (range exchange) must NOT appear
+    assert(shuffles(p) === 1, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("q_pagerank: every iteration reads the persisted edge frame") {
+    val p = physical(graft.queries.Analytics.qPagerank(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // 3 iterations + the rank-init distinct all scan the memoized
+    // edges+degree cache instead of re-joining orders x lineitem.
+    // (The base-table FileScans visible in the string live INSIDE the
+    // InMemoryRelation's inlined build plan — counting them at the
+    // top level would hit the same cached-dump trap as tx_bigram_lm.)
+    assert(nodes(p, "InMemoryTableScan") >= 4, p)
+  }
+
+  test("dd_diversity_sample: map-only simhash, one bucket shuffle") {
+    val p = physical(graft.queries.Dedup.ddDiversitySample(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // native graft_simhash ⇒ no shingle explode/agg before the window;
+    // quota rank + bucket count share one hashpartitioning(bucket)
+    assert(nodes(p, "Generate explode") === 0, p)
+    assert(shuffles(p) === 1, p)
+  }
+
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
     val df = GraphLoad.glCompactionPlan(spark, sf)
     val p = physical(df)
