@@ -63,7 +63,15 @@ object Soak {
     // declared output) — the claim under test is that nothing beyond
     // the pair set itself blows up; bigram-lm's pair vocabulary gains
     // nothing from twins (counts only, the tx_tfidf argument)
-    "dd_minhash_est", "dd_lev_verify", "tx_bigram_lm")
+    "dd_minhash_est", "dd_lev_verify", "tx_bigram_lm",
+    // round-5 additions: the FK-consistent remap gives pagerank 10×
+    // nodes AND 10× edges — both the one-time edge build and the
+    // per-iteration contribution shuffle must scale ~linearly;
+    // shuffle-shard moves every doc row through its one exchange
+    // (linear by construction — certify it); diversity-sample's twin
+    // cliques land in the same simhash bucket, so bucket occupancy
+    // inflates 10× and the quota keeps the kept-set at ~n/10
+    "q_pagerank", "q_shuffle_shard", "dd_diversity_sample")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
@@ -108,6 +116,18 @@ object Soak {
       .reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/lineitem.parquet")
+    // orders for q_pagerank: o_orderkey remaps WITH l_orderkey (FK
+    // intact) and o_custkey remaps too (10× customer nodes), while
+    // lineitem's l_suppkey is deliberately KEPT — supplier hubs keep
+    // their identity and their degree deepens `copies`×, the
+    // adversarial axis for the per-iteration contribution shuffle
+    val ord = Tables.orders(spark, srcDir)
+    (0 until copies).map(i => ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * off))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * off)))
+      .reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$workDir/orders.parquet")
     val pt = Tables.part(spark, srcDir)
     (0 until copies).map(i => pt.withColumn("p_partkey", col("p_partkey") + lit(i * off)))
       .reduce(_ unionAll _)

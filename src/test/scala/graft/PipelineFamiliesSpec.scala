@@ -1045,6 +1045,13 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.head._3 === topPair.getAs[String]("pair"))
     assert(got.head._4 === topPair.getAs[Long]("cnt"))
   }
+
+  test("tx_bpe_train: driver merge loop equals the distributed per-round argmax") {
+    val loop = TextAnalysis.txBpeTrain(spark, sf).collect().map(_.toSeq).toSeq
+    val dist = TextAnalysis.txBpeTrainDistributed(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(loop === dist)
+  }
 }
 
 class BigramLmSpec extends SparkSpec {
