@@ -420,6 +420,39 @@ object Dedup {
     * bounded prefixes or chunk digests first; the testdata documents
     * are KB-scale, where the full-text DP is the right call. */
   def ddLevVerify(s: SparkSession, d: String): DataFrame = {
+    // Levenshtein is O(len²) PER PAIR, and the candidate pair set is
+    // quadratic in exact-twin count (pairs are dd_minhash_lsh's
+    // declared output) — verifying each pair directly multiplies the
+    // two (soak ×10 measured 0.67 s → 123 s). Identical texts yield
+    // identical distances, so compute the distance ONCE per DISTINCT
+    // (md5_a, md5_b) text pair and join it back onto the pair set:
+    // the expensive kernel runs ~linearly in distinct content while
+    // the re-expansion is a cheap equi-join. Same exact-collapse move
+    // as dd_cluster's star edges; [[ddLevVerifyDirect]] is the
+    // spec-pinned per-pair twin.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val pairs = ddMinhashLsh(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+    // one representative text per hash (texts under one md5 are equal)
+    val reps = docs.groupBy(col("h")).agg(min(col("text")).as("text"))
+    val levTab = pairs.select(col("ha"), col("hb")).distinct()
+      .join(reps.select(col("h").as("ha"), col("text").as("text_a")), "ha")
+      .join(reps.select(col("h").as("hb"), col("text").as("text_b")), "hb")
+      .select(col("ha"), col("hb"),
+        levenshtein(col("text_a"), col("text_b")).as("lev"),
+        greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
+    pairs.join(levTab, Seq("ha", "hb"))
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"))
+      .withColumn("near",
+        (col("lev") * LevDen <= col("max_len") * LevNum).cast("int"))
+  }
+
+  /** The per-pair form [[ddLevVerify]] replaced — kept as the
+    * equality cross-check (CandidateVerifySpec): the distinct-pair
+    * kernel must emit identical rows. */
+  private[graft] def ddLevVerifyDirect(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     ddMinhashLsh(s, d)
       .join(docs.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")

@@ -1132,4 +1132,11 @@ class CandidateVerifySpec extends SparkSpec {
         (if (want * Dedup.LevDen <= maxLen * Dedup.LevNum) 1 else 0))
     }
   }
+
+  test("dd_lev_verify: distinct-pair kernel equals the per-pair direct form") {
+    val a = Dedup.ddLevVerify(spark, sf).collect().map(_.toSeq).toSet
+    val b = Dedup.ddLevVerifyDirect(spark, sf).collect().map(_.toSeq).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
