@@ -1444,7 +1444,124 @@ object TextAnalysis {
       |       COALESCE(a.simpson_x1e9, 0) AS simpson_x1e9
       |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  // ---- #34s distributed classifier TRAINING --------------------------
+
+  /** Hashed-feature dimensionality for the trainer (kept small so the
+    * unrolled oracle CTEs stay light; production raises it with the
+    * same plan shape — the weight table stays broadcast-size). */
+  val TrainDims = 64L
+  /** Batch gradient-descent rounds (unrolled in the oracle). */
+  val TrainIters = 3
+  /** Step denominator: w ← w − trunc(grad / (N·TrainLrDen)). */
+  val TrainLrDen = 64L
+  /** Fixed-point scale: labels/weights live in micro-units. */
+  val TrainScale = 1000000L
+
+  /** Truncating integer division, portable: Spark's `DIV` truncates
+    * toward zero while DuckDB's `//` FLOORS — they differ on negative
+    * gradients, so both twins split the sign and divide magnitudes
+    * (floor == trunc on non-negatives). */
+  private def truncDivExpr(a: String, b: String, div: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -((-($a)) $div ($b)) ELSE ($a) $div ($b) END)"
+
+  private val trainFeatMemo =
+    graft.SessionMemo.named[DataFrame]("tx_train_quality_feat")
+
+  /** #34s tx_train_quality — the TRAINING side of #34j's classifier:
+    * batch gradient descent for a linear quality model over hashed
+    * bag-of-words features, entirely in exact integer fixed point so
+    * both engines produce bit-identical weights regardless of
+    * partitioning (double-precision GD drifts by FP associativity —
+    * the same argument as q_pagerank). The label here is a
+    * deterministic weak-supervision keyword rule (doc contains the
+    * token "spark"); production swaps in human labels, the TRAINING
+    * MECHANICS are the operator.
+    *
+    * Model: pred_d = Σᵢ wᵢ·x_di (x = bucket token counts, w in
+    * micro-units); resid_d = pred_d − y_d·SCALE; gradᵢ = Σ_d x_di·
+    * resid_d; wᵢ ← wᵢ − trunc(gradᵢ / (N·LrDen)) — squared-loss GD
+    * with all sums exact int64 and the one division truncating
+    * identically in both engines ([[truncDivExpr]]).
+    *
+    * Scale: the feature frame is built ONCE (session-memoized,
+    * persisted; the only corpus-sized aggregation) and each round
+    * touches it twice — prediction (join against the ≤TrainDims-row
+    * broadcast weight table, one doc-keyed agg) and gradient (join
+    * residuals back, one bucket-keyed agg). Per-round shuffle is
+    * O(|feat| rows), weights never leave broadcast size, and N is one
+    * bounded driver scalar (the oracle's scalar subquery). Output is
+    * TrainDims rows at any corpus size. */
+  def txTrainQuality(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val docs = Tables.documents(s, d)
+    val feat = trainFeatMemo.getOrBuild(s, d) {
+      docs.select(col("doc_id"),
+          explode(filter(toks(coalesce(col("text"), lit(""))), w => w =!= "")).as("t"))
+        .select(col("doc_id"),
+          pmod(graft.functions.PortableHash.long60(concat(lit("tq:"), col("t"))),
+            lit(TrainDims)).as("i"))
+        .groupBy(col("doc_id"), col("i")).agg(count(lit(1)).as("x"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val label = docs.select(col("doc_id"),
+      array_contains(toks(coalesce(col("text"), lit(""))), "spark")
+        .cast("long").as("y"))
+    val n = docs.count() // ONE bounded driver scalar (= oracle's subquery)
+    var w: DataFrame = s.range(0, TrainDims)
+      .select(col("id").as("i"), lit(0L).as("w"))
+    for (_ <- 1 to TrainIters) {
+      val pred = feat.join(broadcast(w), "i")
+        .select(col("doc_id"), (col("x") * col("w")).as("p"))
+        .groupBy(col("doc_id")).agg(sum(col("p")).as("pred"))
+      val resid = label.join(pred, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("pred"), lit(0L)) - col("y") * TrainScale).as("r"))
+      val grad = feat.join(resid, "doc_id")
+        .select(col("i"), (col("x") * col("r")).as("g"))
+        .groupBy(col("i")).agg(sum(col("g")).as("grad"))
+      w = w.join(grad, Seq("i"), "left")
+        .select(col("i"), expr("w - " +
+          truncDivExpr("coalesce(grad, 0)", s"$n * $TrainLrDen", "DIV")).as("w"))
+    }
+    w.orderBy(col("i"))
+  }
+
+  val txTrainQualitySql: String = {
+    val h = graft.functions.PortableHash.long60Sql("'tq:' || t")
+    def step(prev: String, k: Int, last: Boolean) = {
+      val mat = if (last) "" else " MATERIALIZED"
+      val upd = truncDivExpr("coalesce(g.g, 0)",
+        s"(SELECT n FROM nn) * $TrainLrDen", "//")
+      s"""p$k AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS pred
+         |  FROM feat f JOIN $prev w USING (i) GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT l.doc_id,
+         |    coalesce(p.pred, 0) - l.y * $TrainScale AS r
+         |  FROM lab l LEFT JOIN p$k p USING (doc_id)),
+         |g$k AS MATERIALIZED (SELECT f.i, sum(f.x * r.r) AS g
+         |  FROM feat f JOIN r$k r USING (doc_id) GROUP BY 1),
+         |w$k AS$mat (SELECT w.i, CAST(w.w - $upd AS BIGINT) AS w
+         |  FROM $prev w LEFT JOIN g$k g USING (i))"""
+    }
+    s"""WITH feat AS MATERIALIZED (
+       |  SELECT doc_id, $h % $TrainDims AS i, CAST(count(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t
+       |        FROM documents) z
+       |  WHERE t != '' GROUP BY 1, 2),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |    CAST(CASE WHEN ' ' || coalesce(text, '') || ' ' LIKE '% spark %'
+       |         THEN 1 ELSE 0 END AS BIGINT) AS y
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |w0 AS (SELECT CAST(unnest(range(0, $TrainDims)) AS BIGINT) AS i,
+       |       CAST(0 AS BIGINT) AS w),
+       |${step("w0", 1, last = false)},
+       |${step("w1", 2, last = false)},
+       |${step("w2", 3, last = true)}
+       |SELECT i, w FROM w3""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_train_quality" -> (txTrainQuality _),
     "tx_mix_plan" -> (txMixPlan _),
     "tx_char_diversity" -> (txCharDiversity _),
     "tx_classify" -> (txClassify _),
@@ -1470,6 +1587,7 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "tx_train_quality" -> txTrainQualitySql,
     "tx_mix_plan" -> txMixPlanSql,
     "tx_char_diversity" -> txCharDiversitySql,
     "tx_classify" -> txClassifySql,

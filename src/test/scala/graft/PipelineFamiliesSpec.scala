@@ -1133,6 +1133,55 @@ class CandidateVerifySpec extends SparkSpec {
     }
   }
 
+  test("tx_train_quality: distributed GD equals an in-memory integer reference") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text")).getOrElse(""))
+    // features: token counts per hashed bucket, same portable hash
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+        .take(15), 16)
+    }
+    val dims = TextAnalysis.TrainDims.toInt
+    val feat = docs.map { case (id, t) =>
+      val x = new Array[Long](dims)
+      t.split(" ").filter(_.nonEmpty)
+        .foreach(w => x(((h60("tq:" + w) % dims) + dims).toInt % dims) += 1)
+      id -> x
+    }
+    val y = docs.map { case (id, t) =>
+      id -> (if (t.split(" ").contains("spark")) 1L else 0L)
+    }.toMap
+    val n = docs.length.toLong
+    val w = new Array[Long](dims)
+    for (_ <- 1 to TextAnalysis.TrainIters) {
+      val grad = new Array[Long](dims)
+      feat.foreach { case (id, x) =>
+        var pred = 0L
+        var i = 0
+        while (i < dims) { pred += x(i) * w(i); i += 1 }
+        val r = pred - y(id) * TextAnalysis.TrainScale
+        i = 0
+        while (i < dims) { grad(i) += x(i) * r; i += 1 }
+      }
+      val den = n * TextAnalysis.TrainLrDen
+      var i = 0
+      while (i < dims) { // truncating division, matching both engines
+        val g = grad(i)
+        w(i) -= (if (g < 0) -((-g) / den) else g / den)
+        i += 1
+      }
+    }
+    val got = TextAnalysis.txTrainQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("i") -> r.getAs[Long]("w")).sortBy(_._1)
+    assert(got.map(_._1).toSeq === (0L until dims).toSeq)
+    assert(got.map(_._2).toSeq === w.toSeq)
+    // training moved at least one weight (the gate is non-vacuous)
+    assert(w.exists(_ != 0L))
+  }
+
   test("dd_lev_verify: distinct-pair kernel equals the per-pair direct form") {
     val a = Dedup.ddLevVerify(spark, sf).collect().map(_.toSeq).toSet
     val b = Dedup.ddLevVerifyDirect(spark, sf).collect().map(_.toSeq).toSet

@@ -534,6 +534,14 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
+  test("tx_train_quality: every GD round reads the persisted feature frame") {
+    val p = physical(graft.queries.TextAnalysis.txTrainQuality(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // 3 rounds × (prediction + gradient) all scan the memoized
+    // feature cache — the corpus is tokenized exactly once
+    assert(nodes(p, "InMemoryTableScan") >= 6, p)
+  }
+
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
     val df = GraphLoad.glCompactionPlan(spark, sf)
     val p = physical(df)
