@@ -71,7 +71,10 @@ object Soak {
     // (linear by construction — certify it); diversity-sample's twin
     // cliques land in the same simhash bucket, so bucket occupancy
     // inflates 10× and the quota keeps the kept-set at ~n/10
-    "q_pagerank", "q_shuffle_shard", "dd_diversity_sample")
+    "q_pagerank", "q_shuffle_shard", "dd_diversity_sample",
+    // GD training: the feature build is the only corpus-sized stage;
+    // per-round shuffles are O(|feat| rows) — must scale linearly
+    "tx_train_quality")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -1507,9 +1507,10 @@ object TextAnalysis {
       array_contains(toks(coalesce(col("text"), lit(""))), "spark")
         .cast("long").as("y"))
     val n = docs.count() // ONE bounded driver scalar (= oracle's subquery)
+    import s.implicits._
     var w: DataFrame = s.range(0, TrainDims)
       .select(col("id").as("i"), lit(0L).as("w"))
-    for (_ <- 1 to TrainIters) {
+    for (k <- 1 to TrainIters) {
       val pred = feat.join(broadcast(w), "i")
         .select(col("doc_id"), (col("x") * col("w")).as("p"))
         .groupBy(col("doc_id")).agg(sum(col("p")).as("pred"))
@@ -1519,9 +1520,21 @@ object TextAnalysis {
       val grad = feat.join(resid, "doc_id")
         .select(col("i"), (col("x") * col("r")).as("g"))
         .groupBy(col("i")).agg(sum(col("g")).as("grad"))
-      w = w.join(grad, Seq("i"), "left")
+      val next = w.join(grad, Seq("i"), "left")
         .select(col("i"), expr("w - " +
           truncDivExpr("coalesce(grad, 0)", s"$n * $TrainLrDen", "DIV")).as("w"))
+      // materialize the TrainDims-row weight table each round (the
+      // bounded-collect contract, same as ann_ivf's centroids): the
+      // lazy chain would re-execute every earlier round's corpus-pass
+      // aggregations inside each later round's plan — O(iters²)
+      // passes over the cache (measured 62 AQE stages at 3 rounds);
+      // with the collect, each round is exactly one pass and the
+      // driver round-trips 64 longs — how production GD broadcasts
+      // weights anyway. The LAST round stays lazy so the returned
+      // frame is a live plan over the cache (plan-gated).
+      w = if (k < TrainIters)
+        next.as[(Long, Long)].collect().toSeq.toDF("i", "w")
+      else next
     }
     w.orderBy(col("i"))
   }

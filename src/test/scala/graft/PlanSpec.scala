@@ -537,9 +537,11 @@ class PlanSpec extends SparkSpec {
   test("tx_train_quality: every GD round reads the persisted feature frame") {
     val p = physical(graft.queries.TextAnalysis.txTrainQuality(spark, sf))
     assert(crossJoins(p) === 0, p)
-    // 3 rounds × (prediction + gradient) all scan the memoized
-    // feature cache — the corpus is tokenized exactly once
-    assert(nodes(p, "InMemoryTableScan") >= 6, p)
+    // earlier rounds materialize eagerly (bounded weight collects);
+    // the returned plan is the LAST round — prediction + gradient,
+    // both scanning the memoized feature cache: the corpus is
+    // tokenized exactly once per session
+    assert(nodes(p, "InMemoryTableScan") >= 2, p)
   }
 
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
