@@ -191,4 +191,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Map(1L -> ((0L, 0L, 0L)), 2L -> ((0L, 0L, 0L)),
       3L -> ((2L, 2L, 500000000L))))
   }
+
+  test("pagerank: empty edge set is empty; a symmetric 2-node graph is a fixpoint") {
+    import graft.queries.Analytics
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+      .groupBy($"src", $"dst").agg(count(lit(1)).as("w"))
+      .withColumn("deg", lit(1L))
+    assert(Analytics.pagerank(empty, 3, 10).count() === 0)
+    // two nodes, one undirected edge, weight 1, deg 1 each:
+    // contrib = r DIV 1 = r, next = 15%·S + 85%·S = S — exact fixpoint
+    val two = Seq((1L, 2L, 1L, 1L), (2L, 1L, 1L, 1L))
+      .toDF("src", "dst", "w", "deg")
+    val got = Analytics.pagerank(two, 3, 10).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_scaled")).toMap
+    assert(got === Map(1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
+  }
+
+  test("shuffle-shard of an empty and a single-doc frame") {
+    import graft.queries.Analytics
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
+    assert(Analytics.shuffleShard(empty, 8).count() === 0)
+    val one = Seq((42L, 17L)).toDF("doc_id", "n_chars")
+    val r = Analytics.shuffleShard(one, 8).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("pos") === 0L)
+    assert(r.head.getAs[Long]("start_offset") === 0L)
+    val sh = r.head.getAs[Long]("shard")
+    assert(sh >= 0L && sh < 8L)
+  }
 }
