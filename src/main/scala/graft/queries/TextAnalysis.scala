@@ -1466,6 +1466,8 @@ object TextAnalysis {
 
   private val trainFeatMemo =
     graft.SessionMemo.named[DataFrame]("tx_train_quality_feat")
+  private val trainLabelMemo =
+    graft.SessionMemo.named[DataFrame]("tx_train_quality_label")
 
   /** #34s tx_train_quality — the TRAINING side of #34j's classifier:
     * batch gradient descent for a linear quality model over hashed
@@ -1503,10 +1505,16 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col("i")).agg(count(lit(1)).as("x"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    val label = docs.select(col("doc_id"),
-      array_contains(toks(coalesce(col("text"), lit(""))), "spark")
-        .cast("long").as("y"))
-    val n = docs.count() // ONE bounded driver scalar (= oracle's subquery)
+    // labels persisted like the features: the resid join reads them
+    // every round, and rebuilding would re-tokenize the corpus 3×
+    val label = trainLabelMemo.getOrBuild(s, d) {
+      docs.select(col("doc_id"),
+        array_contains(toks(coalesce(col("text"), lit(""))), "spark")
+          .cast("long").as("y"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val n = label.count() // ONE bounded driver scalar (= oracle's
+    // subquery), answered from the label cache, not a parquet rescan
     import s.implicits._
     var w: DataFrame = s.range(0, TrainDims)
       .select(col("id").as("i"), lit(0L).as("w"))
