@@ -26,4 +26,39 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_orders")
     }
   }
+
+  test("pagerank iteration over bucketed edges: zero edge-side exchange") {
+    // substantiates qPagerank's scaladoc claim: when |V| outgrows the
+    // broadcast threshold, storing the edge+degree frame BUCKETED on
+    // src keeps the per-iteration join exchange-free on the big side.
+    import org.apache.spark.sql.functions._
+    val e = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val deg = und.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+    Bucketing.writeBucketed(und.join(deg, "src"), "b_pr_edges", "src", 8)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // rank can't broadcast
+      val bucketed = spark.table("b_pr_edges")
+      val it = graft.queries.Analytics.pagerank(bucketed, 1, 1000000)
+      val plan = it.queryExecution.explainString(ExplainMode.fromString("simple"))
+      // the only hashpartitioning exchanges may touch the RANK side
+      // (node-keyed) and the contribution agg (dst) — never src: the
+      // bucketed scan already reports hashpartitioning(src)
+      assert(!plan.matches("(?s).*Exchange hashpartitioning\\(src\\#.*"),
+        s"edge side re-shuffled despite bucketing:\n$plan")
+      // and the bucketed iteration computes exactly the plain result
+      val want = graft.queries.Analytics.pagerank(und.join(deg, "src"), 1, 1000000)
+        .collect().map(_.toSeq).toSet
+      assert(it.collect().map(_.toSeq).toSet === want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS b_pr_edges")
+    }
+  }
 }
