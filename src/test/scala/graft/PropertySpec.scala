@@ -312,4 +312,38 @@ class PropertySpec extends SparkSpec {
       assert(gotTable.sameElements(wantTable))
     }
   }
+
+  test("property: distributed PageRank equals the sequential integer recurrence on random graphs") {
+    import graft.queries.Analytics
+    // random directed multigraphs, made undirected exactly like the
+    // operator (both directions, multiplicity = weight)
+    val gen = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 40)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1) if a != b
+      } yield (a, b))
+      if es.nonEmpty
+    } yield es
+    forAll(gen, n = 12) { es =>
+      val und = (es ++ es.map(_.swap)).groupBy(identity)
+        .map { case (e, os) => e -> os.length.toLong }
+      val deg = und.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+      val nodes = deg.keySet
+      val base = 15L * Analytics.PrScale / 100L
+      var r = nodes.map(_ -> Analytics.PrScale).toMap
+      for (_ <- 1 to Analytics.PrIters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (((s, dd), w) <- und) in(dd) += w * (r(s) / deg(s))
+        r = nodes.map(v => v -> (base + (85L * in(v)) / 100L)).toMap
+      }
+      val want = r.toSeq.sortBy { case (v, rk) => (-rk, v) }
+      val edgesDf = und.toSeq.map { case ((s, dd), w) => (s, dd, w, deg(s)) }
+        .toDF("src", "dst", "w", "deg")
+      val got = Analytics.pagerank(edgesDf, Analytics.PrIters, 1000)
+        .collect().map(x => (x.getAs[Long]("node"), x.getAs[Long]("rank_scaled")))
+      assert(got.toSeq === want, s"edges=$es")
+    }
+  }
 }
