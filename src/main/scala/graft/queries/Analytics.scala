@@ -1214,7 +1214,53 @@ object Analytics {
        |ORDER BY r DESC, node LIMIT $PrTopK""".stripMargin
   }
 
+  // ---- #26s q_gap_fill ----------------------------------------------
+
+  val DayUs: Long = 86400L * 1000000L
+
+  def qGapFill(spark: SparkSession, dir: String): DataFrame =
+    gapFill(Tables.events(spark, dir)
+      .select(col("event_type"), expr(s"unix_micros(ts) DIV $DayUs").as("day")))
+
+  /** #26s q_gap_fill — calendar gap filling: per-type daily counts
+    * with MISSING days materialized as explicit zero rows over the
+    * global [min, max] span (the dense grid every dashboard,
+    * time-series model, and window-over-time query needs — a plain
+    * GROUP BY silently drops empty periods).
+    *
+    * Scale: the only corpus-sized stage is the map-side-combined
+    * (type, day) count; everything after is metadata-sized — the day
+    * spine explodes from ONE global min/max row, the type list is the
+    * count table's distinct, and spine×types is bounded by
+    * |days|·|types| (a 10-year hourly grid × 1000 types is still <10⁸
+    * rows) so the cross join is broadcast-nested-loop over two tiny
+    * aggregates BY CONSTRUCTION, never over data. The left join
+    * attaching real counts broadcasts the grid. */
+  def gapFill(ev: DataFrame): DataFrame = {
+    val counts = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val types = counts.select(col("event_type")).distinct()
+    types.crossJoin(days) // bounded: |types| × |days| grid cells
+      .join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  val qGapFillSql: String =
+    s"""WITH ev AS (SELECT event_type, epoch_us(ts) // $DayUs AS day FROM events),
+       |c AS MATERIALIZED (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+       |  FROM ev GROUP BY 1, 2),
+       |s AS (SELECT unnest(range((SELECT min(day) FROM ev),
+       |                          (SELECT max(day) FROM ev) + 1)) AS day),
+       |t AS (SELECT DISTINCT event_type FROM c)
+       |SELECT t.event_type, s.day, coalesce(c.n, 0) AS n
+       |FROM t CROSS JOIN s
+       |LEFT JOIN c ON c.event_type = t.event_type AND c.day = s.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gap_fill" -> (qGapFill _),
     "q_shuffle_shard" -> (qShuffleShard _),
     "q_pagerank" -> (qPagerank _),
     "q_agg_incremental" -> (qAggIncremental _),
@@ -1242,6 +1288,7 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" -> qGapFillSql,
     "q_shuffle_shard" -> qShuffleShardSql,
     "q_pagerank" -> qPagerankSql,
     "q_agg_incremental" -> qAggIncrementalSql,

@@ -235,6 +235,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
 
+  test("q_gap_fill: holes become zero rows, the grid is dense, totals conserved") {
+    import spark.implicits._
+    // type a active on days 10 and 13 (hole at 11, 12); type b on 11
+    val ev = Seq(("a", 10L), ("a", 10L), ("a", 13L), ("b", 11L))
+      .toDF("event_type", "day")
+    val got = Analytics.gapFill(ev).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day")) ->
+        r.getAs[Long]("n")).toMap
+    val days = 10L to 13L
+    assert(got.keySet === (for (t <- Seq("a", "b"); d <- days) yield (t, d)).toSet)
+    assert(got(("a", 10L)) === 2L && got(("a", 11L)) === 0L)
+    assert(got(("a", 12L)) === 0L && got(("a", 13L)) === 1L)
+    assert(got(("b", 11L)) === 1L && got(("b", 10L)) === 0L)
+    assert(got.values.sum === 4L)
+    // real data: dense grid over the global span, counts conserved
+    val real = Analytics.qGapFill(spark, sf).collect()
+    val span = real.map(_.getAs[Long]("day"))
+    val types = real.map(_.getAs[String]("event_type")).distinct
+    assert(real.length === types.length * (span.max - span.min + 1))
+    assert(real.map(_.getAs[Long]("n")).sum ===
+      Tables.events(spark, sf).count())
+  }
+
   test("q_pagerank: distributed integer iteration equals an in-memory reference") {
     import org.apache.spark.sql.functions.col
     val got = Analytics.qPagerank(spark, sf).collect()
