@@ -74,7 +74,11 @@ object Soak {
     "q_pagerank", "q_shuffle_shard", "dd_diversity_sample",
     // GD training: the feature build is the only corpus-sized stage;
     // per-round shuffles are O(|feat| rows) — must scale linearly
-    "tx_train_quality")
+    "tx_train_quality",
+    // knn-graph collapses exact-duplicate vectors before blocking, so
+    // the ×10 twin flood must leave the graph itself IDENTICAL — only
+    // the collapse aggregation may grow
+    "ann_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")

@@ -513,7 +513,89 @@ object Ann {
        |FROM av LEFT JOIN pruned p ON p.vec_id = av.vec_id""".stripMargin
   }
 
+  // ---- #33e k-NN graph ----------------------------------------------
+
+  /** LSH tables the graph build blocks on (recall/cost dial: 2 of the
+    * 8 standing tables — candidates ≈ 2·n/2⁸ per vector; raise for
+    * recall, the plan shape is unchanged). */
+  val KnnTables = 2
+  /** Neighbors kept per distinct vector. */
+  val KnnK = 5
+
+  /** #33e ann_knn_graph — k-NN GRAPH construction: top-k neighbors
+    * for EVERY vector (not a query set) — the building block under
+    * SemDeDup-style pruning, graph-based curation, and label
+    * propagation. Exact duplicates are collapsed FIRST by grouping on
+    * the quantized vector itself (arrays are engine-portable group
+    * keys), so the graph is built over DISTINCT vectors with a
+    * multiplicity column — a twin flood inflates only the collapse
+    * aggregation, never the candidate pair set (the dd_cluster /
+    * dd_lev_verify move applied to the vector side; production
+    * expands members through their rep after pruning).
+    *
+    * Scale: the bucket equi-join replaces the n² cross product with
+    * per-bucket blocks over distinct vectors; candidates dedup on
+    * (rep, nid) before the one exact-integer re-rank; output is
+    * exactly |distinct|·k rows. The window partitions on rep_id —
+    * high-cardinality by construction. */
+  def annKnnGraph(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val reps = e.groupBy(col("qv"), col("n2"))
+      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m"))
+    val idx = reps.select(col("rep_id"), col("m"), col("qv"), col("n2"),
+      posexplode(slice(tableBuckets(col("qv")), 1, KnnTables))
+        .as(Seq("tbl", "bucket")))
+    val a = idx.select(col("rep_id"), col("m"), col("qv").as("qva"),
+      col("n2").as("n2a"), col("tbl"), col("bucket"))
+    val b = idx.select(col("rep_id").as("nid"), col("qv").as("qvb"),
+      col("n2").as("n2b"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("rep_id") =!= col("nid"))
+      .drop("tbl", "bucket")
+      .dropDuplicates("rep_id", "nid")
+    val w = Window.partitionBy(col("rep_id")).orderBy(col("cos").desc, col("nid"))
+    cand
+      .withColumn("cos", Vectors.cosine(
+        Vectors.dot(col("qva"), col("qvb")), col("n2a"), col("n2b")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KnnK)
+      .select(col("rep_id"), col("m"), col("nid"), col("rank"), col("cos"))
+  }
+
+  val annKnnGraphSql: String =
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("pmat", Vectors.planeMatrix(KnnTables * NumPlanes, Dims), Dims)},
+       |g AS MATERIALIZED (
+       |  SELECT qv, n2, min(vec_id) AS rep_id, CAST(count(*) AS BIGINT) AS m
+       |  FROM nn GROUP BY qv, n2),
+       |pdots AS MATERIALIZED (
+       |  SELECT v.vec_id, p.r AS p, CAST(SUM(v.v * p.w) AS BIGINT) AS dot
+       |  FROM vels v JOIN pmat p USING (i)
+       |  JOIN g ON g.rep_id = v.vec_id
+       |  GROUP BY 1, 2),
+       |gb AS MATERIALIZED (
+       |  SELECT vec_id AS rep_id, CAST(p // $NumPlanes AS INT) AS tbl,
+       |         CAST(SUM(CASE WHEN dot >= 0 THEN 1 << (p % $NumPlanes) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pdots GROUP BY 1, 2),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.rep_id, b.rep_id AS nid
+       |  FROM gb a JOIN gb b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  WHERE a.rep_id <> b.rep_id),
+       |scored AS MATERIALIZED (
+       |  SELECT c.rep_id, c.nid,
+       |         ${Vectors.cosineSql(Vectors.dotSql("x.qv", "y.qv"), "x.n2", "y.n2")} AS cos
+       |  FROM cand c
+       |  JOIN nn x ON x.vec_id = c.rep_id
+       |  JOIN nn y ON y.vec_id = c.nid)
+       |SELECT s.rep_id, g.m, s.nid,
+       |       CAST(row_number() OVER (PARTITION BY s.rep_id
+       |            ORDER BY s.cos DESC, s.nid) AS INT) AS rank,
+       |       s.cos
+       |FROM scored s JOIN g ON g.rep_id = s.rep_id
+       |QUALIFY rank <= $KnnK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_lsh_bucket" -> (annLshBucket _),
     "ann_lsh_incremental" -> (annLshIncremental _),
@@ -707,6 +789,7 @@ object Ann {
     * query before dumping the SQL). gl_poi_stablehash stays the one
     * genuinely rows-only key. */
   def oracles: Map[String, String] = Map(
+    "ann_knn_graph" -> annKnnGraphSql,
     "ann_topk_brute" -> annTopkBruteSql,
     "ann_lsh_bucket" -> annLshBucketSql,
     // the merged index must equal the rebuilt one — same full-pipeline

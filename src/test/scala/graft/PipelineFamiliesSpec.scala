@@ -637,6 +637,32 @@ class AnnSpec extends SparkSpec {
     info(s"lsh recall = $recall")
     assert(recall >= 0.9, s"recall $recall too low")
   }
+
+  test("ann_knn_graph: multiplicity conserved, ranks dense, edges verified in-bucket") {
+    import org.apache.spark.sql.functions._
+    val rows = Ann.annKnnGraph(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one neighbor list per DISTINCT vector; multiplicities cover the
+    // whole (signable) corpus
+    val perRep = rows.groupBy(_.getAs[Long]("rep_id"))
+    val mSum = perRep.map(_._2.head.getAs[Long]("m")).sum
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(mSum <= corpus)
+    val distinctReps = perRep.size
+    assert(mSum >= distinctReps)
+    perRep.values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to g.length))
+      assert(g.length <= Ann.KnnK)
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+      // no self edges
+      assert(g.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("rep_id")))
+    }
+    // determinism
+    val again = Ann.annKnnGraph(spark, sf).collect().map(_.toSeq).toSet
+    assert(again === rows.map(_.toSeq).toSet)
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

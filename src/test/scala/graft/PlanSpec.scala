@@ -270,6 +270,16 @@ class PlanSpec extends SparkSpec {
     assert(bhj(p) >= 1, p)
   }
 
+  test("ann_knn_graph: bucket-blocked equi-join, no cartesian, one ranked window") {
+    val p = physical(graft.queries.Ann.annKnnGraph(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    assert(nodes(p, "CartesianProduct") === 0, p)
+    // candidate generation must be the (tbl, bucket) equi self-join;
+    // the per-rep top-k must prune inside partitions, never globally
+    assert(nodes(p, "WindowGroupLimit") >= 1, p)
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+  }
+
   test("q_bucket_join: the fact-to-fact join is shuffle-free — only the rollup exchanges") {
     // disable broadcast so the join MUST rely on the bucketed layout —
     // at test scale Catalyst would otherwise broadcast the tiny side
@@ -542,6 +552,21 @@ class PlanSpec extends SparkSpec {
     // both scanning the memoized feature cache: the corpus is
     // tokenized exactly once per session
     assert(nodes(p, "InMemoryTableScan") >= 2, p)
+  }
+
+  test("q_gap_fill: the one cross join spans two aggregates, never data") {
+    val df = Analytics.qGapFill(spark, sf)
+    val p = physical(df)
+    // the |types|x|days| grid is the INTENTIONAL bounded nested-loop
+    // join; both of its inputs must be aggregate outputs (the distinct
+    // type list and the exploded min/max spine) — the corpus-sized
+    // count attaches afterwards as an equi-join
+    assert(crossJoins(p) === 1, p)
+    val i = p.indexOf("BroadcastNestedLoopJoin")
+    assert(i >= 0, p)
+    val below = p.substring(i)
+    assert(below.contains("HashAggregate"), p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
