@@ -313,6 +313,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: shuffle-shard partitions any id set losslessly with exact offsets") {
+    import graft.queries.Analytics
+    val gen = for {
+      n <- Gen.choose(0, 60)
+      ids <- Gen.listOfN(n, Gen.choose(0L, 100000L)).map(_.distinct)
+      sizes <- Gen.listOfN(ids.length, Gen.choose(0L, 500L))
+    } yield ids.zip(sizes)
+    forAll(gen, n = 10) { docs =>
+      val df = docs.toDF("doc_id", "n_chars")
+      val out = Analytics.shuffleShard(df, 4).collect()
+      assert(out.length === docs.length) // lossless
+      val sizeOf = docs.toMap
+      out.groupBy(_.getAs[Long]("shard")).values.foreach { g =>
+        val inOrder = g.sortBy(_.getAs[Long]("pos"))
+        assert(inOrder.map(_.getAs[Long]("pos")).toSeq ===
+          (0L until g.length).toSeq)
+        var off = 0L
+        inOrder.foreach { r =>
+          assert(r.getAs[Long]("start_offset") === off)
+          off += sizeOf(r.getAs[Long]("doc_id"))
+        }
+      }
+    }
+  }
+
   test("property: distributed PageRank equals the sequential integer recurrence on random graphs") {
     import graft.queries.Analytics
     // random directed multigraphs, made undirected exactly like the
