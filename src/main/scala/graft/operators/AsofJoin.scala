@@ -29,7 +29,7 @@ object AsofJoin {
       rightKey: String, rightTime: String,
       valueCols: Seq[String]): DataFrame = {
 
-    val lCols = left.columns
+    val lCols = left.columns.toSeq
     val tagged =
       left.select(
         col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__is_left") +:
