@@ -93,9 +93,28 @@ object Soak {
     // ---- corpus build: copies-way self-union, ids remapped so every
     // copy is a distinct row (offset is far above any real id) ----
     val off = 100000000L
+    // SPARK_GRAFT_SOAK_MEGACLIQUE=K appends K verbatim copies of ONE
+    // document (fresh ids) — the "cookie banner" shape: a single
+    // boilerplate text dominating the corpus. The exact-collapse paths
+    // (dd_cluster, dd_lev_verify, ann_knn_graph, dd_diversity_sample's
+    // bucket quota) must stay flat-ish; anything quadratic in ONE
+    // clique's size blows up here even when the uniform ×10 soak
+    // looks linear.
+    val megaClique = sys.env.getOrElse("SPARK_GRAFT_SOAK_MEGACLIQUE", "0").toInt
     val docs = Tables.documents(spark, srcDir)
-    (0 until copies).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
+    val unioned = (0 until copies)
+      .map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * off)))
       .reduce(_ unionAll _)
+    val withClique = if (megaClique == 0) unioned else {
+      val one = docs.orderBy(col("doc_id")).limit(1)
+        .select(col("text"), col("lang"), col("source"), col("n_chars"))
+      unioned.unionByName(
+        spark.range(megaClique)
+          .select((col("id") + lit(copies.toLong * off)).as("doc_id"))
+          .crossJoin(broadcast(one))
+          .select(unioned.columns.map(col): _*))
+    }
+    withClique
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     val embs = Tables.embeddings(spark, srcDir)

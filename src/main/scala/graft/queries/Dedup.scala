@@ -430,11 +430,32 @@ object Dedup {
     // the re-expansion is a cheap equi-join. Same exact-collapse move
     // as dd_cluster's star edges; [[ddLevVerifyDirect]] is the
     // spec-pinned per-pair twin.
+    // Every side joined AGAINST the pair stream is broadcast: the
+    // (doc_id → md5) map is |docs| rows of 40 B and the distinct-pair
+    // verdict table is |distinct text pairs| rows — both orders of
+    // magnitude under the pair stream on clique-heavy data. With the
+    // hints the quadratic pair stream never shuffles INSIDE this
+    // operator (its generation shuffle belongs to dd_minhash_lsh);
+    // without them the band join's unknown stats pushed all three
+    // joins to sort-merge and a 20 k-clique probe spilled 4 GB
+    // re-shuffling pairs three times (SOAK.md §mega-clique).
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val ids = docs.select(col("doc_id"), col("h"))
     val pairs = ddMinhashLsh(s, d)
-      .join(docs.select(col("doc_id").as("doc_a"), col("h").as("ha")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("h").as("hb")), "doc_b")
+      .join(broadcast(ids.select(col("doc_id").as("doc_a"), col("h").as("ha"))), "doc_a")
+      .join(broadcast(ids.select(col("doc_id").as("doc_b"), col("h").as("hb"))), "doc_b")
+      // ONE explicit exchange both consumers (the distinct-pair kernel
+      // and the verdict expansion) reuse: all-broadcast joins leave no
+      // shuffle boundary, so without it Spark re-executes the whole
+      // signature+band pipeline once per consumer. Keyed on the
+      // UNIFORM (doc_a, doc_b) — keying on (ha, hb) would funnel a
+      // mega-clique's entire pair set through one reducer (measured:
+      // 233 s vs 85 s on the 20 k-clique probe); the downstream
+      // distinct on (ha, hb) is skew-safe regardless because its
+      // map-side partial agg collapses each partition's duplicates
+      // before anything moves
+      .repartition(col("doc_a"), col("doc_b"))
     // one representative text per hash (texts under one md5 are equal)
     val reps = docs.groupBy(col("h")).agg(min(col("text")).as("text"))
     val levTab = pairs.select(col("ha"), col("hb")).distinct()
@@ -443,7 +464,7 @@ object Dedup {
       .select(col("ha"), col("hb"),
         levenshtein(col("text_a"), col("text_b")).as("lev"),
         greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
-    pairs.join(levTab, Seq("ha", "hb"))
+    pairs.join(broadcast(levTab), Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"))
       .withColumn("near",
         (col("lev") * LevDen <= col("max_len") * LevNum).cast("int"))
