@@ -118,8 +118,22 @@ object Soak {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/documents.parquet")
     val embs = Tables.embeddings(spark, srcDir)
-    (0 until copies).map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * off)))
+    val embsUnioned = (0 until copies)
+      .map(i => embs.withColumn("vec_id", col("vec_id") + lit(i * off)))
       .reduce(_ unionAll _)
+    // the mega-clique knob duplicates ONE embedding too — the vector
+    // side of the cookie-banner shape (dd_semantic / ann_knn_graph /
+    // dd_embed_cosine must collapse it, not pair over it)
+    val embsWithClique = if (megaClique == 0) embsUnioned else {
+      val one = embs.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding"), col("label"))
+      embsUnioned.unionByName(
+        spark.range(megaClique)
+          .select((col("id") + lit(copies.toLong * off)).as("vec_id"))
+          .crossJoin(broadcast(one))
+          .select(embsUnioned.columns.map(col): _*))
+    }
+    embsWithClique
       .repartition(32)
       .write.mode("overwrite").parquet(s"$workDir/embeddings.parquet")
     // events: RAW read (ts stays a nanos long so Tables.events can

@@ -441,6 +441,23 @@ object Ann {
     * map-only projection over the persisted quantized corpus (CSE
     * collapses the shared greatest() under whole-stage codegen);
     * training cost is the bounded Lloyd loop shared with IVF. */
+  /** Exact-duplicate pre-collapse (the defense the ×10 soak named):
+    * identical vectors share cent/ccos and have pairwise cos ≈ 1 ≥ τ,
+    * so the quadratic within-cluster pair term only ever needs to run
+    * over DISTINCT vectors. The per-member decisions re-derive
+    * EXACTLY, because within a duplicate group G (rep g₁ = min id,
+    * common priority ccos c):
+    *   - a member gₖ (k ≥ 2) is always pruned (g₁ precedes it and
+    *     qualifies), and its witness is min((c, g₁), external best):
+    *     any external candidate with uid between g₁ and gₖ loses the
+    *     (uccos, uid) min to g₁, so the external best is exactly the
+    *     REP's own witness — independent of k;
+    *   - for the rep, an equal-ccos external group H contributes iff
+    *     rep_H < g₁ (members of H above rep_H can't beat rep_H), so
+    *     rep-level strict priority captures the tie boundary exactly.
+    * [[ddSemanticDirect]] (the all-pairs member-level form) is kept
+    * spec-pinned identical; the DuckDB oracle is unchanged and
+    * member-level, so the collapse is hash-gated at every sf. */
   def ddSemantic(s: SparkSession, d: String): DataFrame = {
     val e = quantized(s, d)
     val cents = semMemo.getOrBuild(s, d)(trainCentroids(e, s, SemK))
@@ -448,10 +465,55 @@ object Ann {
     val g = bestCent(cents)
     val assigned = e.select(col("vec_id"), col("qv"), col("n2"),
       g.getField("j").as("cent"), g.getField("s").as("ccos"))
+    // collapse: one representative (min id) per distinct vector
+    val groups = assigned
+      .groupBy(col("qv"), col("n2"), col("cent"), col("ccos"))
+      .agg(min(col("vec_id")).as("rep_id"))
+    val reps = groups.select(col("rep_id").as("vec_id"), col("qv"),
+      col("n2"), col("cent"), col("ccos"))
+    val u = reps.select(col("vec_id").as("uid"), col("qv").as("uqv"),
+      col("n2").as("un2"), col("cent").as("ucent"), col("ccos").as("uccos"))
+    // rep u prunes rep v iff same cluster, cos(u, v) >= tau, and u
+    // strictly precedes v in (ccos, id) priority order
+    val prunedRep = reps.join(u,
+        col("ucent") === col("cent") &&
+          (col("uccos") < col("ccos") ||
+            (col("uccos") === col("ccos") && col("uid") < col("vec_id"))))
+      .filter(Vectors.cosine(
+        Vectors.dot(col("qv"), col("uqv")), col("n2"), col("un2")) >= SemTau)
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("uid"), struct(col("uccos"), col("uid"))).as("witness_id"))
+    val repDecision = reps.join(prunedRep, Seq("vec_id"), "left")
+      .select(col("vec_id").as("rep_id"), col("cent").as("rcent"),
+        col("witness_id"))
+    val repRows = repDecision.select(col("rep_id").as("vec_id"),
+      col("rcent").as("cent"),
+      when(col("witness_id").isNull, lit(1)).otherwise(lit(0)).as("keep"),
+      col("witness_id"))
+    // member expansion: every non-rep duplicate is pruned; its witness
+    // is the rep's own witness when one exists (it strictly precedes
+    // the rep in (ccos, id) priority by construction, so it wins the
+    // min against (c, g₁)), else the rep itself
+    val memberRows = assigned.select(col("vec_id"), col("qv"))
+      .join(groups.select(col("qv"), col("rep_id")), Seq("qv"))
+      .filter(col("vec_id") =!= col("rep_id"))
+      .join(repDecision, Seq("rep_id"))
+      .select(col("vec_id"), col("rcent").as("cent"), lit(0).as("keep"),
+        coalesce(col("witness_id"), col("rep_id")).as("witness_id"))
+    repRows.unionByName(memberRows)
+  }
+
+  /** The all-pairs member-level form [[ddSemantic]] replaced — kept
+    * as the equality cross-check (SemanticSpec): the collapsed form
+    * must emit identical decisions row-for-row. */
+  private[graft] def ddSemanticDirect(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val cents = semMemo.getOrBuild(s, d)(trainCentroids(e, s, SemK))
+    val g = bestCent(cents)
+    val assigned = e.select(col("vec_id"), col("qv"), col("n2"),
+      g.getField("j").as("cent"), g.getField("s").as("ccos"))
     val u = assigned.select(col("vec_id").as("uid"), col("qv").as("uqv"),
       col("n2").as("un2"), col("cent").as("ucent"), col("ccos").as("uccos"))
-    // u prunes v iff same cluster, cos(u, v) >= tau, and u strictly
-    // precedes v in priority order
     val pruned = assigned.join(u,
         col("ucent") === col("cent") &&
           (col("uccos") < col("ccos") ||

@@ -782,6 +782,14 @@ class SemanticSpec extends SparkSpec {
     assert(out.nonEmpty)
     info(s"${out.size} vectors, ${out.count(_._2._2 == 0)} pruned")
   }
+
+  test("dd_semantic: exact-collapsed form equals the all-pairs direct form") {
+    val a = graft.queries.Ann.ddSemantic(spark, sf).collect()
+      .map(_.toSeq).toSet
+    val b = graft.queries.Ann.ddSemanticDirect(spark, sf).collect()
+      .map(_.toSeq).toSet
+    assert(a === b)
+  }
 }
 
 class BestCentSpec extends SparkSpec {
