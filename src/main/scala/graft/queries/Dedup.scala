@@ -419,6 +419,14 @@ object Dedup {
     * once. A production corpus with megabyte documents verifies on
     * bounded prefixes or chunk digests first; the testdata documents
     * are KB-scale, where the full-text DP is the right call. */
+  /** Corpus row count above which ddLevVerify stops FORCING broadcast
+    * of the (doc_id → md5) map: 5·10^7 rows × ~50 B ≈ 2.5 GB, safely
+    * inside the 8 GB broadcast ceiling and typical driver heaps;
+    * beyond it AQE chooses (the pair exchange is already in place). */
+  val LevBroadcastMaxDocs = 50000000L
+
+  private val levDocCountMemo = graft.SessionMemo.named[Long]("dd_lev_doc_count")
+
   def ddLevVerify(s: SparkSession, d: String): DataFrame = {
     // Levenshtein is O(len²) PER PAIR, and the candidate pair set is
     // quadratic in exact-twin count (pairs are dd_minhash_lsh's
@@ -430,21 +438,30 @@ object Dedup {
     // the re-expansion is a cheap equi-join. Same exact-collapse move
     // as dd_cluster's star edges; [[ddLevVerifyDirect]] is the
     // spec-pinned per-pair twin.
-    // Every side joined AGAINST the pair stream is broadcast: the
-    // (doc_id → md5) map is |docs| rows of 40 B and the distinct-pair
-    // verdict table is |distinct text pairs| rows — both orders of
-    // magnitude under the pair stream on clique-heavy data. With the
-    // hints the quadratic pair stream never shuffles INSIDE this
-    // operator (its generation shuffle belongs to dd_minhash_lsh);
-    // without them the band join's unknown stats pushed all three
-    // joins to sort-merge and a 20 k-clique probe spilled 4 GB
-    // re-shuffling pairs three times (SOAK.md §mega-clique).
+    // Every side joined AGAINST the pair stream is broadcast WHEN IT
+    // FITS: the (doc_id → md5) map is |docs| rows of 40 B and the
+    // distinct-pair verdict table is |distinct text pairs| rows —
+    // both orders of magnitude under the pair stream on clique-heavy
+    // data. With the hints the quadratic pair stream never shuffles
+    // INSIDE this operator (its generation shuffle belongs to
+    // dd_minhash_lsh); without them the band join's unknown stats
+    // pushed all three joins to sort-merge and a 20 k-clique probe
+    // spilled 4 GB re-shuffling pairs three times (SOAK.md
+    // §mega-clique). The hint is GATED on the corpus row count (one
+    // memoized metadata-cheap count): the map is corpus-sized, not
+    // metadata-sized, and past ~10^8 docs it would blow Spark's 8 GB
+    // broadcast ceiling — there the repartition below still gives the
+    // reusable (doc_a, doc_b) exchange and AQE picks the strategy.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+    val fits = levDocCountMemo.getOrBuild(s, d) {
+      Tables.documents(s, d).count()
+    } <= LevBroadcastMaxDocs
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
     val ids = docs.select(col("doc_id"), col("h"))
     val pairs = ddMinhashLsh(s, d)
-      .join(broadcast(ids.select(col("doc_id").as("doc_a"), col("h").as("ha"))), "doc_a")
-      .join(broadcast(ids.select(col("doc_id").as("doc_b"), col("h").as("hb"))), "doc_b")
+      .join(hint(ids.select(col("doc_id").as("doc_a"), col("h").as("ha"))), "doc_a")
+      .join(hint(ids.select(col("doc_id").as("doc_b"), col("h").as("hb"))), "doc_b")
       // ONE explicit exchange both consumers (the distinct-pair kernel
       // and the verdict expansion) reuse: all-broadcast joins leave no
       // shuffle boundary, so without it Spark re-executes the whole
@@ -464,7 +481,7 @@ object Dedup {
       .select(col("ha"), col("hb"),
         levenshtein(col("text_a"), col("text_b")).as("lev"),
         greatest(length(col("text_a")), length(col("text_b"))).as("max_len"))
-    pairs.join(broadcast(levTab), Seq("ha", "hb"))
+    pairs.join(hint(levTab), Seq("ha", "hb"))
       .select(col("doc_a"), col("doc_b"), col("lev"), col("max_len"))
       .withColumn("near",
         (col("lev") * LevDen <= col("max_len") * LevNum).cast("int"))
@@ -936,6 +953,14 @@ object Dedup {
   /** Quota denominator: keep ⌈n/10⌉ docs per semantic bucket. */
   val DiversityKeepDiv = 10L
 
+  /** Default bucket-prefix width in bits (2^12 = 4096 buckets) — the
+    * right granularity for the test corpora. At 100 TB a bucket holds
+    * ~corpus/2^bits rows SORTED inside one window partition, so the
+    * remedy for a concentrating corpus is a CONFIG change: pass a
+    * wider prefix to [[diversitySample]] (16 bits ⇒ 65536 buckets;
+    * spec-gated at 16), never a re-shuffle or a code edit. */
+  val DiversityBucketBits = 12
+
   /** #30b dd_diversity_sample — density-equalizing downsampling: cap
     * each SimHash semantic bucket at ⌈n/10⌉ documents, chosen by a
     * seeded portable hash so the sample is reproducible. Where
@@ -943,31 +968,39 @@ object Dedup {
     * flattens the density profile of the whole corpus — the standard
     * counter to boilerplate-heavy domains drowning the mixture.
     *
-    * Scale: bucket key = top 12 simhash bits, computed by the native
-    * map-only `graft_simhash` expression (zero shuffle); then ONE
-    * hash shuffle on `bucket` shared by both window frames (the
-    * quota rank and the bucket size). Bucket cardinality is 4096 ⇒
-    * at 100 TB a bucket holds ~millions of rows, still one window
-    * partition per bucket — if a corpus concentrates harder, widen
-    * the prefix (more buckets), never re-shuffle. The quota rule is
-    * all-integer ((n + 9) DIV 10), so both engines agree exactly. */
-  def ddDiversitySample(s: SparkSession, d: String): DataFrame = {
-    graft.plans.GraftExtensions.ensureRegistered(s)
+    * Scale: bucket key = top `bucketBits` simhash bits, computed by
+    * the native map-only `graft_simhash` expression (zero shuffle);
+    * then ONE hash shuffle on `bucket` shared by both window frames
+    * (the quota rank and the bucket size). The quota rule is
+    * all-integer ((n + 9) DIV 10 — genuinely integral on both
+    * engines; Column `/` would be double division), so both engines
+    * agree exactly. */
+  def ddDiversitySample(s: SparkSession, d: String): DataFrame =
+    diversitySample(Tables.documents(s, d), DiversityBucketBits)
+
+  /** The parameterized form: `bucketBits` ∈ [1, 32] is the semantic
+    * bucket-prefix width — the one knob that re-sizes window
+    * partitions for corpus scale ([[DiversityBucketBits]]). */
+  def diversitySample(docs: DataFrame, bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 32,
+      s"bucketBits must be in [1, 32], got $bucketBits")
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val mask = (1L << bucketBits) - 1L
     val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
       .filter(col("simhash").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
-      // (x >> 52) & 4095 keeps bits 52-63 regardless of sign fill —
-      // the same idiom as dd_simhash's band
+      // (x >> (64-bits)) & mask keeps the top bits regardless of sign
+      // fill — the same idiom as dd_simhash's band
       .withColumn("bucket",
-        shiftright(col("simhash"), 52).bitwiseAND(lit(4095L)))
+        shiftright(col("simhash"), 64 - bucketBits).bitwiseAND(lit(mask)))
       .withColumn("h",
         PortableHash.long60(concat(lit("div:"), col("doc_id"))))
       .withColumn("pick", row_number().over(w).cast("long"))
       .withColumn("bucket_n",
         count(lit(1)).over(Window.partitionBy(col("bucket"))))
       .filter(col("pick") <=
-        (col("bucket_n") + (DiversityKeepDiv - 1L)) / DiversityKeepDiv)
+        expr(s"(bucket_n + ${DiversityKeepDiv - 1L}) DIV $DiversityKeepDiv"))
       .select(col("doc_id"), col("bucket"), col("bucket_n"), col("pick"))
   }
 

@@ -552,6 +552,14 @@ object TextAnalysis {
     * collect at ~a few MB regardless of corpus size. */
   val BpeVocabCap = 65536
 
+  /** True iff `a` sorts strictly before `b` in UTF-8 binary order —
+    * the collation Spark's UTF8String and DuckDB's default VARCHAR
+    * comparison share. */
+  private def utf8Lt(a: String, b: String): Boolean =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+
   def txBpeTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // ONE distributed pass: corpus → capped weighted vocabulary.
@@ -587,10 +595,14 @@ object TextAnalysis {
           j += 1
         }
       }
-      // argmax with the engines' tie order: count DESC, pair ASC
-      // (binary string order — ASCII-safe, matching UTF8 comparison)
+      // argmax with the engines' tie order: count DESC, pair ASC in
+      // UTF-8 BINARY order — Java String '<' compares UTF-16 code
+      // units, which disagrees with UTF-8 byte order between BMP
+      // chars in U+E000–U+FFFF and supplementary-plane chars, and a
+      // divergent tie pick cascades into a divergent merge table
       val (ps, c) = pc.foldLeft(("", Long.MinValue)) { case (best, kv) =>
-        if (kv._2 > best._2 || (kv._2 == best._2 && kv._1 < best._1)) kv else best
+        if (kv._2 > best._2 || (kv._2 == best._2 && utf8Lt(kv._1, best._1)))
+          kv else best
       }
       val mg = ps.replace(" ", "")
       merges += ((i, ps, mg, c))
@@ -610,6 +622,11 @@ object TextAnalysis {
     val vocab = Tables.documents(s, d)
       .select(explode(filter(toks(col("text")), w => w =!= "")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // same top-BpeVocabCap cut as the driver loop and the oracle —
+      // without it the BpeTrainSpec equality pin would be vacuous
+      // w.r.t. the cap and spuriously fail wherever the cap binds
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(BpeVocabCap)
       .select(array_join(filter(split(col("w"), ""), c => c =!= ""), " ").as("seg"),
         col("cnt"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -1466,8 +1483,8 @@ object TextAnalysis {
 
   private val trainFeatMemo =
     graft.SessionMemo.named[DataFrame]("tx_train_quality_feat")
-  private val trainLabelMemo =
-    graft.SessionMemo.named[DataFrame]("tx_train_quality_label")
+  private val trainCountMemo =
+    graft.SessionMemo.named[Long]("tx_train_quality_n")
 
   /** #34s tx_train_quality — the TRAINING side of #34j's classifier:
     * batch gradient descent for a linear quality model over hashed
@@ -1486,65 +1503,82 @@ object TextAnalysis {
     * identically in both engines ([[truncDivExpr]]).
     *
     * Scale: the feature frame is built ONCE (session-memoized,
-    * persisted; the only corpus-sized aggregation) and each round
-    * touches it twice — prediction (join against the ≤TrainDims-row
-    * broadcast weight table, one doc-keyed agg) and gradient (join
-    * residuals back, one bucket-keyed agg). Per-round shuffle is
-    * O(|feat| rows), weights never leave broadcast size, and N is one
-    * bounded driver scalar (the oracle's scalar subquery). Output is
-    * TrainDims rows at any corpus size. */
+    * persisted; the only corpus-sized work) as ONE ROW PER DOCUMENT —
+    * the bounded per-doc (i, x) pairs as an array, with the label
+    * riding along. Each GD round is then ONE map+aggregate job over
+    * the cache: the current weights travel as a single array literal
+    * (a codegen object reference, so the compiled plan is REUSED
+    * across rounds and runs), each doc computes its prediction and
+    * residual locally from its own array, and the per-bucket gradient
+    * contributions x·(pred − y·SCALE) roll up through one
+    * TrainDims-key map-combined aggregation — one tiny shuffle per
+    * round, no join, no window buffering. This is exactly production
+    * distributed GD: parameters broadcast out, partial gradients
+    * aggregate back (at TrainDims past literal size, ship the
+    * weights with an explicit broadcast variable — same plan shape).
+    * Docs with zero feature rows contribute zero to every gradient
+    * coordinate, so the pass skipping them is exact; a zero-seeded
+    * TrainDims-row union keeps absent buckets in the output without
+    * a join. N is one bounded memoized driver scalar (the oracle's
+    * scalar subquery). Output is TrainDims rows at any corpus size. */
   def txTrainQuality(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val docs = Tables.documents(s, d)
     val feat = trainFeatMemo.getOrBuild(s, d) {
       docs.select(col("doc_id"),
-          explode(filter(toks(coalesce(col("text"), lit(""))), w => w =!= "")).as("t"))
+          filter(toks(coalesce(col("text"), lit(""))), w => w =!= "").as("ws"))
         .select(col("doc_id"),
+          array_contains(col("ws"), "spark").cast("long").as("y"),
+          explode(col("ws")).as("t"))
+        .select(col("doc_id"), col("y"),
           pmod(graft.functions.PortableHash.long60(concat(lit("tq:"), col("t"))),
             lit(TrainDims)).as("i"))
-        .groupBy(col("doc_id"), col("i")).agg(count(lit(1)).as("x"))
+        .groupBy(col("doc_id"), col("i"), col("y")).agg(count(lit(1)).as("x"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(collect_list(struct(col("i"), col("x"))).as("fs"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    // labels persisted like the features: the resid join reads them
-    // every round, and rebuilding would re-tokenize the corpus 3×
-    val label = trainLabelMemo.getOrBuild(s, d) {
-      docs.select(col("doc_id"),
-        array_contains(toks(coalesce(col("text"), lit(""))), "spark")
-          .cast("long").as("y"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    val n = label.count() // ONE bounded driver scalar (= oracle's
-    // subquery), answered from the label cache, not a parquet rescan
-    import s.implicits._
-    var w: DataFrame = s.range(0, TrainDims)
-      .select(col("id").as("i"), lit(0L).as("w"))
-    for (k <- 1 to TrainIters) {
-      val pred = feat.join(broadcast(w), "i")
-        .select(col("doc_id"), (col("x") * col("w")).as("p"))
-        .groupBy(col("doc_id")).agg(sum(col("p")).as("pred"))
-      val resid = label.join(pred, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (coalesce(col("pred"), lit(0L)) - col("y") * TrainScale).as("r"))
-      val grad = feat.join(resid, "doc_id")
-        .select(col("i"), (col("x") * col("r")).as("g"))
+    val n = trainCountMemo.getOrBuild(s, d) { docs.count() }
+    val den = n * TrainLrDen
+    // zero seed: absent buckets still emit a gradient row (sum = 0)
+    // through the same aggregation — 64 constant rows, never a join
+    val zeros = s.range(0, TrainDims, 1, 1)
+      .select(col("id").as("i"), lit(0L).as("g"))
+    def gradFrame(w: Array[Long]): DataFrame = {
+      val wLit = typedlit(w)
+      feat
+        .select(col("fs"),
+          (aggregate(col("fs"), lit(0L), (acc, f) => acc + f.getField("x") *
+            element_at(wLit, (f.getField("i") + 1L).cast("int")))
+            - col("y") * TrainScale).as("r"))
+        .select(explode(col("fs")).as("f"), col("r"))
+        .select(col("f.i").as("i"), (col("f.x") * col("r")).as("g"))
+        .union(zeros)
         .groupBy(col("i")).agg(sum(col("g")).as("grad"))
-      val next = w.join(grad, Seq("i"), "left")
-        .select(col("i"), expr("w - " +
-          truncDivExpr("coalesce(grad, 0)", s"$n * $TrainLrDen", "DIV")).as("w"))
-      // materialize the TrainDims-row weight table each round (the
-      // bounded-collect contract, same as ann_ivf's centroids): the
-      // lazy chain would re-execute every earlier round's corpus-pass
-      // aggregations inside each later round's plan — O(iters²)
-      // passes over the cache (measured 62 AQE stages at 3 rounds);
-      // with the collect, each round is exactly one pass and the
-      // driver round-trips 64 longs — how production GD broadcasts
-      // weights anyway. The LAST round stays lazy so the returned
-      // frame is a live plan over the cache (plan-gated).
-      w = if (k < TrainIters)
-        next.as[(Long, Long)].collect().toSeq.toDF("i", "w")
-      else next
     }
-    w.orderBy(col("i"))
+    // earlier rounds round-trip exactly TrainDims longs through the
+    // driver (the bounded-collect contract, same as ann_ivf's
+    // centroids) and apply the truncating update locally; the LAST
+    // round stays lazy so the returned frame is a live plan over the
+    // cache (plan-gated)
+    var w = new Array[Long](TrainDims.toInt)
+    for (_ <- 1 until TrainIters) {
+      val nw = w.clone()
+      gradFrame(w).collect().foreach { r =>
+        val g = r.getLong(1)
+        nw(r.getLong(0).toInt) -= (if (g < 0) -((-g) / den) else g / den)
+      }
+      w = nw
+    }
+    val wFinal = typedlit(w)
+    gradFrame(w)
+      .select(col("i"),
+        (element_at(wFinal, (col("i") + 1L).cast("int")) -
+          expr(truncDivExpr("grad", den.toString, "DIV"))).as("w"))
+      // deterministic total order without a global sort: TrainDims
+      // rows merge into one partition and sort locally — a range
+      // exchange would pay an extra sampling stage for 64 rows
+      .coalesce(1).sortWithinPartitions(col("i"))
   }
 
   val txTrainQualitySql: String = {

@@ -243,6 +243,31 @@ class DedupSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSet === rows.map(_.toSeq).toSet)
   }
 
+  test("diversitySample at 16-bit buckets: wider prefix, same quota semantics") {
+    // the 100 TB remedy is a parameter, not an edit: 16 bits ⇒ 65536
+    // buckets, quota rule unchanged, and every bucket key is the top
+    // 16 simhash bits of its members
+    val rows = Dedup.diversitySample(Tables.documents(spark, sf), 16).collect()
+    assert(rows.nonEmpty)
+    val simhash = Dedup.ddSimhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    rows.foreach { r =>
+      val want = (simhash(r.getAs[Long]("doc_id")) >>> 48) & 0xffffL
+      assert(r.getAs[Long]("bucket") === want)
+    }
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("bucket_n")
+      val quota = (n + Dedup.DiversityKeepDiv - 1) / Dedup.DiversityKeepDiv
+      assert(rs.length.toLong === quota)
+    }
+    // a 16-bit partition of the corpus refines the 12-bit one: strictly
+    // more buckets on any corpus with >1 distinct 16-bit prefix
+    val b12 = Dedup.ddDiversitySample(spark, sf).collect()
+      .map(_.getAs[Long]("bucket")).distinct.length
+    val b16 = rows.map(_.getAs[Long]("bucket")).distinct.length
+    assert(b16 >= b12)
+  }
+
   test("dd_keep_best: kept doc is the argmax of (alpha, stop, -id) within its cluster") {
     val clusters = Dedup.ddCluster(spark, sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))

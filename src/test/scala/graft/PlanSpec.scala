@@ -544,14 +544,23 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) === 1, p)
   }
 
-  test("tx_train_quality: every GD round reads the persisted feature frame") {
+  test("tx_train_quality: the fused GD round is one join-free pass over the feature cache") {
     val p = physical(graft.queries.TextAnalysis.txTrainQuality(spark, sf))
     assert(crossJoins(p) === 0, p)
     // earlier rounds materialize eagerly (bounded weight collects);
-    // the returned plan is the LAST round — prediction + gradient,
-    // both scanning the memoized feature cache: the corpus is
-    // tokenized exactly once per session
-    assert(nodes(p, "InMemoryTableScan") >= 2, p)
+    // the returned plan is the LAST round — ONE fused
+    // prediction+gradient pass: exactly one scan of the memoized
+    // per-doc feature cache (the corpus is tokenized once per
+    // session), weights riding as an array literal, and a single
+    // TrainDims-key aggregation — no join, no window, one shuffle
+    assert(nodes(p, "InMemoryTableScan") === 1, p)
+    assert(nodes(p, "SortMergeJoin") === 0, p)
+    assert(nodes(p, "BroadcastHashJoin") === 0, p)
+    assert(!p.contains("Window"), p)
+    // one exchange ABOVE the cache (the TrainDims-key agg); the
+    // exchanges inside the InMemoryRelation dump are the one-time
+    // build plan, not per-round work
+    assert(shuffles(p.substring(0, p.indexOf("InMemoryRelation"))) === 1, p)
   }
 
   test("q_gap_fill: the one cross join spans two aggregates, never data") {
