@@ -732,6 +732,59 @@ object Analytics {
         (lit(HllAlphaScale) / col("srecip").cast("double")).as("hll_est"))
   }
 
+  /** #26j2 q_hll_serve — the SKETCH-ONLY serving arm of
+    * [[qHllDistinct]]: identical registers, identical estimate, but
+    * WITHOUT the exact-distinct rider. The rider is the gate's
+    * strength (the sketch's error is itself gated) but its
+    * per-register `countDistinct(user_id, day)` shuffles every
+    * distinct key — corpus-LINEAR data movement (Soak ×10 measured
+    * the rider at 7.4×-linear shuffle while the registers stayed
+    * flat). This key is the production design point: per (type,
+    * register) the map-side partial MAX collapses each partition to
+    * ≤ m rows before anything moves, so shuffle is ~|types|·m·
+    * |partitions-touched| regardless of corpus size. The registers
+    * are pinned cross-engine by `reg_digest = Σ m_b·(bucket+1)`
+    * (exact int64 — a different value in any register moves it), so
+    * the gate still covers the full register state, just not the
+    * true cardinality. */
+  def qHllServe(spark: SparkSession, dir: String): DataFrame = {
+    val regs = hllRows(Tables.events(spark, dir))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_b"))
+    regs.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("long").as("n_regs"),
+        (lit(HllM) - count(lit(1))).cast("long").as("zero_regs"),
+        sum(expr("CAST(m_b AS BIGINT) * (bucket + 1)")).as("reg_digest"),
+        (sum(expr("CAST(1 AS BIGINT) << (53 - m_b)"))
+          + (lit(HllM) - count(lit(1))) * lit(1L << 53)).as("srecip"))
+      .select(col("event_type"), col("n_regs"), col("zero_regs"),
+        col("reg_digest"),
+        (lit(HllAlphaScale) / col("srecip").cast("double")).as("hll_est"))
+  }
+
+  val qHllServeSql: String =
+    s"""WITH keyed AS (
+       |  SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day FROM events),
+       |hashed AS (
+       |  SELECT event_type,
+       |    ${graft.functions.PortableHash.long60Sql(
+            "CAST(user_id AS VARCHAR) || '_' || CAST(day AS VARCHAR)")} AS h
+       |  FROM keyed),
+       |regs AS (
+       |  SELECT event_type, h % $HllM AS bucket,
+       |    MAX(CASE WHEN h // $HllM = 0 THEN 53
+       |             ELSE 53 - length(bin(h // $HllM)) END) AS m_b
+       |  FROM hashed GROUP BY 1, 2)
+       |SELECT event_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_regs,
+       |  CAST($HllM - COUNT(*) AS BIGINT) AS zero_regs,
+       |  CAST(SUM(m_b * (bucket + 1)) AS BIGINT) AS reg_digest,
+       |  $HllAlphaScale / CAST(
+       |    SUM(CAST(1 AS BIGINT) << (53 - m_b))
+       |      + ($HllM - COUNT(*)) * (CAST(1 AS BIGINT) << 53) AS DOUBLE) AS hll_est
+       |FROM regs GROUP BY 1""".stripMargin
+
   val qHllDistinctSql: String =
     s"""WITH keyed AS (
        |  SELECT event_type, user_id, epoch_ms(ts) // 86400000 AS day FROM events),
@@ -1172,16 +1225,40 @@ object Analytics {
     pagerank(edges, edges.select(col("src").as("node")).distinct(),
       iters, topK)
 
+  /** Snapshot cadence for [[pagerank]]'s iteration lineage: every
+    * `PrSnapEvery` rounds the rank frame is materialized into a
+    * persisted row RDD and re-wrapped in a constant-size plan (the CC
+    * loop's snap() pattern, Dedup.scala). Without it, iteration k's
+    * logical plan contains all k−1 predecessors — harmless at the
+    * gated 3 rounds, but at production depths (20-50) the optimizer
+    * re-walks an O(iters)-deep tree per round and the final plan
+    * carries every iteration. The cadence (rather than every round)
+    * keeps the gated 3-iteration bench shape byte-identical — zero
+    * extra jobs below the threshold — while bounding any run's live
+    * plan to PrSnapEvery rounds; exactly one snapshot RDD stays
+    * persisted at a time (each round releases its predecessor). */
+  val PrSnapEvery = 8
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                topK: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = edges.sparkSession
     val base = 15L * PrScale / 100L
     var rank = nodes.withColumn("r", lit(PrScale))
-    for (_ <- 1 to iters) {
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    for (it <- 1 to iters) {
       rank = edges.join(rank, edges("src") === rank("node"))
         .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+      if (it % PrSnapEvery == 0 && it < iters) {
+        val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        r.count(): Unit // materialize now — the source plan runs once
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = r
+        rank = spark.createDataFrame(r, rank.schema)
+      }
     }
     rank.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
@@ -1270,6 +1347,7 @@ object Analytics {
     "q_zorder_layout" -> (qZorderLayout _),
     "q_bloom_join" -> (qBloomJoin _),
     "q_hll_distinct" -> (qHllDistinct _),
+    "q_hll_serve" -> (qHllServe _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -1298,6 +1376,7 @@ object Analytics {
     "q_zorder_layout" -> qZorderLayoutSql,
     "q_bloom_join" -> qBloomJoinSql,
     "q_hll_distinct" -> qHllDistinctSql,
+    "q_hll_serve" -> qHllServeSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,

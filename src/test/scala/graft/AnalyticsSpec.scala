@@ -286,4 +286,37 @@ class AnalyticsSpec extends SparkSpec {
       .take(Analytics.PrTopK)
     assert(got.toSeq === want)
   }
+
+  test("pagerank at 20 iterations: snapshots keep the plan constant-size, values exact") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a ring + chords graph, deg precomputed like the operator's edge frame
+    val es = (0L until 30L).flatMap(i => Seq((i, (i + 1) % 30), (i, (i + 7) % 30)))
+    val und = (es ++ es.map(_.swap)).groupBy(identity)
+      .map { case (e, os) => e -> os.length.toLong }
+    val deg = und.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val edgesDf = und.toSeq.map { case ((s, d), w) => (s, d, w, deg(s)) }
+      .toDF("src", "dst", "w", "deg")
+    val iters = 20 // > 2 × PrSnapEvery: two snapshot points exercised
+    val df = Analytics.pagerank(edgesDf, iters, 1000)
+    // the returned plan holds only the rounds SINCE the last snapshot
+    // (iters mod PrSnapEvery), never all 20 — the lineage-blowup gate
+    val joins = df.queryExecution.executedPlan.toString()
+      .split('\n').count(_.contains("Join"))
+    assert(joins <= iters % Analytics.PrSnapEvery + 1,
+      df.queryExecution.executedPlan.toString())
+    // and the 20-round values still equal the sequential recurrence
+    val nodes = deg.keySet
+    val base = 15L * Analytics.PrScale / 100L
+    var r = nodes.map(_ -> Analytics.PrScale).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (((s, d), w) <- und) in(d) += w * (r(s) / deg(s))
+      r = nodes.map(v => v -> (base + (85L * in(v)) / 100L)).toMap
+    }
+    val want = r.toSeq.sortBy { case (n, rk) => (-rk, n) }
+    val got = df.collect()
+      .map(x => (x.getAs[Long]("node"), x.getAs[Long]("rank_scaled")))
+    assert(got.toSeq === want)
+  }
 }
