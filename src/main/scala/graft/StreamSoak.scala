@@ -27,6 +27,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *   SPARK_GRAFT_SOAK_BATCHES micro-batches (default 8)
   *   SPARK_GRAFT_CPUS         local cores   (default 8)
   *   SPARK_GRAFT_SOAK_STREAMS comma-separated subset (default: all)
+  *   SPARK_GRAFT_SOAK_STATESTORE  `rocksdb` switches the state store
+  *     to RocksDBStateStoreProvider — the provider a production
+  *     cluster runs (state off-heap + incremental checkpoints, state
+  *     size no longer bounded by executor memory). The bounded-state
+  *     claims must hold under BOTH providers, and RocksDB exercises
+  *     the row serialization paths the default in-memory store skips.
   * Prints one JSON line per (stream, batch).
   */
 object StreamSoak {
@@ -77,9 +83,14 @@ object StreamSoak {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SOAK_COPIES", "10").toInt
     val batches = sys.env.getOrElse("SPARK_GRAFT_SOAK_BATCHES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    val stateStore = sys.env.getOrElse("SPARK_GRAFT_SOAK_STATESTORE", "hdfs")
+    val builder = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (stateStore == "rocksdb") builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    println(s"""{"stream_soak_state_store":"$stateStore"}""")
     spark.sparkContext.setLogLevel("WARN")
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -40,7 +40,10 @@ object GraphCsv {
 
   /** #10 — typed NULL/default rendering per GraphQL nullability
     * (writer.go:228-311): nullable → literal `NULL`; non-nullable
-    * String→``, Int/BigInt/BigDecimal→`0`, Boolean→`false`. */
+    * String→``, Int/BigInt/BigDecimal→`0`, Boolean→`false`. Scalar
+    * String/ID values also strip NUL (`toValidString`,
+    * writer.go:213-215 — postgres COPY rejects NUL in text), matching
+    * the strip [[escapedStringArray]] applies per element. */
   def typedText(v: Column, graphType: String, nullable: Boolean): Column = {
     val dflt = graphType match {
       case "String" | "ID" | "Bytes"        => ""
@@ -48,7 +51,11 @@ object GraphCsv {
       case "Boolean"                        => "false"
       case other => throw new IllegalArgumentException(s"invalid field type: $other")
     }
-    if (nullable) coalesce(v.cast("string"), lit("NULL"))
-    else coalesce(v.cast("string"), lit(dflt))
+    val vv = graphType match {
+      case "String" | "ID" => regexp_replace(v.cast("string"), "\u0000", "")
+      case _               => v.cast("string")
+    }
+    if (nullable) coalesce(vv, lit("NULL"))
+    else coalesce(vv, lit(dflt))
   }
 }

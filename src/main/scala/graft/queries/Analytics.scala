@@ -479,9 +479,20 @@ object Analytics {
     * The salt is plan-only: the oracle is the PLAIN join+agg, so the
     * salted path must be semantically invisible. Weighted revenue is
     * exact integer cents·weight, divided once at presentation. */
+  /** Cloned-session memo: `newSession()` builds a fresh SessionState
+    * (conf, analyzer, catalog) and empties the per-session Tables
+    * reader memo — re-paid on EVERY bench pass when the clone is made
+    * per call. One clone per (parent session, purpose) is the correct
+    * lifetime: the conf overrides are constants. */
+  private val skewSessionMemo =
+    graft.SessionMemo.named[SparkSession]("q_skew_join_session")
+
   def qSkewJoin(spark: SparkSession, dir: String): DataFrame = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val s2 = skewSessionMemo.getOrBuild(spark, "broadcast-off") {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    }
     val ev = Tables.events(s2, dir)
     graft.operators.Salting
       .saltedJoin(ev, eventTypeDim(s2), "event_type", col("event_id"), SkewJoinSalts)
@@ -842,13 +853,20 @@ object Analytics {
   private[graft] def qBloomJoinOff(spark: SparkSession, dir: String): DataFrame =
     bloomJoinImpl(spark, dir, bloom = false)
 
+  private val bloomSessionMemo =
+    graft.SessionMemo.named[SparkSession]("q_bloom_join_session")
+
   private def bloomJoinImpl(spark: SparkSession, dir: String, bloom: Boolean): DataFrame = {
-    val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom.toString)
-    s2.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      if (bloom) "0" else "10GB")
+    // one clone per (parent, bloom-mode) — see skewSessionMemo
+    val s2 = bloomSessionMemo.getOrBuild(spark, s"bloom=$bloom") {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", bloom.toString)
+      c.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        if (bloom) "0" else "10GB")
+      c
+    }
     val dim = Tables.part(s2, dir).filter(col("p_size") <= 2)
     val fact = Tables.lineitem(s2, dir)
     fact.join(dim, col("l_partkey") === col("p_partkey"))
