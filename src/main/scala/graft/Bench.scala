@@ -10,7 +10,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    // shuffle partitioning defaults to the core count; the knob exists
+    // because at bench SF the right number is measured, not assumed
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus).toInt
+    val spark = GraftSession.builder(s"local[$cpus]", shuffleParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))

@@ -350,9 +350,15 @@ object TextAnalysis {
     * in decimal(38)/HUGEINT (w_l·10⁶ overflows int64 at corpus
     * scale), so both engines floor identically.
     *
-    * Scale: one map-side-combined per-language agg (|langs| rows), a
-    * one-row broadcast of the budget, and a |langs|-row projection —
-    * nothing is data-proportional after the first scan. */
+    * Scale: one map-side-combined per-language agg (|langs| rows),
+    * then the budget folds in as a full-frame window MIN over that
+    * |langs|-row aggregate — nothing is data-proportional after the
+    * one scan, and the corpus is scanned exactly ONCE (the previous
+    * budget-as-second-aggregate form re-ran the scan+agg subtree for
+    * the budget branch: two corpus scans and 5 stages for a
+    * metadata-sized answer). The single-partition window holds
+    * |langs| rows by construction — the q_gap_fill "tiny by
+    * construction" argument, not a data window. */
   def txMixPlan(s: SparkSession, d: String): DataFrame =
     mixPlan(Tables.documents(s, d))
 
@@ -362,15 +368,16 @@ object TextAnalysis {
     val share = TargetMixPpm.foldLeft(lit(0L)) { case (acc, (l, r)) =>
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
-    val perLang = docs
+    val full = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    docs
       .groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("chars_total"))
       .withColumn("share_ppm", share)
       .filter(col("share_ppm") > 0)
-    val budget = perLang.agg(
-      min(expr("CAST(CAST(chars_total AS DECIMAL(38,0)) * 1000000 DIV share_ppm AS BIGINT)"))
-        .as("budget"))
-    perLang.crossJoin(broadcast(budget))
+      .withColumn("budget", min(
+        expr("CAST(CAST(chars_total AS DECIMAL(38,0)) * 1000000 DIV share_ppm AS BIGINT)"))
+        .over(full))
       .select(col("lang"), col("chars_total"), col("share_ppm"), col("budget"),
         expr("CAST(CAST(CAST(budget AS DECIMAL(38,0)) * share_ppm DIV 1000000" +
           " AS DECIMAL(38,0)) * 1000000 DIV chars_total AS BIGINT)").as("rate_ppm"))
