@@ -100,6 +100,38 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_hll_serve: identical registers to q_hll_distinct, digest pins them") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val serve = Analytics.qHllServe(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val dist = Analytics.qHllDistinct(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(serve.keySet === dist.keySet)
+    // both arms fold the SAME registers, so estimate and zero-register
+    // count must be bit-identical — only the exact rider differs
+    serve.foreach { case (et, s) =>
+      val d = dist(et)
+      assert(s.getAs[Double]("hll_est") === d.getAs[Double]("hll_est"), et)
+      assert(s.getAs[Long]("zero_regs") === d.getAs[Long]("zero_regs"), et)
+      assert(s.getAs[Long]("n_regs") ===
+        Analytics.HllM - s.getAs[Long]("zero_regs"), et)
+    }
+    // the digest is an independent recomputation from the register rows
+    val regs = Analytics.hllRows(Tables.events(spark, dir))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("m_b"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+      .map { case (et, rs) =>
+        et -> rs.map(r => r.getAs[Int]("m_b").toLong *
+          (r.getAs[Int]("bucket") + 1L)).sum
+      }
+    serve.foreach { case (et, s) =>
+      assert(s.getAs[Long]("reg_digest") === regs(et), et)
+    }
+  }
+
   test("q_range_join: bucket decomposition equals the naive range join") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf)
