@@ -46,8 +46,10 @@ object Soak {
     "gl_vid_assign", "gl_poi_block_digest",
     "q_sessionize", "q_asof_join", "q_skew_agg", "q_hll_distinct",
     // sketch-only serving arm: registers collapse map-side, so its
-    // shuffle must stay ~FLAT at ×10 where the exact rider is linear
-    "q_hll_serve",
+    // shuffle must stay ~FLAT at ×10 where the exact rider is linear;
+    // the incremental fold doubles the register build but merges
+    // ≤2m rows per type — also ~flat by construction
+    "q_hll_serve", "q_hll_incremental",
     "q_quantile_hist", "q_zorder_layout", "q_bloom_join", "q_bloom_join_off",
     // round-5 tail: deepened user histories stress the funnel/retention
     // windows; twin cliques stress containment's capped buckets; the

@@ -758,10 +758,26 @@ object Analytics {
     * (exact int64 — a different value in any register moves it), so
     * the gate still covers the full register state, just not the
     * true cardinality. */
-  def qHllServe(spark: SparkSession, dir: String): DataFrame = {
-    val regs = hllRows(Tables.events(spark, dir))
-      .groupBy(col("event_type"), col("bucket"))
+  def qHllServe(spark: SparkSession, dir: String): DataFrame =
+    hllServeFromRegs(hllRegState(Tables.events(spark, dir)))
+
+  /** The register table over any events frame — the sketch's
+    * PERSISTED STATE: (event_type, bucket, m_b), ≤ m rows per type. */
+  private[graft] def hllRegState(events: DataFrame): DataFrame =
+    hllRows(events).groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rho")).as("m_b"))
+
+  /** Register merge — registers are a max-monoid, so merging ANY
+    * partition of the input (days, shards, sites) is union + per-cell
+    * max, associative and commutative; state in AND out is ≤ m rows
+    * per type. */
+  def mergeHllState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("m_b")).as("m_b"))
+
+  /** Fold a register table to the serving output (shared by the full
+    * and incremental arms — identical estimate math by construction). */
+  private def hllServeFromRegs(regs: DataFrame): DataFrame =
     regs.groupBy(col("event_type"))
       .agg(
         count(lit(1)).cast("long").as("n_regs"),
@@ -772,6 +788,23 @@ object Analytics {
       .select(col("event_type"), col("n_regs"), col("zero_regs"),
         col("reg_digest"),
         (lit(HllAlphaScale) / col("srecip").cast("double")).as("hll_est"))
+
+  /** #26j3 q_hll_incremental — the INCREMENTAL-STATE arm of the
+    * sketch family (the q_agg_incremental convention applied to
+    * HLL): a standing register table over prior days plus today's
+    * batch fold to EXACTLY the full recompute's registers, because
+    * registers are a max-monoid ([[mergeHllState]]). This is the
+    * production "incremental reach" pattern — daily segments keep
+    * ≤ m rows per type of state, merge without touching raw history,
+    * and the serving output is bit-identical to rebuilding from
+    * scratch (the oracle IS the full recompute). Cost per ingest is
+    * O(batch + state), never O(corpus); the mod-5 split below stands
+    * in for the day boundary deterministically. */
+  def qHllIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val prior = hllRegState(ev.filter(col("event_id") % 5 =!= 0))
+    val batch = hllRegState(ev.filter(col("event_id") % 5 === 0))
+    hllServeFromRegs(mergeHllState(prior, batch))
   }
 
   val qHllServeSql: String =
@@ -1366,6 +1399,7 @@ object Analytics {
     "q_bloom_join" -> (qBloomJoin _),
     "q_hll_distinct" -> (qHllDistinct _),
     "q_hll_serve" -> (qHllServe _),
+    "q_hll_incremental" -> (qHllIncremental _),
     "q_range_join" -> (qRangeJoin _),
     "q_interval_count" -> (qIntervalCount _),
     "q_bucket_join" -> (qBucketJoin _),
@@ -1395,6 +1429,9 @@ object Analytics {
     "q_bloom_join" -> qBloomJoinSql,
     "q_hll_distinct" -> qHllDistinctSql,
     "q_hll_serve" -> qHllServeSql,
+    // oracle = the FULL recompute: the incremental fold must be
+    // indistinguishable (the q_agg_incremental convention)
+    "q_hll_incremental" -> qHllServeSql,
     "q_range_join" -> qRangeJoinSql,
     "q_interval_count" -> qIntervalCountSql,
     "q_bucket_join" -> qBucketJoinSql,
