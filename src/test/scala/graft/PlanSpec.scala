@@ -535,6 +535,30 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "InMemoryTableScan") >= 4, p)
   }
 
+  test("q_hll_serve: two register-sized shuffles, no join, partial agg map-side") {
+    val p = physical(Analytics.qHllServe(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    // scan → partial max per (type, bucket) BEFORE the first exchange
+    // (that collapse is the flat-shuffle claim) → register agg →
+    // type-keyed fold; nothing else — no join anywhere
+    assert(shuffles(p) === 2, p)
+    assert(nodes(p, "Join") === 0, p)
+    val firstEx = p.indexOf("Exchange")
+    assert(p.substring(firstEx).contains("partial_max") ||
+      p.substring(firstEx).contains("HashAggregate"), p)
+  }
+
+  test("q_hll_incremental: the merge is union + one agg — no join, bounded shuffles") {
+    val p = physical(Analytics.qHllIncremental(spark, sf))
+    assert(crossJoins(p) === 0, p)
+    assert(nodes(p, "Join") === 0, p)
+    // two per-branch register builds + the merged-register agg + the
+    // type fold; a join-based merge or a corpus-sized exchange would
+    // change this count
+    assert(shuffles(p) <= 4, p)
+    assert(p.contains("Union"), p)
+  }
+
   test("dd_diversity_sample: map-only simhash, one bucket shuffle") {
     val p = physical(graft.queries.Dedup.ddDiversitySample(spark, sf))
     assert(crossJoins(p) === 0, p)
