@@ -43,7 +43,11 @@ object GraphCsv {
     * String→``, Int/BigInt/BigDecimal→`0`, Boolean→`false`. Scalar
     * String/ID values also strip NUL (`toValidString`,
     * writer.go:213-215 — postgres COPY rejects NUL in text), matching
-    * the strip [[escapedStringArray]] applies per element. */
+    * the strip [[escapedStringArray]] applies per element. The
+    * reference routes BigInt/BigDecimal strings through the same
+    * strip; here those values are rendered from numeric casts, which
+    * cannot contain NUL, so the (regex) strip is confined to the
+    * string types rather than taxing every numeric cell. */
   def typedText(v: Column, graphType: String, nullable: Boolean): Column = {
     val dflt = graphType match {
       case "String" | "ID" | "Bytes"        => ""

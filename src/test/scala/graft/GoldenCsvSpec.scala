@@ -55,22 +55,24 @@ class GoldenCsvSpec extends SparkSpec {
   private def fieldsOf(fs: Field*): Map[String, Field] =
     fs.map(f => f.name -> f).toMap
 
+  private val thingDesc = EntityDesc("thing", fieldsOf(
+    Field("id", FieldType.Id, nullable = false, array = false),
+    Field("b_opt", FieldType.Bytes, nullable = true, array = false),
+    Field("b_req", FieldType.Bytes, nullable = false, array = false),
+    Field("big_req", FieldType.BigInt, nullable = false, array = false),
+    Field("dec_opt", FieldType.BigDecimal, nullable = true, array = false),
+    Field("flag_req", FieldType.Bool, nullable = false, array = false),
+    Field("hexes", FieldType.Bytes, nullable = false, array = true),
+    Field("i_opt", FieldType.Int32, nullable = true, array = false),
+    Field("slug", FieldType.Str, nullable = false, array = false),
+    Field("tags", FieldType.Str, nullable = false, array = true),
+    Field("title", FieldType.Str, nullable = true, array = false)
+  ), immutable = false)
+
   test("mutable entity serializes byte-for-byte to the hand-verified fixture") {
     import spark.implicits._
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
-    val desc = EntityDesc("thing", fieldsOf(
-      Field("id", FieldType.Id, nullable = false, array = false),
-      Field("b_opt", FieldType.Bytes, nullable = true, array = false),
-      Field("b_req", FieldType.Bytes, nullable = false, array = false),
-      Field("big_req", FieldType.BigInt, nullable = false, array = false),
-      Field("dec_opt", FieldType.BigDecimal, nullable = true, array = false),
-      Field("flag_req", FieldType.Bool, nullable = false, array = false),
-      Field("hexes", FieldType.Bytes, nullable = false, array = true),
-      Field("i_opt", FieldType.Int32, nullable = true, array = false),
-      Field("slug", FieldType.Str, nullable = false, array = false),
-      Field("tags", FieldType.Str, nullable = false, array = true),
-      Field("title", FieldType.Str, nullable = true, array = false)
-    ), immutable = false)
+    val desc = thingDesc
     val rows = Seq(
       ("e-1", 100L, Option(250L), Option(b(0xDE, 0xAD)), b(0x00, 0xFF),
         Option("123456789012345678901234567890"), Option("1.5"),
@@ -87,6 +89,68 @@ class GoldenCsvSpec extends SparkSpec {
       "dec_opt", "flag_req", "hexes", "i_opt", "slug", "tags", "title")
     assert(writtenCsv(CsvSerializer.serialize(rows, desc)) ===
       golden("thing.csv"))
+  }
+
+  test("reader round-trip: fixture -> typed rows -> re-serialized CSV is byte-identical") {
+    // read the committed golden file back through GraphCsvReader, then
+    // re-serialize: serialize ∘ read must be the identity on the TEXT
+    // (the format-level inverse gate — any drift in hex case, array
+    // escaping, NULL text, range brackets, or quoting breaks it)
+    val desc = thingDesc
+    val tmp = Files.createTempDirectory("golden_rt").toFile
+    tmp.deleteOnExit()
+    val src = tmp.getAbsolutePath + "/thing.csv"
+    Files.writeString(Paths.get(src), golden("thing.csv"))
+    val typed = graft.sources.GraphCsvReader.read(spark, src, desc)
+    assert(writtenCsv(CsvSerializer.serialize(typed, desc)) ===
+      golden("thing.csv"))
+    // and the typed values themselves parse correctly
+    val rows = typed.orderBy(org.apache.spark.sql.functions.col("id"))
+      .collect()
+    assert(rows.length === 2)
+    val r1 = rows(0)
+    assert(r1.getAs[String]("id") === "e-1")
+    assert(r1.getAs[Long]("start_block") === 100L)
+    assert(r1.getAs[Long]("end_block") === 250L)
+    assert(r1.getAs[Array[Byte]]("b_req").toSeq === Seq(0x00.toByte, 0xFF.toByte))
+    assert(r1.getAs[Seq[Array[Byte]]]("hexes").map(_.toSeq) ===
+      Seq(Seq(0xAA.toByte), Seq(0x0B.toByte)))
+    assert(r1.getAs[Seq[String]]("tags") ===
+      Seq("plain", "with,comma", "back\\slash", "nulchar"))
+    assert(r1.getAs[String]("title") === "Hello, \"World\"\nnext")
+    assert(r1.getAs[String]("big_req") === "123456789012345678901234567890")
+    assert(r1.getAs[Boolean]("flag_req") === true)
+    assert(r1.getAs[Int]("i_opt") === 42)
+    val r2 = rows(1)
+    assert(r2.getAs[String]("id") === "e-2x")
+    assert(r2.isNullAt(r2.fieldIndex("end_block"))) // live row: [300,)
+    assert(r2.isNullAt(r2.fieldIndex("b_opt")))
+    assert(r2.isNullAt(r2.fieldIndex("title")))
+    assert(r2.isNullAt(r2.fieldIndex("i_opt")))
+    assert(r2.getAs[Seq[String]]("tags") === Seq.empty)
+    assert(r2.getAs[Seq[Array[Byte]]]("hexes") === Seq.empty)
+  }
+
+  test("string-array unescape inverts the writer escaping on adversarial values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // every nasty shape: separators, escapes, runs of backslashes,
+    // braces, quotes, empties — NUL is excluded because the WRITER
+    // strips it (that guarantee is what makes the parse exact).
+    // Seq("") is excluded as a FORMAT property, not a parser one: the
+    // writer renders both [] and [""] as `{}` (the reference's loader
+    // has the same collapse), so the reader reads `{}` as [].
+    val cases = Seq(
+      Seq("a", "b"), Seq("", ""), Seq(","), Seq("\\"),
+      Seq("\\,"), Seq("\\\\"), Seq("a,b", "c\\d"), Seq("{x}", "}{"),
+      Seq("a\\", "\\b"), Seq("\"q\"", "line\nbreak"),
+      Seq("\\\\\\", ",,,"), Seq("end\\"))
+    cases.foreach { c =>
+      val df = Seq(Tuple1(c)).toDF("arr")
+      val rt = df.select(graft.sources.GraphCsvReader.stringArray(
+        graft.functions.GraphCsv.escapedStringArray(col("arr"))).as("rt"))
+      assert(rt.collect().head.getAs[Seq[String]]("rt") === c, s"case $c")
+    }
   }
 
   test("immutable entity serializes byte-for-byte to the hand-verified fixture") {
