@@ -371,4 +371,24 @@ class PropertySpec extends SparkSpec {
       assert(got.toSeq === want, s"edges=$es")
     }
   }
+
+  test("property: graph-CSV string-array unescape inverts the writer on random values") {
+    // elements drawn heavy on the escape alphabet (backslash, comma,
+    // braces, quotes, newline); NUL excluded (the writer strips it)
+    // and the lone-[""] array excluded (the format renders [] and
+    // [""] identically — documented, shared with the reference)
+    val elemGen = Gen.listOf(Gen.frequency(
+      4 -> Gen.oneOf('\\', ','),
+      2 -> Gen.oneOf('{', '}', '"', '\n'),
+      6 -> Gen.alphaNumChar)).map(_.mkString)
+    val arrGen = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, elemGen))
+      .suchThat(a => a != List(""))
+    forAll(arrGen, n = 60) { a =>
+      val rt = Seq(Tuple1(a)).toDF("arr")
+        .select(graft.sources.GraphCsvReader.stringArray(
+          GraphCsv.escapedStringArray(col("arr"))).as("rt"))
+        .collect().head.getSeq[String](0).toList
+      assert(rt === a, s"array $a")
+    }
+  }
 }
