@@ -107,7 +107,16 @@ object GraphCsvReader {
 
   /** Read a written CSV bundle (one file or a directory of bundles)
     * into typed entity rows. The options mirror the writer's Go-csv
-    * conventions (quote `"`, doubled-quote escape, header row). */
+    * conventions (quote `"`, doubled-quote escape, header row).
+    *
+    * Scale note: `multiLine` CSVs are not SPLITTABLE — Spark reads
+    * each file in one task (a quoted field may span any byte
+    * boundary, so there is no safe intra-file split point). That is
+    * the right trade here BY CONSTRUCTION of the store: the bundle
+    * layout bounds every file to one block range
+    * ([[graft.operators.Bundler]]), so a 100 TB store is millions of
+    * bounded files and the scan parallelizes across FILES — the same
+    * unit the reference's loader streams one COPY at a time. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String,
            desc: EntityDesc): DataFrame = {
     val raw = spark.read
