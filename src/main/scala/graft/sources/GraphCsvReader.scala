@@ -87,8 +87,18 @@ object GraphCsvReader {
       case (FieldType.Bool, false)       => raw.cast("boolean")
       case (_, false)                    => raw
     }
-    val v = if (f.nullable) when(raw === "NULL", lit(null)).otherwise(parsed)
-      else parsed
+    val v =
+      if (f.nullable) when(raw === "NULL", lit(null)).otherwise(parsed)
+      else (f.fieldType, f.array) match {
+        // FORCE_NOT_NULL semantics: an empty cell in a non-nullable
+        // column loads as the EMPTY value, never SQL null (postgres
+        // COPY with the inject_csv.go:88-106 column set does the
+        // same). Only String/Bytes can legitimately serialize empty —
+        // the writer emits 0 / false / {…} for every other type.
+        case (FieldType.Str | FieldType.Id, false) => coalesce(parsed, lit(""))
+        case (FieldType.Bytes, false) => coalesce(parsed, lit(Array.empty[Byte]))
+        case _ => parsed
+      }
     v.as(f.name)
   }
 

@@ -129,6 +129,10 @@ class GoldenCsvSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("i_opt")))
     assert(r2.getAs[Seq[String]]("tags") === Seq.empty)
     assert(r2.getAs[Seq[Array[Byte]]]("hexes") === Seq.empty)
+    // FORCE_NOT_NULL: the empty slug cell reads as '' — a VALUE,
+    // never SQL null (what postgres COPY loads for this column set)
+    assert(!r2.isNullAt(r2.fieldIndex("slug")))
+    assert(r2.getAs[String]("slug") === "")
   }
 
   test("string-array unescape inverts the writer escaping on adversarial values") {
