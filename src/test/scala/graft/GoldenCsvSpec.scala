@@ -135,6 +135,34 @@ class GoldenCsvSpec extends SparkSpec {
     assert(r2.getAs[String]("slug") === "")
   }
 
+  test("reader handles a multi-file bundle directory (per-file headers)") {
+    // a store is MANY bundle files, each with its own header row —
+    // the read must union them and drop every header
+    val tmp = Files.createTempDirectory("golden_dir").toFile
+    tmp.deleteOnExit()
+    val txt = golden("thing.csv")
+    val (head, rows) = {
+      val i = txt.indexOf('\n')
+      (txt.substring(0, i + 1), txt.substring(i + 1))
+    }
+    // split the two records across two "bundles" (record 2 is the
+    // final line; record 1 spans a quoted newline)
+    val r2start = rows.lastIndexOf("e-2x,")
+    Files.writeString(Paths.get(tmp.getPath, "0000000000-0000000999.csv"),
+      head + rows.substring(0, r2start))
+    Files.writeString(Paths.get(tmp.getPath, "0000001000-0000001999.csv"),
+      head + rows.substring(r2start))
+    val typed = graft.sources.GraphCsvReader.read(spark, tmp.getPath, thingDesc)
+    assert(typed.count() === 2)
+    assert(typed.select("id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("e-1", "e-2x"))
+    // still byte-faithful after the union: re-serialized rows (sorted
+    // by id) equal the fixture's data lines
+    val reser = writtenCsv(CsvSerializer.serialize(
+      typed.orderBy(org.apache.spark.sql.functions.col("id")), thingDesc))
+    assert(reser === txt)
+  }
+
   test("string-array unescape inverts the writer escaping on adversarial values") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
