@@ -57,6 +57,38 @@ object EntityChangeStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(squash)
   }
 
+  /** A persisted store's LIVE row: an SCD2 version with no end block
+    * (`[start,)` in the graph-CSV rendering). */
+  case class OpenRow(id: String, startBlock: Long, value: Double)
+
+  /** RESUME-FROM-STORE bootstrap: the squash stream seeded with the
+    * open versions of an existing store — batch SCD2's
+    * `end_block IS NULL` rows, or a bundle-store read
+    * ([[graft.sources.GraphCsvReader]]) filtered to its `[start,)`
+    * rows. A restarted sink continues exactly where the store left
+    * off: the first change for a known id CLOSES the store's live
+    * version (emitting it) instead of silently starting history over
+    * — the streaming analogue of the reference loader resuming from
+    * its bundle ranges rather than block 0 (inject_csv.go:305-340).
+    *
+    * Scale: the initial state loads through the same id-hash
+    * partitioning as the state store itself — one co-partitioned
+    * pass, no driver materialization; thereafter identical to
+    * [[closedVersions]]. Gated by the handshake spec: prefix-batch
+    * SCD2 + bootstrapped stream over the suffix ==
+    * full-history SCD2, closed row for closed row. */
+  def closedVersionsFrom(changes: Dataset[Change],
+                         open: Dataset[OpenRow]): Dataset[Version] = {
+    implicit val oe = Encoders.product[OpenVersion]
+    implicit val ve = Encoders.product[Version]
+    val init = open.groupByKey(_.id)(Encoders.STRING)
+      .mapValues(r => OpenVersion(r.startBlock, r.value))
+    changes
+      .groupByKey(_.id)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout(), init)(squash)
+  }
+
   // -------------------------------------------------------------------
   // Undo / reorg path (SURVEY.md §2 #39b)
   //

@@ -41,6 +41,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("store-bootstrapped stream: prefix batch + seeded suffix stream == full history") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import EntityChangeStream.OpenRow
+    // split history at a block boundary: the prefix is "the store",
+    // the suffix is the live feed a restarted sink consumes
+    val all = allChanges
+    val splitBlock = all.map(_.blockNum).distinct.sorted
+      .apply(all.map(_.blockNum).distinct.length / 2)
+    val (prefix, suffix) = all.partition(_.blockNum < splitBlock)
+    // batch SCD2 over the prefix = the persisted store; its live rows
+    // (end_block null) seed the stream, its closed rows are already
+    // on disk
+    val store = graft.operators.EntityVersioner.scd2Versions(
+      prefix.toDF("id", "block_num", "op", "value"))
+    val storeClosed = store.filter(col("end_block").isNotNull).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+        r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+    val open = store.filter(col("end_block").isNull)
+      .select(col("id"), col("start_block"), col("value")).collect()
+      .map(r => OpenRow(r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(open.nonEmpty) // the handshake is vacuous without live rows
+    val input = MemoryStream[Change]
+    val q = EntityChangeStream.closedVersionsFrom(input.toDS(), open.toDS())
+      .writeStream.format("memory").queryName("resumed_versions")
+      .outputMode("append").start()
+    try {
+      suffix.grouped(math.max(suffix.length / 3, 1)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val streamed = spark.table("resumed_versions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      // a version SPANNING the split must close with its store-side
+      // start block — proof the seed was actually consulted
+      assert(streamed.exists { case (_, s, e, _) => s < splitBlock && e >= splitBlock })
+      val want = GraphLoad.glScd2Versions(spark, sf)
+        .filter(col("end_block").isNotNull).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+          r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+      assert(storeClosed ++ streamed === want)
+      assert((storeClosed & streamed).isEmpty) // no double emission
+    } finally q.stop()
+  }
+
   test("reorg stream emits exactly the batch SCD2 closed versions of the canonical chain") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
