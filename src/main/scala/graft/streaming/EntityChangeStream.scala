@@ -185,4 +185,28 @@ object EntityChangeStream {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(squashWithUndo)
   }
+
+  /** [[closedVersionsFrom]] for the reorg-aware path — the resume a
+    * PRODUCTION deployment actually runs: each store live row becomes
+    * one open segment of initial [[ReorgState]]. The store's rows are
+    * final by construction (they were emitted behind the reorg
+    * horizon, or loaded by the batch pipeline over final blocks), so
+    * the seeded open segment's start is at or below the resumed
+    * cursor — an UNDO can roll back anything delivered AFTER the
+    * resume but never below the store head, the same cursor contract
+    * [[squashWithUndo]]'s late-row guard enforces. Gated by the
+    * handshake spec with undo traps inside the resumed suffix. */
+  def closedVersionsWithUndoFrom(changes: Dataset[SeqChange],
+                                 reorgThresholdBlocks: Long,
+                                 open: Dataset[OpenRow]): Dataset[Version] = {
+    implicit val se = Encoders.product[ReorgState]
+    implicit val ve = Encoders.product[Version]
+    val init = open.groupByKey(_.id)(Encoders.STRING)
+      .mapValues(r => ReorgState(Seq(Segment(r.startBlock, r.value, None))))
+    changes
+      .withWatermark("ts", s"$reorgThresholdBlocks seconds")
+      .groupByKey(_.id)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout(), init)(squashWithUndo)
+  }
 }

@@ -139,6 +139,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("reorg-aware resume: store-seeded stream survives an undo and matches canonical batch") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import EntityChangeStream.{OpenRow, SeqChange, blockTs, undoFor}
+    def ch(id: String, seq: Long, b: Long, op: String, v: Double) =
+      SeqChange(id, seq, b, op, v, blockTs(b))
+    // the persisted store: canonical, FINAL history below block 5
+    val storeClosed = Set(("u1", 1L, 4L, 1.0))
+    val open = Seq(OpenRow("u1", 4, 1.1), OpenRow("u2", 2, 2.0))
+    val input = MemoryStream[SeqChange]
+    val q = EntityChangeStream.closedVersionsWithUndoFrom(
+        input.toDS(), reorgThresholdBlocks = 5, open.toDS())
+      .writeStream.format("memory").queryName("resumed_undo_versions")
+      .outputMode("append").start()
+    try {
+      // the resumed feed forks (blocks 8-9), reorgs back to 7, then
+      // delivers the canonical replacements — the seeded segments must
+      // close with their STORE-side starts and the fork never emit
+      input.addData(Seq(ch("u1", 1, 8, "UPDATE", 1.2), ch("u2", 2, 9, "UPDATE", 2.1)))
+      q.processAllAvailable()
+      input.addData(undoFor(Seq("u1", "u2"), seq = 3, lastValidBlock = 7))
+      q.processAllAvailable()
+      input.addData(Seq(ch("u1", 4, 8, "UPDATE", 5.1), ch("u2", 5, 9, "DELETE", 0.0),
+        ch("u1", 6, 13, "DELETE", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ch("zz", 7, 40, "CREATE", 0.0))); q.processAllAvailable()
+      input.addData(Seq(ch("zz", 8, 41, "UPDATE", 0.0))); q.processAllAvailable()
+      val streamed = spark.table("resumed_undo_versions")
+        .as[EntityChangeStream.Version].collect()
+        .map(v => (v.id, v.startBlock, v.endBlock, v.value)).toSet
+      val canonical = Seq(
+        ("u1", 1L, "CREATE", 1.0), ("u1", 4L, "UPDATE", 1.1),
+        ("u2", 2L, "CREATE", 2.0), ("u1", 8L, "UPDATE", 5.1),
+        ("u2", 9L, "DELETE", 0.0), ("u1", 13L, "DELETE", 0.0)
+      ).toDF("id", "block_num", "op", "value")
+      val want = graft.operators.EntityVersioner.scd2Versions(canonical)
+        .filter(col("end_block").isNotNull).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+          r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+      assert(storeClosed ++ streamed === want)
+      // a split-spanning version closed from its STORE-side start
+      assert(streamed.contains(("u1", 4L, 8L, 1.1)))
+      // fork values rolled back by the undo never reached the output
+      assert(!streamed.exists { case (_, _, _, v) => v == 1.2 || v == 2.1 })
+    } finally q.stop()
+  }
+
   test("late rows below the watermark cannot rewrite finalized streaming state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
