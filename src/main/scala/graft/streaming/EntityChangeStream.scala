@@ -58,7 +58,11 @@ object EntityChangeStream {
   }
 
   /** A persisted store's LIVE row: an SCD2 version with no end block
-    * (`[start,)` in the graph-CSV rendering). */
+    * (`[start,)` in the graph-CSV rendering). Input contract for the
+    * seeded streams: AT MOST ONE live row per id — the SCD2 store
+    * invariant itself (two open versions of one entity is a corrupt
+    * store; Spark rejects duplicate initial-state keys rather than
+    * silently picking one, which is the failure mode we want). */
   case class OpenRow(id: String, startBlock: Long, value: Double)
 
   /** RESUME-FROM-STORE bootstrap: the squash stream seeded with the
