@@ -207,6 +207,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Map(1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
   }
 
+  test("HLL register state: empty inputs and asymmetric merges behave as a monoid") {
+    import graft.queries.Analytics
+    val empty = Seq.empty[(String, Long, java.sql.Timestamp)]
+      .toDF("event_type", "user_id", "ts")
+    val some = Seq(
+      ("click", 1L, new java.sql.Timestamp(1700000000000L)),
+      ("click", 2L, new java.sql.Timestamp(1700000000000L)),
+      ("view", 1L, new java.sql.Timestamp(1700090000000L)))
+      .toDF("event_type", "user_id", "ts")
+    val e = Analytics.hllRegState(empty)
+    val s = Analytics.hllRegState(some)
+    assert(e.count() === 0)
+    val sRegs = s.collect().map(_.toSeq).toSet
+    // empty is the identity on BOTH sides; self-merge is idempotent
+    assert(Analytics.mergeHllState(e, s).collect().map(_.toSeq).toSet === sRegs)
+    assert(Analytics.mergeHllState(s, e).collect().map(_.toSeq).toSet === sRegs)
+    assert(Analytics.mergeHllState(s, s).collect().map(_.toSeq).toSet === sRegs)
+    // disjoint types union without interference
+    val other = Seq(("buy", 9L, new java.sql.Timestamp(1700000000000L)))
+      .toDF("event_type", "user_id", "ts")
+    val merged = Analytics.mergeHllState(s, Analytics.hllRegState(other))
+    assert(merged.select("event_type").distinct().count() === 3)
+    assert(merged.filter($"event_type" === "click").count() ===
+      s.filter($"event_type" === "click").count())
+  }
+
   test("shuffle-shard of an empty and a single-doc frame") {
     import graft.queries.Analytics
     val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_chars")
