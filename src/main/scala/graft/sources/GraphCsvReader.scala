@@ -26,6 +26,10 @@ import org.apache.spark.sql.functions._
   *     literal word "NULL" does not round-trip in either system;
   *   - non-nullable fields are taken verbatim (the FORCE_NOT_NULL
   *     set), so `` / `0` / `false` read as values, never null;
+  *   - a NULLABLE field holding an EMPTY string collapses to null
+  *     (the writer renders both as an empty cell; postgres COPY
+  *     outside FORCE_NOT_NULL loads that cell as NULL — same
+  *     collapse, same direction);
   *   - NUL characters were stripped at write time (writer.go:213-215),
   *     which is what makes NUL safe as the unescape sentinel below.
   */
