@@ -25,6 +25,26 @@ import org.apache.spark.sql.functions._
   */
 object CsvSerializer {
 
+  /** Canonical `df.write.csv` options for the graph-node CSV
+    * conventions (Go `encoding/csv` parity — writer.go's csv layer):
+    *   - quote `"`, escaped by doubling (Go csv);
+    *   - empty fields written bare, not `""`;
+    *   - NO whitespace trimming: Spark's CSV writer TRIMS
+    *     leading/trailing whitespace by default
+    *     (`ignoreLeading/TrailingWhiteSpace=true`), silently
+    *     corrupting whitespace-edged strings the reference writes
+    *     verbatim — found by the randomized round-trip spec.
+    * Remaining known divergence (byte-level only, value-identical
+    * under any CSV parse incl. postgres COPY): Go csv QUOTES a field
+    * with leading whitespace or the literal `\.`; univocity writes
+    * them bare. */
+  val writeOptions: Map[String, String] = Map(
+    "header" -> "true",
+    "escape" -> "\"",
+    "emptyValue" -> "",
+    "ignoreLeadingWhiteSpace" -> "false",
+    "ignoreTrailingWhiteSpace" -> "false")
+
   /** The CSV header for an entity (writer.go:142-156). */
   def header(desc: EntityDesc): Seq[String] =
     Seq("id", if (desc.immutable) "block$" else "block_range") ++
