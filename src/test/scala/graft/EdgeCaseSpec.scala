@@ -207,6 +207,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(got === Map(1L -> Analytics.PrScale, 2L -> Analytics.PrScale))
   }
 
+  test("pagerank at the snapshot boundary (iters == PrSnapEvery) matches the recurrence") {
+    import graft.queries.Analytics
+    // iters exactly at the cadence: the would-be snapshot on the LAST
+    // round is suppressed (it < iters fails) — values must be
+    // unaffected either side of the boundary
+    val es = (0L until 12L).map(i => (i, (i + 5) % 12))
+    val und = (es ++ es.map(_.swap)).groupBy(identity)
+      .map { case (e, os) => e -> os.length.toLong }
+    val deg = und.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val edgesDf = und.toSeq.map { case ((s, d), w) => (s, d, w, deg(s)) }
+      .toDF("src", "dst", "w", "deg")
+    Seq(Analytics.PrSnapEvery, Analytics.PrSnapEvery + 1).foreach { iters =>
+      val nodes = deg.keySet
+      val base = 15L * Analytics.PrScale / 100L
+      var r = nodes.map(_ -> Analytics.PrScale).toMap
+      for (_ <- 1 to iters) {
+        val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (((s, d), w) <- und) in(d) += w * (r(s) / deg(s))
+        r = nodes.map(v => v -> (base + (85L * in(v)) / 100L)).toMap
+      }
+      val want = r.toSeq.sortBy { case (n, rk) => (-rk, n) }
+      val got = Analytics.pagerank(edgesDf, iters, 1000).collect()
+        .map(x => (x.getAs[Long]("node"), x.getAs[Long]("rank_scaled")))
+      assert(got.toSeq === want, s"iters=$iters")
+    }
+  }
+
   test("HLL register state: empty inputs and asymmetric merges behave as a monoid") {
     import graft.queries.Analytics
     val empty = Seq.empty[(String, Long, java.sql.Timestamp)]
