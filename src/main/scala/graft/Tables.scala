@@ -55,13 +55,23 @@ object Tables {
     * ~30-50 ms of pure per-query floor at any scale. The logical
     * plan (including the resolved file index + schema) is immutable,
     * so memoize it per (session, dir/table); a rewritten dir gets a
-    * new key (the harnesses write derived corpora to fresh dirs), and
-    * `SessionMemo.invalidate(s, "$dir/$name.parquet", "tables")` is
-    * the in-place-rewrite escape hatch. */
+    * new key (the harnesses write derived corpora to fresh dirs).
+    *
+    * In-place rewrites are detected by folding the table directory's
+    * mtime into the memo key: an `overwrite` write replaces the
+    * directory contents, bumping its mtime, so the next read builds a
+    * fresh file index instead of serving the stale one (one local
+    * stat per call — no Spark job). Paths a local stat cannot see
+    * (object-store URIs on a real cluster) fold in 0 and keep the
+    * immutable-dir contract; `SessionMemo.invalidate(s, key,
+    * "tables")` remains the explicit escape hatch there. */
   private val readMemo = SessionMemo.named[DataFrame]("tables")
 
-  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
-    readMemo.getOrBuild(spark, s"$dir/$name.parquet") {
-      spark.read.parquet(s"$dir/$name.parquet")
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val mtime = try new java.io.File(path).lastModified catch { case _: Exception => 0L }
+    readMemo.getOrBuild(spark, s"$path@$mtime") {
+      spark.read.parquet(path)
     }
+  }
 }

@@ -802,8 +802,13 @@ object Analytics {
     * in for the day boundary deterministically. */
   def qHllIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-    val prior = hllRegState(ev.filter(col("event_id") % 5 =!= 0))
-    val batch = hllRegState(ev.filter(col("event_id") % 5 === 0))
+    // null-safe split: a null event_id fails BOTH `% 5 =!= 0` and
+    // `% 5 === 0`, which would drop the row from both arms while the
+    // full-recompute oracle keeps it — coalesce makes the two arms a
+    // true partition of the corpus on any input
+    val splitKey = coalesce(col("event_id"), lit(0L)) % 5
+    val prior = hllRegState(ev.filter(splitKey =!= 0))
+    val batch = hllRegState(ev.filter(splitKey === 0))
     hllServeFromRegs(mergeHllState(prior, batch))
   }
 
@@ -1290,10 +1295,21 @@ object Analytics {
     * persisted at a time (each round releases its predecessor). */
   val PrSnapEvery = 8
 
+  /** The final snapshot RDD of each [[pagerank]] run, per session: the
+    * returned frame reads it lazily, so it cannot be unpersisted inside
+    * the call — instead the NEXT pagerank call on the same session
+    * releases it (a long-lived session holds at most one |V|-row
+    * snapshot, not one per call; the last one is reclaimed at session
+    * close / by ContextCleaner). A previous call's still-unconsumed
+    * frame stays correct after release — the RDD lineage replays. */
+  private val prLastSnap = new scala.collection.concurrent.TrieMap[
+    SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
+
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                topK: Int): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = edges.sparkSession
+    prLastSnap.remove(spark).foreach(_.unpersist(blocking = false))
     val base = 15L * PrScale / 100L
     var rank = nodes.withColumn("r", lit(PrScale))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
@@ -1311,6 +1327,7 @@ object Analytics {
         rank = spark.createDataFrame(r, rank.schema)
       }
     }
+    if (prevRdd != null) prLastSnap.put(spark, prevRdd): Unit
     rank.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
   }

@@ -127,7 +127,14 @@ object EntityChangeStream {
                        value: Double, ts: Timestamp)
   /** One version segment held in state; `endBlock` None while open. */
   case class Segment(startBlock: Long, value: Double, endBlock: Option[Long])
-  case class ReorgState(segments: Seq[Segment])
+  /** `floor` is the per-key rollback floor: the seeded store head's
+    * start block for resumed keys (0 for keys first seen live). Store
+    * rows are final by construction, so no undo may roll state back
+    * below it — [[squashWithUndo]] clamps undo signals to this floor,
+    * making the store-head invariant guard-enforced rather than an
+    * input-contract assumption (the watermark alone cannot protect the
+    * seed: at resume the watermark restarts at 0). */
+  case class ReorgState(segments: Seq[Segment], floor: Long = 0L)
 
   /** Event-time encoding: block N = N seconds since epoch. */
   def blockTs(blockNum: Long): Timestamp = new Timestamp(blockNum * 1000L)
@@ -143,7 +150,9 @@ object EntityChangeStream {
   def squashWithUndo(id: String, changes: Iterator[SeqChange],
                      state: GroupState[ReorgState]): Iterator[Version] = {
     val finalBlock = state.getCurrentWatermarkMs() / 1000L
-    var segs = state.getOption.map(_.segments.toVector).getOrElse(Vector.empty)
+    val prior = state.getOption
+    var segs = prior.map(_.segments.toVector).getOrElse(Vector.empty)
+    val floor = prior.map(_.floor).getOrElse(0L)
     // explicit late-row guard (flatMapGroupsWithState does not drop
     // late data): a change at-or-below the finality horizon, or an
     // undo rolling back BELOW it, would rewrite versions already
@@ -154,8 +163,11 @@ object EntityChangeStream {
         (c.op == "UNDO" && c.blockNum >= finalBlock))
       .toSeq.sortBy(_.seq).foreach { c =>
       if (c.op == "UNDO") {
-        segs = segs.filter(_.startBlock <= c.blockNum).map { s =>
-          if (s.endBlock.exists(_ > c.blockNum)) s.copy(endBlock = None) else s
+        // clamp to the per-key floor: the seeded store head is final, so
+        // an undo below it rolls back only to the head, never through it
+        val b = math.max(c.blockNum, floor)
+        segs = segs.filter(_.startBlock <= b).map { s =>
+          if (s.endBlock.exists(_ > b)) s.copy(endBlock = None) else s
         }
       } else {
         segs = segs.map(s => if (s.endBlock.isEmpty) s.copy(endBlock = Some(c.blockNum)) else s)
@@ -164,7 +176,7 @@ object EntityChangeStream {
     }
     val (fin, keep) = segs.partition(_.endBlock.exists(_ <= finalBlock))
     if (keep.nonEmpty) {
-      state.update(ReorgState(keep))
+      state.update(ReorgState(keep, floor))
       // wake this key when its earliest pending close becomes final, so
       // idle ids still flush as the watermark advances
       keep.flatMap(_.endBlock).sorted.headOption.foreach { e =>
@@ -195,18 +207,21 @@ object EntityChangeStream {
     * one open segment of initial [[ReorgState]]. The store's rows are
     * final by construction (they were emitted behind the reorg
     * horizon, or loaded by the batch pipeline over final blocks), so
-    * the seeded open segment's start is at or below the resumed
-    * cursor — an UNDO can roll back anything delivered AFTER the
-    * resume but never below the store head, the same cursor contract
-    * [[squashWithUndo]]'s late-row guard enforces. Gated by the
-    * handshake spec with undo traps inside the resumed suffix. */
+    * an UNDO may roll back anything delivered AFTER the resume but
+    * never below the store head. This is GUARD-ENFORCED, not assumed:
+    * each seeded key carries its store-head start as a rollback floor
+    * in [[ReorgState]], and [[squashWithUndo]] clamps undo signals to
+    * it (the watermark restarts at 0 on resume, so the late-row guard
+    * alone cannot protect the seed). Gated by the handshake spec with
+    * undo traps inside the resumed suffix, including an undo aimed
+    * below the store head. */
   def closedVersionsWithUndoFrom(changes: Dataset[SeqChange],
                                  reorgThresholdBlocks: Long,
                                  open: Dataset[OpenRow]): Dataset[Version] = {
     implicit val se = Encoders.product[ReorgState]
     implicit val ve = Encoders.product[Version]
     val init = open.groupByKey(_.id)(Encoders.STRING)
-      .mapValues(r => ReorgState(Seq(Segment(r.startBlock, r.value, None))))
+      .mapValues(r => ReorgState(Seq(Segment(r.startBlock, r.value, None)), r.startBlock))
     changes
       .withWatermark("ts", s"$reorgThresholdBlocks seconds")
       .groupByKey(_.id)(Encoders.STRING)

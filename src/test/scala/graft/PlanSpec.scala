@@ -584,6 +584,7 @@ class PlanSpec extends SparkSpec {
     // one exchange ABOVE the cache (the TrainDims-key agg); the
     // exchanges inside the InMemoryRelation dump are the one-time
     // build plan, not per-round work
+    assert(p.contains("InMemoryRelation"), p)
     assert(shuffles(p.substring(0, p.indexOf("InMemoryRelation"))) === 1, p)
   }
 

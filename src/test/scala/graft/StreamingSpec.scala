@@ -186,6 +186,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("an undo aimed below the store head is clamped to the seeded floor") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import EntityChangeStream.{OpenRow, SeqChange, blockTs, undoFor}
+    def ch(id: String, seq: Long, b: Long, op: String, v: Double) =
+      SeqChange(id, seq, b, op, v, blockTs(b))
+    // store head: u1 live since block 4 — FINAL by construction. An
+    // undo claiming last-valid-block 2 (below the head) must roll back
+    // only to the head: the seeded segment survives and later closes
+    // from its store-side start, instead of being silently dropped
+    // (at resume the watermark is 0, so only the floor protects it).
+    val open = Seq(OpenRow("u1", 4, 1.1))
+    val input = MemoryStream[SeqChange]
+    val q = EntityChangeStream.closedVersionsWithUndoFrom(
+        input.toDS(), reorgThresholdBlocks = 5, open.toDS())
+      .writeStream.format("memory").queryName("floor_undo_versions")
+      .outputMode("append").start()
+    try {
+      // fork + too-deep undo in the FIRST micro-batch: the watermark is
+      // still 0 here, so the late-row guard alone cannot reject the
+      // undo — only the seeded floor stands between it and the store
+      input.addData(Seq(ch("u1", 1, 8, "UPDATE", 1.2)) ++
+        undoFor(Seq("u1"), seq = 2, lastValidBlock = 2))
+      q.processAllAvailable()
+      input.addData(Seq(ch("u1", 3, 9, "UPDATE", 5.1), ch("u1", 4, 13, "DELETE", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq(ch("zz", 5, 40, "CREATE", 0.0))); q.processAllAvailable()
+      input.addData(Seq(ch("zz", 6, 41, "UPDATE", 0.0))); q.processAllAvailable()
+      val streamed = spark.table("floor_undo_versions")
+        .as[EntityChangeStream.Version].collect()
+        .map(v => (v.id, v.startBlock, v.endBlock, v.value)).toSet
+      // the seeded segment closed from its store-side start (survived
+      // the too-deep undo), the fork never emitted, the continuation
+      // stitched on top — exactly canonical batch over the store head
+      assert(streamed === Set(("u1", 4L, 9L, 1.1), ("u1", 9L, 13L, 5.1)))
+    } finally q.stop()
+  }
+
   test("late rows below the watermark cannot rewrite finalized streaming state") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
