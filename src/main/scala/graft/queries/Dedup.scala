@@ -542,8 +542,66 @@ object Dedup {
     *
     * Invariant used by the jump join: every label value is some node's
     * doc_id (init is self; every update is a min over node labels), so
-    * the label table always resolves `cluster_id` as a `doc_id`. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * the label table always resolves `cluster_id` as a `doc_id`.
+    *
+    * SMALL-GRAPH FAST PATH: graphs at or under [[CcDriverMaxEdges]]
+    * directed edges skip the loop entirely and close on the driver
+    * ([[driverUnionFind]]) — same labels, one job instead of ~4 per
+    * round. The edge count picks the engine, so the decision is
+    * data-driven, never a config the 100 TB path could misread. */
+  /** Directed-edge-count threshold below which [[connectedComponents]]
+    * finishes the closure with a bounded DRIVER union-find instead of
+    * the distributed pointer-jumping loop. The loop's per-round cost is
+    * jobs and stages (snap() persists, a join and two aggregations per
+    * round) — pure fixed cost when the graph is small, and the
+    * dominant wall of dd_cluster_incremental, whose contracted ingest
+    * graph is O(batch + touched components) BY CONSTRUCTION (the
+    * production case: a daily batch against a standing state). At
+    * 2^18 directed edges the collect is ≤4 MB of longs — squarely
+    * inside the documented bounded-collect contract — and anything
+    * bigger takes the distributed loop, so the 100 TB path is
+    * unchanged. */
+  val CcDriverMaxEdges: Long = 1L << 18
+
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs, CcDriverMaxEdges)
+
+  /** Driver union-find over a collected edge list, union-BY-MIN: a
+    * union always attaches the larger root beneath the smaller, so
+    * every tree's root IS its component's minimum id and the label
+    * readoff is just find(). Path compression keeps the scan
+    * near-linear; input is gated to ≤ [[CcDriverMaxEdges]] rows. */
+  private[graft] def driverUnionFind(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keysIterator.map(n => (n, find(n))).toArray
+  }
+
+  private[graft] def connectedComponents(pairs: DataFrame,
+                                         driverMaxEdges: Long): DataFrame =
+    closure(pairs, driverMaxEdges) match {
+      case Left(labels) => pairs.sparkSession.createDataFrame(labels.toSeq)
+        .toDF("doc_id", "cluster_id")
+      case Right(df) => df
+    }
+
+  /** [[connectedComponents]] with the closure ENGINE exposed: `Left`
+    * carries the driver union-find's label array (callers can fold the
+    * tiny label table into codegen'd literal lookups instead of
+    * broadcast joins), `Right` the distributed loop's frame. */
+  private[graft] def closure(pairs: DataFrame,
+      driverMaxEdges: Long): Either[Array[(Long, Long)], DataFrame] = {
     import org.apache.spark.storage.StorageLevel
     // both directions in ONE pass over the pair pipeline (a union of
     // two selects would compute the whole minhash subtree twice)
@@ -553,6 +611,18 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ONE action decides the engine AND fetches the small case: a
+    // limit-guarded collect (limit+1 rows proves "too big" without
+    // counting everything); the edge pipeline materializes into the
+    // persist either way, so the distributed fallback re-reads cache
+    val probe =
+      if (driverMaxEdges + 1 <= Int.MaxValue)
+        edges.limit(driverMaxEdges.toInt + 1).collect()
+      else edges.collect()
+    if (probe.length <= driverMaxEdges) {
+      edges.unpersist(blocking = false)
+      return Left(driverUnionFind(probe.map(r => (r.getLong(0), r.getLong(1)))))
+    }
     // snap: materialize a label frame into a PERSISTED row RDD and
     // wrap it in a fresh, constant-size logical plan. Needed because
     // the jump self-join reads the round's labels on BOTH sides, so
@@ -611,7 +681,7 @@ object Dedup {
       s"connectedComponents did not converge within $MaxCcIters rounds " +
         "(pointer-jumping CC should cover diameters past 10^6 at 25; " +
         "this indicates a non-decreasing-label bug, not a deep graph)")
-    labels
+    Right(labels)
   }
 
   /** Star-shaped candidate edges per LSH band bucket: every member is
@@ -749,16 +819,24 @@ object Dedup {
     graft.SessionMemo.named[ClusterState]("dd_cluster_incremental_state")
 
   /** Builds [[ClusterState]] from a prior corpus (what the previous
-    * run's [[ddCluster]] pass would have written out). */
+    * run's [[ddCluster]] pass would have written out). The group table
+    * is ENRICHED at build time with everything an ingest would
+    * otherwise have to join for: the rep's signedness (its signature
+    * exists ⟺ `graft_minhash_sigs` is non-null — exactly
+    * [[minhashBands]]'s emission condition) and the rep's standing
+    * component label. It is persisted hash-partitioned on text_hash so
+    * the per-ingest full-outer merge moves only the batch side. */
   private[graft] def buildClusterState(prior: DataFrame): ClusterState = {
     import org.apache.spark.storage.StorageLevel
-    val priorHashed = prior.select(col("doc_id"), md5(col("text")).as("text_hash"))
+    graft.plans.GraftExtensions.ensureRegistered(prior.sparkSession)
+    val priorHashed = prior.select(col("doc_id"), md5(col("text")).as("text_hash"),
+        expr("graft_minhash_sigs(text) IS NOT NULL").as("signed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val priorGroups = priorHashed.groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val groupsBase = priorHashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+        max(col("signed")).as("signed"))
     val priorReps = prior.join(
-      priorGroups.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      groupsBase.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val priorBands = minhashBands(priorReps).persist(StorageLevel.MEMORY_AND_DISK)
     val priorLabels = connectedComponents(starEdges(priorBands))
     // bucket → contracted node: the hub's component label where the hub
@@ -769,6 +847,11 @@ object Dedup {
         col("cluster_id").as("hub_label")), Seq("hub"), "left")
       .select(col("band"), col("bkey"),
         coalesce(col("hub_label"), col("hub")).as("hub_node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val priorGroups = groupsBase
+      .join(priorLabels.select(col("doc_id").as("keep_id"),
+        col("cluster_id").as("prior_comp")), Seq("keep_id"), "left")
+      .repartition(col("text_hash"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ClusterState(priorHashed, priorGroups, priorBands, priorLabels, hubIndex)
   }
@@ -782,22 +865,45 @@ object Dedup {
 
   private[graft] def clusterIncremental(state: ClusterState, batch: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val ClusterState(priorHashed, priorGroups, priorBands, priorLabels, _) = state
+    graft.plans.GraftExtensions.ensureRegistered(batch.sparkSession)
+    val ClusterState(priorHashed, priorGroups, _, _, _) = state
     // ---- the ingest: batch-only work against the state ----
-    val batchHashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
-    val batchGroups = batchHashed.groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    val batchHashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"),
+        expr("graft_minhash_sigs(text) IS NOT NULL").as("signed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val merged = mergeExactState(priorGroups, batchGroups)
-    // banded rep per text: the PRIOR rep wherever the text was already
-    // indexed (its signature is in the standing index), else the batch
-    // rep — only those new texts are signed at ingest time
-    val bandedRep = priorGroups.select(col("text_hash"), col("keep_id").as("banded_rep"))
-      .unionByName(batchGroups.join(priorGroups, Seq("text_hash"), "left_anti")
-        .select(col("text_hash"), col("keep_id").as("banded_rep")))
+    val batchGroups = batchHashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
+        max(col("signed")).as("signed"))
+    // ONE full-outer join of the two group tables replaces the separate
+    // merge agg, the banded-rep anti-join union, AND the new-text
+    // anti-join: per text, the merged keep/n_dups (min/sum —
+    // mergeExactState's algebra), the banded rep (the PRIOR rep where
+    // the text was already indexed), the signedness, the standing
+    // component, and the is-new flag all fall out of the join's two
+    // sides. Join — not union+agg — because the standing group table
+    // is persisted HASH-PARTITIONED on text_hash, so only the batch
+    // side moves; a union+re-agg would re-shuffle the whole state
+    // every ingest.
+    val groupsT = priorGroups
+      .select(col("text_hash"), col("keep_id").as("p_keep"), col("n_dups").as("p_n"),
+        col("signed").as("p_signed"), col("prior_comp"))
+      .join(batchGroups
+          .select(col("text_hash"), col("keep_id").as("b_keep"), col("n_dups").as("b_n"),
+            col("signed").as("b_signed")),
+        Seq("text_hash"), "full_outer")
+      .select(col("text_hash"),
+        least(coalesce(col("p_keep"), col("b_keep")),
+          coalesce(col("b_keep"), col("p_keep"))).as("keep_id"),
+        (coalesce(col("p_n"), lit(0L)) + coalesce(col("b_n"), lit(0L))).as("n_dups"),
+        coalesce(col("p_keep"), col("b_keep")).as("banded_rep"),
+        coalesce(col("p_signed"), col("b_signed")).as("signed"),
+        col("prior_comp"),
+        col("p_keep").isNull.as("is_new"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only texts UNSEEN in the prior state are signed at ingest time
     val newReps = batch.join(
-      batchGroups.join(priorGroups, Seq("text_hash"), "left_anti")
-        .select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      groupsT.filter(col("is_new") && col("signed"))
+        .select(col("banded_rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val newBands = minhashBands(newReps).persist(StorageLevel.MEMORY_AND_DISK)
     // edges land on the CONTRACTED graph: batch-internal stars + probes
     // into the standing bucket index, whose hubs are pre-replaced by
@@ -812,34 +918,57 @@ object Dedup {
     // [labels ∪ batch reps] equals the full min over all members.
     val crossEdges = newBands.join(state.hubIndex, Seq("band", "bkey"))
       .select(col("hub_node").as("doc_a"), col("doc_id").as("doc_b")).distinct()
-    val contractedComp = connectedComponents(
-      starEdges(newBands).unionByName(crossEdges))
-      .select(col("doc_id").as("banded_rep"), col("cluster_id").as("comp"))
-    // expand contracted labels back over prior members; reps of
-    // untouched components keep their prior label (left + coalesce)
-    val priorExpanded = priorLabels
-      .join(contractedComp.select(col("banded_rep").as("cluster_id"),
-        col("comp").as("lcomp")), Seq("cluster_id"), "left")
-      .select(col("doc_id").as("banded_rep"),
-        coalesce(col("lcomp"), col("cluster_id")).as("comp"))
-    val repLabels = contractedComp.unionByName(priorExpanded).distinct()
-    // ---- expansion: docs → text group → banded rep → component, with
-    // component labels re-minimized over merged keep_ids (a new twin
-    // of an old text can undercut the old representative's id) ----
-    // left_semi target: duplicate doc_ids are harmless, no distinct
-    val signed = priorBands.select(col("doc_id")).unionByName(newBands.select(col("doc_id")))
-      .select(col("doc_id").as("banded_rep"))
-    val groupsLabeled = merged.join(bandedRep, "text_hash")
-      .join(signed, Seq("banded_rep"), "left_semi")
-      .join(repLabels, Seq("banded_rep"), "left")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val compMin = groupsLabeled.filter(col("comp").isNotNull)
-      .groupBy(col("comp")).agg(min(col("keep_id")).as("comp_label"))
-    val groupLabel = groupsLabeled
-      .join(compMin, Seq("comp"), "left")
-      .filter(col("n_dups") >= 2 || col("comp").isNotNull)
-      .select(col("text_hash"), coalesce(col("comp_label"), col("keep_id")).as("cluster_id"))
-    priorHashed.unionByName(batchHashed)
+    // ---- component resolution per text, DIRECTLY on the group table:
+    // comp = coalesce(M[prior_comp], M[banded_rep], prior_comp), where
+    // M is the contracted CC's label map. The first lookup remaps
+    // standing components the ingest touched; the second covers reps
+    // that entered the contracted graph as their own node (previously
+    // unclustered prior hubs, and the batch's new reps); the fallback
+    // keeps untouched standing labels. No false hits: contracted node
+    // ids are doc_ids, and a doc_id names exactly one rep. When the
+    // closure ran on the DRIVER (the production ingest case), M folds
+    // into two codegen'd sorted-array lookups ([[graft.functions
+    // .StepCut]] binary search; exact-match guarded by a parallel
+    // key table) — ZERO joins; the distributed fallback resolves the
+    // same coalesce through two left joins. ----
+    val resolved = closure(starEdges(newBands).unionByName(crossEdges),
+        CcDriverMaxEdges) match {
+      case Left(labels) =>
+        val sorted = labels.sortBy(_._1)
+        val valSteps = lit(sorted.flatMap { case (k, v) => Array(k + 1, v) })
+        val keySteps = lit(sorted.flatMap { case (k, _) => Array(k + 1, k) })
+        def m(c: org.apache.spark.sql.Column) =
+          when(call_function("graft_step_cut", c, keySteps) === c,
+            call_function("graft_step_cut", c, valSteps))
+        groupsT.withColumn("comp",
+          coalesce(m(col("prior_comp")), m(col("banded_rep")), col("prior_comp")))
+      case Right(cc) =>
+        groupsT
+          .join(cc.select(col("doc_id").as("prior_comp"),
+            col("cluster_id").as("new_comp")), Seq("prior_comp"), "left")
+          .join(cc.select(col("doc_id").as("banded_rep"),
+            col("cluster_id").as("own_comp")), Seq("banded_rep"), "left")
+          .withColumn("comp",
+            coalesce(col("new_comp"), col("own_comp"), col("prior_comp")))
+    }
+    // ---- expansion: the signedness gate (<3-token docs never cluster,
+    // twin or not) and the membership filter, then the component label
+    // re-minimized over merged keep_ids in ONE window — a new twin of
+    // an old text can undercut the old representative's id. Window key
+    // coalesce(comp, keep_id): comp values are component-min doc_ids
+    // and keep_ids are per-text-min doc_ids, and no unclustered text's
+    // keep_id can equal a live comp (that doc would belong to the
+    // component's min text group, which is clustered), so singleton
+    // groups never collide with components — and the key is
+    // high-cardinality, no null-skew partition. ----
+    val groupLabel = resolved
+      .filter(col("signed") && (col("n_dups") >= 2 || col("comp").isNotNull))
+      .withColumn("cluster_id", min(col("keep_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(
+          coalesce(col("comp"), col("keep_id")))))
+      .select(col("text_hash"), col("cluster_id"))
+    priorHashed.select(col("doc_id"), col("text_hash"))
+      .unionByName(batchHashed.select(col("doc_id"), col("text_hash")))
       .join(groupLabel, "text_hash")
       .select(col("doc_id"), col("cluster_id"))
   }

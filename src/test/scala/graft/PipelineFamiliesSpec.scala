@@ -140,24 +140,40 @@ class DedupSpec extends SparkSpec {
   test("dd_cluster: min-label propagation resolves chains, cycles, and islands") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), triangle 10-11-12,
-    // island pair 20-21
+    // island pair 20-21 — asserted on BOTH closure engines: the default
+    // (driver union-find at this size) and the forced distributed loop
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    Seq(Dedup.CcDriverMaxEdges, 0L).foreach { gate =>
+      val got = Dedup.connectedComponents(pairs, gate).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got === want, s"driverMaxEdges=$gate")
+    }
   }
 
   test("dd_cluster: pointer jumping resolves a 200-node chain within the round cap") {
     import spark.implicits._
     // diameter 199 — pure neighbor propagation needs 199 rounds and
-    // would hit MaxCcIters (25); path doubling converges in ~log2(199)
+    // would hit MaxCcIters (25); path doubling converges in ~log2(199).
+    // driverMaxEdges=0 forces the DISTRIBUTED loop (the default would
+    // close this 398-directed-edge graph on the driver)
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(chain).collect()
+    val got = Dedup.connectedComponents(chain, 0L).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
     assert(got.length === 200)
     assert(got.forall(_._2 === 0L))
+  }
+
+  test("dd_cluster: driver union-find equals the distributed loop on real LSH candidates") {
+    val pairs = Dedup.ddMinhashLsh(spark, sf)
+    val driver = Dedup.connectedComponents(pairs, Dedup.CcDriverMaxEdges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val dist = Dedup.connectedComponents(pairs, 0L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(driver === dist)
+    assert(driver.nonEmpty)
   }
 
   test("tx_repetition: constructed repetition scores exactly") {
