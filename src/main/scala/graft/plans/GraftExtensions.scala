@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, CharStats, LongDot, MinhashSigs, PqCodes, PqTable, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -55,7 +55,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => BestCent(args(0), args(1))),
     (FunctionIdentifier("graft_step_cut"),
       new ExpressionInfo(classOf[StepCut].getName, "graft_step_cut"),
-      (args: Seq[Expression]) => StepCut(args(0), args(1)))
+      (args: Seq[Expression]) => StepCut(args(0), args(1))),
+    (FunctionIdentifier("graft_pii_scrub"),
+      new ExpressionInfo(classOf[PiiScrub].getName, "graft_pii_scrub"),
+      (args: Seq[Expression]) => PiiScrub(args(0))),
+    (FunctionIdentifier("graft_bpe_apply"),
+      new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe_apply"),
+      (args: Seq[Expression]) => BpeApply(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -493,6 +493,23 @@ object TextAnalysis {
     * `replace` calls riding in the projection — no UDF, no join, no
     * per-token state; the 100 TB corpus tokenizes at scan speed. */
   def txBpeApply(s: SparkSession, d: String): DataFrame = {
+    // the fused kernel walks each document once (merge table resolved
+    // per-instance, replaces skipped on indexOf miss); the composable
+    // nested-replace chain below stays as the spec-pinned twin
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val merges = array(BpeMerges.flatMap { case (x, y) => Seq(lit(x), lit(y)) }: _*)
+    val b = call_function("graft_bpe_apply", col("text"), merges)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        b.getField("n_pieces").as("n_pieces"),
+        md5(b.getField("seg")).as("seg_md5"))
+  }
+
+  /** The pre-kernel composable form — |merges| nested codegen'd
+    * `replace` calls over per-word lambda machinery — retained as the
+    * cross-check: BpeApplySpec pins it equal to the kernel. */
+  private[graft] def txBpeApplyComposable(s: SparkSession, d: String): DataFrame = {
     val segWord: Column => Column = w =>
       BpeMerges.foldLeft(array_join(filter(split(w, ""), c => c =!= ""), " ")) {
         case (acc, (x, y)) => replace(acc, lit(x + " " + y), lit(x + y))
@@ -1088,9 +1105,16 @@ object TextAnalysis {
   /** The scorer over any (doc_id, w1, w2, c) frame — split out so
     * specs pin exact parts-per-billion on a constructed corpus. */
   private[graft] def bigramLmScores(dbc: DataFrame): DataFrame = {
-    val big = dbc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
-    val left = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val cond = big.join(left, "w1")
+    // the left-context total C(w1,·) attaches to the bigram table by
+    // ONE window over the aggregate's output instead of a second
+    // re-aggregation + join — two fewer stages, same integers. The
+    // window partitions the VOCAB-BOUNDED (w1, w2, c12) frame (rows
+    // per w1 partition ≤ |vocab|, never corpus-proportional — the
+    // corpus-sized frame below keeps the AQE-splittable join, a
+    // window there would put every 'the'-led pair in one task)
+    val cond = dbc.groupBy(col("w1"), col("w2")).agg(sum(col("c")).as("c12"))
+      .withColumn("c1", sum(col("c12")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
       .select(col("w1"), col("w2"),
         expr("CAST(CAST(c12 AS DECIMAL(38,0)) * 1000000000 DIV c1 AS BIGINT)")
           .as("cond_x1e9"))
@@ -1303,11 +1327,12 @@ object TextAnalysis {
 
   // ---- #34h PII scrubbing --------------------------------------------
 
-  /** Portable (Java-regex ∩ RE2) PII patterns. No lookaround, no
-    * backreferences — those diverge between engines. */
-  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-  val PhonePattern = "\\+[0-9]{7,15}"
+  /** Portable (Java-regex ∩ RE2) PII patterns — canonical definitions
+    * live with the kernel ([[graft.functions.PiiScrub]]); aliased here
+    * for the oracle SQL and the composable twin. */
+  val EmailPattern: String = graft.functions.PiiScrub.EmailPattern
+  val Ipv4Pattern: String = graft.functions.PiiScrub.Ipv4Pattern
+  val PhonePattern: String = graft.functions.PiiScrub.PhonePattern
 
   /** The synthetic corpus is PII-free word soup, so scrubbing it raw
     * would be vacuous (every count zero — indistinguishable from a
@@ -1354,6 +1379,24 @@ object TextAnalysis {
     ("n_phone", PhonePattern, "<PHONE>"))
 
   def piiScrub(docs: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
+    // the fused kernel: one struct expression carries all three counts
+    // and the scrubbed text (subexpression elimination evaluates it
+    // once per row); the composable six-regex chain below stays as the
+    // spec-pinned twin
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val p = call_function("graft_pii_scrub", text)
+    docs.select(col("doc_id"),
+      p.getField("n_email").as("n_email"),
+      p.getField("n_ipv4").as("n_ipv4"),
+      p.getField("n_phone").as("n_phone"),
+      md5(p.getField("scrubbed")).as("scrubbed_md5"))
+  }
+
+  /** The pre-kernel composable form — six regex traversals — retained
+    * as the cross-check: PiiScrubSpec pins it equal to the kernel on
+    * planted adversarial inputs and the real corpus. */
+  private[graft] def piiScrubComposable(docs: DataFrame,
+                                        text: org.apache.spark.sql.Column): DataFrame = {
     // stages(i) = text after the first i passes; kind i is counted on
     // stages(i), so counts == replacements performed
     val stages = PiiPasses.scanLeft(text) { case (t, (_, pat, repl)) =>

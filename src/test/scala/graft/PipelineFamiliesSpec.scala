@@ -634,6 +634,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2L) === ((1L, 0L, 0L, md5Hex("y <EMAIL> z"))))
   }
 
+  test("tx_pii_scrub: the fused kernel equals the composable six-regex chain") {
+    import spark.implicits._
+    // adversarial shapes: trigger bytes without matches, matches whose
+    // replacement sits flush against later-pass candidates, multi-byte
+    // text, emails consuming ip/phone shapes, boundary \b cases
+    val adversarial = Seq(
+      "a@b", "@", "x@y.z", "a@b.co", ".1.", "1.2", "1.2.3.4", "999.999.999.999",
+      "1.2.3.4.5", "a1.2.3.4b", "+", "+1", "+1234567", "+123456789012345",
+      "+1234567890123456", "plus+7notnum", "üñïçødé@exämple.com 1.2.3.4",
+      "tail@x.com5.6.7.8", "2.2@x.com 3.3.4.4", "+1555@x.com +7654321",
+      "<EMAIL> 1.2.3.4", "a@b.cd+1234567", "", " ", "a.b@c.d.e.fg",
+      "edge1.2.3.4@5.6.7.8mail.com", "1.2.3.4@x.co 5.6.7.8 +9876543"
+    )
+    val docs = (adversarial.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+      Tables.documents(spark, sf).collect()
+        .map(r => (1000L + r.getAs[Long]("doc_id"), r.getAs[String]("text"))))
+      .toDF("doc_id", "text")
+    val planted = TextAnalysis.withSyntheticPii(docs)
+    def key(r: org.apache.spark.sql.Row) =
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_email"), r.getAs[Long]("n_ipv4"),
+        r.getAs[Long]("n_phone"), r.getAs[String]("scrubbed_md5")))
+    val kernel = TextAnalysis.piiScrub(planted, col("pii_text")).collect().map(key).toMap
+    val twin = TextAnalysis.piiScrubComposable(planted, col("pii_text")).collect().map(key).toMap
+    assert(kernel === twin)
+    assert(kernel.nonEmpty)
+  }
+
   test("tx_pii_scrub: synthetic corpus counts follow the residue rule") {
     // withSyntheticPii plants exactly one email/ip/phone for doc_id
     // residues 3/5/7; the base corpus is PII-free word soup
@@ -1067,6 +1094,16 @@ class BpeApplySpec extends SparkSpec {
       assert(got(id)._1 === segs.map(_.length.toLong).sum, s"doc $id pieces")
       assert(got(id)._2 === want, s"doc $id digest")
     }
+  }
+
+  test("tx_bpe_apply: the fused kernel equals the composable replace chain") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_pieces"), r.getAs[String]("seg_md5")))).toMap
+    val kernel = rows(TextAnalysis.txBpeApply(spark, sf))
+    val twin = rows(TextAnalysis.txBpeApplyComposable(spark, sf))
+    assert(kernel === twin)
+    assert(kernel.nonEmpty)
   }
 
   test("tx_bpe_apply: merges actually fire, incl. composed ones") {
