@@ -36,7 +36,13 @@ object Bench {
     // fingerprints) would time an empty scan.
     // SPARK_GRAFT_ONLY=q1_agg,q3_join_topn limits the run (iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // bench-only entries (no oracle — the gated key q_pagerank covers
+    // correctness at 3 rounds; this measures the iterative family at
+    // production depth with the lineage-snapshot cadence engaged)
+    val benchExtras: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "q_pagerank20" -> ((s, d) => graft.queries.Analytics.qPagerankDepth(s, d, 20)))
+    val queries = (SparkEntry.queries.toSeq ++ benchExtras).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // failures propagate as loud per-query errors in the JSON (a
     // swallowed exception would record a near-zero time and make

@@ -146,4 +146,53 @@ object CopyInjector {
       DdlGenerator.indexDdls(desc, manifest.pgSchema) ++
       Seq(s"""ANALYZE "${manifest.pgSchema}"."${manifest.entity}";""")).mkString("\n")
   }
+
+  // ---- extract-indexes parity (reference extract-indexes.go) ---------
+
+  /** One `pg_indexes` catalog row — the rowset the reference's
+    * extract-index queries (extract-indexes.go:108: `SELECT tablename,
+    * indexname, indexdef FROM pg_indexes WHERE schemaname = '…' ORDER
+    * BY tablename, indexname`). Sandbox has no postgres, so callers
+    * supply the snapshot; the semantics downstream are the
+    * reference's. */
+  case class CatalogIndexRow(schemaname: String, tablename: String,
+                             indexname: String, indexdef: String)
+
+  /** The extract-index pipeline over a catalog snapshot: restrict to
+    * the schema, keep only tables that exist in the GraphQL schema
+    * (extract-indexes.go:129 `graphqlSchemaTables[tableName]`), group
+    * per table with `;`-terminated defs (:131). Deterministically
+    * ordered by (table, index) — the catalog query's ORDER BY, where
+    * the Go version's map iteration randomizes its output file. */
+  def extractIndexes(catalog: Seq[CatalogIndexRow], pgSchema: String,
+                     entities: Seq[EntityDesc]): Seq[(String, Seq[(String, String)])] = {
+    val tables = entities.map(_.name).toSet
+    catalog
+      .filter(r => r.schemaname == pgSchema && tables.contains(r.tablename))
+      .sortBy(r => (r.tablename, r.indexname))
+      .groupBy(_.tablename).toSeq.sortBy(_._1)
+      .map { case (t, rows) =>
+        t -> rows.map(r => r.indexname -> (r.indexdef + ";"))
+      }
+  }
+
+  /** `create_indexes.ddl` content (extract-indexes.go:141-148 ToString
+    * + --save): every kept indexdef, newline-terminated. */
+  def createIndexesDdl(extracted: Seq[(String, Seq[(String, String)])]): String =
+    extracted.flatMap(_._2.map(_._2)).mkString("", "\n", "\n")
+
+  /** Diff the EXPECTED inventory ([[DdlGenerator.indexDdls]] — what a
+    * graph-node deployment of this schema should carry) against an
+    * extracted snapshot: (missing, unexpected) index names per the
+    * snapshot's schema. The maintenance check a bulk-load operator
+    * runs before dropping indexes — a drop list built from a stale
+    * schema would silently leave indexes alive through the COPY. */
+  def indexInventoryDiff(catalog: Seq[CatalogIndexRow], pgSchema: String,
+                         entities: Seq[EntityDesc]): (Seq[String], Seq[String]) = {
+    val expected = entities.flatMap(d =>
+      DdlGenerator.indexDdls(d, pgSchema).map(_.split('"')(1))).toSet
+    val got = extractIndexes(catalog, pgSchema, entities)
+      .flatMap(_._2.map(_._1)).toSet
+    ((expected -- got).toSeq.sorted, (got -- expected).toSeq.sorted)
+  }
 }

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -61,7 +61,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => PiiScrub(args(0))),
     (FunctionIdentifier("graft_bpe_apply"),
       new ExpressionInfo(classOf[BpeApply].getName, "graft_bpe_apply"),
-      (args: Seq[Expression]) => BpeApply(args(0), args(1)))
+      (args: Seq[Expression]) => BpeApply(args(0), args(1))),
+    (FunctionIdentifier("graft_entity_changes"),
+      new ExpressionInfo(classOf[ProtoEntityChangesExpr].getName, "graft_entity_changes"),
+      (args: Seq[Expression]) => ProtoEntityChangesExpr(args(0)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -1,0 +1,235 @@
+package graft.sources
+
+/** The reference's ACTUAL wire format: `sf.substreams.sink.entity.v1
+  * .EntityChanges` protobuf, the message `run` unmarshals from every
+  * block's map output (reference sinker/sinker.go:213-214
+  * `proto.Unmarshal(output.GetMapOutput().GetValue(), entityChanges)`).
+  * The repo's other sources map the driver's synthetic events into the
+  * same change model (§3); this module closes the remaining semantic
+  * gap by decoding the real bytes — from public knowledge only: the
+  * protobuf wire format (varints, tag = field<<3|wiretype,
+  * length-delimited submessages) and the public
+  * substreams-sink-entity-changes descriptor, whose field shapes the
+  * reference exhibits at sinker/sinker.go:294-315 (entity/id/ordinal/
+  * operation/fields, `Value_Bytes` carrying BASE64 text per
+  * poi/entity.go:59-62) and csvprocessor/entity.go:126-139 (the
+  * consumed JSON view: one `Typed` variant per value).
+  *
+  * Message layout (proto3):
+  * {{{
+  * EntityChanges { repeated EntityChange entity_changes = 5; }
+  * EntityChange  { string entity = 1; string id = 2;
+  *                 uint64 ordinal = 3; Operation operation = 4;
+  *                 repeated Field fields = 5; }
+  * Field         { string name = 1; Value new_value = 3;
+  *                 Value old_value = 5; }
+  * Value         { oneof typed { int32 int32 = 1; string bigdecimal = 2;
+  *                 string bigint = 3; string string = 4; string bytes = 5;
+  *                 bool bool = 6; Array array = 10; } }
+  * Array         { repeated Value value = 1; }
+  * }}}
+  *
+  * Spark-side: [[graft.functions.ProtoEntityChangesExpr]] wraps
+  * [[decode]] as a codegen-resident expression — a 100 TB stream of
+  * block payloads parses map-only at scan speed, one expression per
+  * row, no UDF. Gated by ProtoSpec: encode ∘ decode round-trips are
+  * identity on adversarial structures, the encoder matches
+  * hand-derived wire bytes (so the round-trip is not self-consistent
+  * nonsense), unknown fields/wire types skip losslessly, and the
+  * decoded change stream maps onto gl_jsonl_encode's change model.
+  */
+object ProtoEntityChanges {
+
+  /** One typed value, canonicalized to the `Typed` variant name the
+    * reference's consumer switches on (entity.go:116, poi/entity.go:26)
+    * plus its string rendering; arrays keep per-element variants. */
+  case class PbValue(vtype: String, value: String,
+                     array: Seq[PbValue] = Nil)
+  case class PbField(name: String, newValue: Option[PbValue],
+                     oldValue: Option[PbValue] = None)
+  case class PbChange(entity: String, id: String, ordinal: Long,
+                      op: String, fields: Seq[PbField])
+
+  /** Operation enum (sinker/sinker.go:278-284). */
+  val OpNames: Map[Int, String] = Map(
+    0 -> "OPERATION_UNSPECIFIED", 1 -> "OPERATION_CREATE",
+    2 -> "OPERATION_UPDATE", 3 -> "OPERATION_DELETE", 4 -> "OPERATION_FINAL")
+  private val opCodes = OpNames.map(_.swap)
+
+  // ---- wire-format primitives ---------------------------------------
+
+  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasMore: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var out = 0L
+      while (shift < 64) {
+        val b = buf(pos); pos += 1
+        out |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return out
+        shift += 7
+      }
+      throw new IllegalArgumentException("malformed varint")
+    }
+    def lenDelim(): (Int, Int) = {
+      val n = varint().toInt
+      val s = pos
+      if (n < 0 || s + n > end) throw new IllegalArgumentException("truncated field")
+      pos = s + n
+      (s, s + n)
+    }
+    def str(): String = { val (s, e) = lenDelim(); new String(buf, s, e - s, "UTF-8") }
+    def skip(wt: Int): Unit = wt match {
+      case 0 => varint(): Unit
+      case 1 => pos += 8
+      case 2 => lenDelim(): Unit
+      case 5 => pos += 4
+      case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    }
+  }
+
+  private def decodeValue(r: Reader): PbValue = {
+    var v: PbValue = null
+    while (r.hasMore) {
+      val tag = r.varint()
+      val (f, wt) = ((tag >> 3).toInt, (tag & 7).toInt)
+      (f, wt) match {
+        case (1, 0) => v = PbValue("Int32", r.varint().toInt.toString)
+        case (2, 2) => v = PbValue("Bigdecimal", r.str())
+        case (3, 2) => v = PbValue("Bigint", r.str())
+        case (4, 2) => v = PbValue("String", r.str())
+        case (5, 2) => v = PbValue("Bytes", r.str()) // base64 text on the wire
+        case (6, 0) => v = PbValue("Bool", if (r.varint() != 0) "true" else "false")
+        case (10, 2) =>
+          val (s, e) = r.lenDelim()
+          val inner = new Reader(r.buf, s, e)
+          val elems = Seq.newBuilder[PbValue]
+          while (inner.hasMore) {
+            val t2 = inner.varint()
+            if ((t2 >> 3).toInt == 1 && (t2 & 7).toInt == 2) {
+              val (s2, e2) = inner.lenDelim()
+              elems += decodeValue(new Reader(inner.buf, s2, e2))
+            } else inner.skip((t2 & 7).toInt)
+          }
+          v = PbValue("Array", null, elems.result())
+        case _ => r.skip(wt)
+      }
+    }
+    if (v == null) PbValue("Unset", null) else v
+  }
+
+  private def decodeField(r: Reader): PbField = {
+    var name = ""; var nv: Option[PbValue] = None; var ov: Option[PbValue] = None
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => name = r.str()
+        case (3, 2) => val (s, e) = r.lenDelim(); nv = Some(decodeValue(new Reader(r.buf, s, e)))
+        case (5, 2) => val (s, e) = r.lenDelim(); ov = Some(decodeValue(new Reader(r.buf, s, e)))
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    PbField(name, nv, ov)
+  }
+
+  private def decodeChange(r: Reader): PbChange = {
+    var entity = ""; var id = ""; var ordinal = 0L; var op = 0
+    val fields = Seq.newBuilder[PbField]
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (1, 2) => entity = r.str()
+        case (2, 2) => id = r.str()
+        case (3, 0) => ordinal = r.varint()
+        case (4, 0) => op = r.varint().toInt
+        case (5, 2) => val (s, e) = r.lenDelim(); fields += decodeField(new Reader(r.buf, s, e))
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    PbChange(entity, id, ordinal,
+      OpNames.getOrElse(op, s"OPERATION_$op"), fields.result())
+  }
+
+  /** Decode one `EntityChanges` payload. */
+  def decode(bytes: Array[Byte]): Seq[PbChange] = {
+    val r = new Reader(bytes, 0, bytes.length)
+    val out = Seq.newBuilder[PbChange]
+    while (r.hasMore) {
+      val tag = r.varint()
+      ((tag >> 3).toInt, (tag & 7).toInt) match {
+        case (5, 2) => val (s, e) = r.lenDelim(); out += decodeChange(new Reader(r.buf, s, e))
+        case (_, wt) => r.skip(wt)
+      }
+    }
+    out.result()
+  }
+
+  // ---- encoder (round-trip gate + fixture construction) --------------
+
+  private final class Writer {
+    private val out = new java.io.ByteArrayOutputStream()
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    def tag(field: Int, wt: Int): Unit = varint((field.toLong << 3) | wt)
+    def str(field: Int, s: String): Unit = {
+      val b = s.getBytes("UTF-8"); tag(field, 2); varint(b.length); out.write(b)
+    }
+    def sub(field: Int, b: Array[Byte]): Unit = {
+      tag(field, 2); varint(b.length); out.write(b, 0, b.length)
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  private def encodeValue(v: PbValue): Array[Byte] = {
+    val w = new Writer
+    v.vtype match {
+      // proto3 int32: negatives sign-extend to a 10-byte varint
+      case "Int32" => w.tag(1, 0); w.varint(v.value.toInt.toLong)
+      case "Bigdecimal" => w.str(2, v.value)
+      case "Bigint" => w.str(3, v.value)
+      case "String" => w.str(4, v.value)
+      case "Bytes" => w.str(5, v.value)
+      case "Bool" => w.tag(6, 0); w.varint(if (v.value == "true") 1 else 0)
+      case "Array" =>
+        val aw = new Writer
+        v.array.foreach(e => aw.sub(1, encodeValue(e)))
+        w.sub(10, aw.bytes)
+      case "Unset" => ()
+      case t => throw new IllegalArgumentException(s"unknown Typed variant $t")
+    }
+    w.bytes
+  }
+
+  private def encodeField(f: PbField): Array[Byte] = {
+    val w = new Writer
+    w.str(1, f.name)
+    f.newValue.foreach(v => w.sub(3, encodeValue(v)))
+    f.oldValue.foreach(v => w.sub(5, encodeValue(v)))
+    w.bytes
+  }
+
+  private def encodeChange(c: PbChange): Array[Byte] = {
+    val w = new Writer
+    w.str(1, c.entity)
+    w.str(2, c.id)
+    if (c.ordinal != 0) { w.tag(3, 0); w.varint(c.ordinal) }
+    val op = opCodes.getOrElse(c.op, 0)
+    if (op != 0) { w.tag(4, 0); w.varint(op.toLong) }
+    c.fields.foreach(f => w.sub(5, encodeField(f)))
+    w.bytes
+  }
+
+  /** Encode an `EntityChanges` payload (proto3 canonical: fields in
+    * number order, defaults omitted). */
+  def encode(changes: Seq[PbChange]): Array[Byte] = {
+    val w = new Writer
+    changes.foreach(c => w.sub(5, encodeChange(c)))
+    w.bytes
+  }
+
+  /** Negative int32: proto3 encodes as a 10-byte sign-extended varint.
+    * Exposed for the spec's adversarial case. */
+  def int32Value(i: Int): PbValue = PbValue("Int32", i.toString)
+}

@@ -91,6 +91,60 @@ object BundledCsvSink {
     }
   }
 
+  /** Batch ids whose committed marker exists — the reader's visibility
+    * set. */
+  def committedBatchIds(outDir: String,
+                        conf: org.apache.hadoop.conf.Configuration): Set[Long] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(outDir, "_committed")
+    val fs = dir.getFileSystem(conf)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("batch-") => s.stripPrefix("batch-").toLong }
+      .toSet
+  }
+
+  /** The READER CONTRACT that makes the roll atomic: only files whose
+    * batch id carries a committed marker are visible. This is the
+    * consumer half of the reference's boundary state machine
+    * (bundler/writer/buffered.go:47-98): there, a boundary's rows
+    * accumulate in an invisible working `.tmp` file and become
+    * consumable only when CloseBoundary hands the finished object to
+    * the atomic upload under its final name. Here the rename-then-mark
+    * protocol of [[writeBatch]] plays StartBoundary/CloseBoundary, and
+    * the marker is the "final name" event — a crash at ANY point
+    * (staged only, some part files moved, all moved but unmarked)
+    * leaves the batch id unmarked, so its debris is dark to readers
+    * until the replay sweeps and completes it. Gated by the
+    * crash-mid-bundle specs in BundledWriteSpec. */
+  def committedLines(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ids = committedBatchIds(outDir, conf)
+    val out = new Path(outDir)
+    val fs = out.getFileSystem(conf)
+    val files: Seq[String] =
+      if (!fs.exists(out)) Nil
+      else fs.listStatus(out).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bundle="))
+        .flatMap { d =>
+          fs.listStatus(d.getPath).toSeq.filter { f =>
+            val n = f.getPath.getName
+            n.startsWith("batch-") && n.split('-').lift(1).exists(
+              s => s.nonEmpty && s.forall(_.isDigit) && ids.contains(s.toLong))
+          }.map(_.getPath.toString)
+        }
+    if (files.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(Long, String)].toDF("bundle", "line")
+    } else
+      spark.read.text(files: _*)
+        .select(
+          regexp_extract(input_file_name(), "bundle=(\\d+)/", 1)
+            .cast("long").as("bundle"),
+          col("value").as("line"))
+  }
+
   /** Start the sink: each micro-batch appends its lines under the
     * bundle partition directories, exactly once per batch id. */
   def start(changes: DataFrame, outDir: String, checkpointDir: String,

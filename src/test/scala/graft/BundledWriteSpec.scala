@@ -107,4 +107,70 @@ class BundledWriteSpec extends SparkSpec {
     assert(ex.getMessage.contains("refusing to proceed"), ex.getMessage)
     assert(tmp.exists(), "the half-staged rewrite must be preserved for inspection")
   }
+
+  test("crash mid-bundle: partial batch debris is never visible; replay completes exactly-once") {
+    import graft.streaming.BundledCsvSink
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("graft_torn").toString
+    val fs = new Path(out).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val changes = EntityChanges.changes(spark, sf)
+    val b1 = changes.filter(col("block_num") < 400)
+    val b2 = changes.filter(col("block_num") >= 400)
+    def lines(df: org.apache.spark.sql.DataFrame) =
+      BundledCsvSink.toCsvLines(df, 250).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+        .groupBy(identity).view.mapValues(_.size).toMap
+    def visible() = BundledCsvSink.committedLines(spark, out).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+
+    // boundary 1 closes normally
+    assert(BundledCsvSink.writeBatch(b1, 1L, out, 250))
+    assert(visible() === lines(b1))
+
+    // boundary 2 CRASHES mid-close: rows staged, ONE part file already
+    // renamed into a final bundle dir, marker never written — the
+    // working-file state the reference's buffered writer leaves on
+    // disk when it dies between CloseBoundary and upload
+    val staging = new Path(out, "_staging/batch-2")
+    BundledCsvSink.toCsvLines(b2, 250)
+      .repartition(col("bundle"))
+      .write.mode("overwrite").partitionBy("bundle").text(staging.toString)
+    val firstDir = fs.listStatus(staging)
+      .filter(_.getPath.getName.startsWith("bundle=")).head.getPath
+    val firstPart = fs.listStatus(firstDir)
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val dest = new Path(out, firstDir.getName)
+    fs.mkdirs(dest)
+    assert(fs.rename(firstPart, new Path(dest, s"batch-2-${firstPart.getName}")))
+
+    // NO partial bundle is visible: the committed reader still sees
+    // exactly boundary 1 — the torn write is dark
+    assert(visible() === lines(b1))
+
+    // recovery: the replayed micro-batch (same id) sweeps the partial
+    // rename, re-stages, completes, marks — rows exactly once
+    assert(BundledCsvSink.writeBatch(b2, 2L, out, 250))
+    assert(visible() === lines(changes))
+    // a second replay is a marker no-op, still exactly once
+    assert(!BundledCsvSink.writeBatch(b2, 2L, out, 250))
+    assert(visible() === lines(changes))
+  }
+
+  test("crash before any move: staged-only boundary is invisible and replays cleanly") {
+    import graft.streaming.BundledCsvSink
+    import org.apache.hadoop.fs.Path
+    val out = java.nio.file.Files.createTempDirectory("graft_torn2").toString
+    val changes = EntityChanges.changes(spark, sf)
+    // the crash happened right after StartBoundary + writes: all rows
+    // sit in the working area, nothing renamed, no marker
+    val staging = new Path(out, "_staging/batch-0")
+    BundledCsvSink.toCsvLines(changes, 250)
+      .repartition(col("bundle"))
+      .write.mode("overwrite").partitionBy("bundle").text(staging.toString)
+    assert(BundledCsvSink.committedLines(spark, out).count() === 0L)
+    assert(BundledCsvSink.writeBatch(changes, 0L, out, 250))
+    val vis = BundledCsvSink.committedLines(spark, out)
+    assert(vis.count() === changes.count())
+  }
 }

@@ -124,4 +124,51 @@ class CopyInjectorSpec extends SparkSpec {
     // drop/create sets mirror each other
     assert(lines.count(_.startsWith("DROP INDEX")) === lines.count(_.startsWith("CREATE INDEX")))
   }
+
+  test("extract-indexes: catalog snapshot filters, orders, and renders like the reference") {
+    import CopyInjector.CatalogIndexRow
+    // a pg_indexes snapshot: both schema tables, a foreign table the
+    // GraphQL schema doesn't know (must drop, extract-indexes.go:129),
+    // and a row from another pg schema (the WHERE clause drops it)
+    def row(t: String, i: String) =
+      CatalogIndexRow("sgd1", t, i, s"""CREATE INDEX $i ON "sgd1"."$t" USING btree (x)""")
+    val catalog = Seq(
+      row("transfer", "transfer_id"),
+      row("token_day_data", "token_day_data_block_range"),
+      row("token_day_data", "attr_token_day_data_0_daily_volume_usd"),
+      row("poi2$", "poi2_id"), // not in the GraphQL schema -> dropped
+      row("token_day_data", "token_day_data_id"),
+      CatalogIndexRow("sgd2", "transfer", "other_schema", "CREATE INDEX other"))
+    val got = CopyInjector.extractIndexes(catalog, "sgd1", ents)
+    // grouped per table, (table, index) ordered, defs ;-terminated
+    assert(got.map(_._1) === Seq("token_day_data", "transfer"))
+    assert(got.head._2.map(_._1) === Seq(
+      "attr_token_day_data_0_daily_volume_usd",
+      "token_day_data_block_range", "token_day_data_id"))
+    assert(got.flatMap(_._2.map(_._2)).forall(_.endsWith(";")))
+    assert(!got.flatMap(_._2.map(_._1)).contains("poi2_id"))
+    assert(!got.flatMap(_._2.map(_._1)).contains("other_schema"))
+    val ddl = CopyInjector.createIndexesDdl(got)
+    assert(ddl.linesIterator.size === 4)
+    assert(ddl.endsWith(";\n"))
+  }
+
+  test("extract-indexes: inventory diff flags missing and unexpected indexes") {
+    import CopyInjector.CatalogIndexRow
+    // the catalog a healthy deployment of `ents` would carry = exactly
+    // DdlGenerator's inventory -> empty diff
+    val healthy = ents.flatMap { d =>
+      graft.operators.DdlGenerator.indexDdls(d, "sgd1").map { ddl =>
+        val name = ddl.split('"')(1)
+        CatalogIndexRow("sgd1", d.name, name, ddl.stripSuffix(";"))
+      }
+    }
+    assert(CopyInjector.indexInventoryDiff(healthy, "sgd1", ents) === ((Nil, Nil)))
+    // drop one + plant a stray: both reported, sorted
+    val broken = healthy.filterNot(_.indexname == "transfer_id") :+
+      CatalogIndexRow("sgd1", "transfer", "manual_hack_idx", "CREATE INDEX manual_hack_idx")
+    val (missing, extra) = CopyInjector.indexInventoryDiff(broken, "sgd1", ents)
+    assert(missing === Seq("transfer_id"))
+    assert(extra === Seq("manual_hack_idx"))
+  }
 }

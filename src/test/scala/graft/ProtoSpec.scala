@@ -1,0 +1,110 @@
+package graft
+
+import graft.sources.{EntityChanges, ProtoEntityChanges}
+import graft.sources.ProtoEntityChanges.{PbChange, PbField, PbValue}
+import org.apache.spark.sql.functions._
+
+/** Gates for the protobuf EntityChanges wire codec (§2 reference-wire
+  * surface): the encoder is pinned to HAND-DERIVED bytes (so the
+  * round-trip gate is anchored to the wire spec, not self-consistent),
+  * decode ∘ encode is identity on adversarial structures, unknown
+  * fields skip losslessly, and the decoded stream maps onto the
+  * repo's change model. */
+class ProtoSpec extends SparkSpec {
+
+  test("encoder matches hand-derived wire bytes") {
+    // EntityChanges{ entity_changes(5): EntityChange{ entity(1)="Foo",
+    //   id(2)="1", operation(4)=CREATE(1),
+    //   fields(5)=[Field{ name(1)="d", new_value(3)=Value{string(4)="x" }}]}}
+    // tags: field<<3|wiretype; strings are wt2 length-delimited.
+    val want = Array(
+      0x2A, 0x14, // EntityChanges.entity_changes, len 20
+      0x0A, 0x03, 'F', 'o', 'o', // entity
+      0x12, 0x01, '1', // id
+      0x20, 0x01, // operation = CREATE
+      0x2A, 0x08, // fields[0], len 8
+      0x0A, 0x01, 'd', // name
+      0x1A, 0x03, 0x22, 0x01, 'x' // new_value = Value{string="x"}
+    ).map(_.toByte)
+    val got = ProtoEntityChanges.encode(Seq(PbChange("Foo", "1", 0L,
+      "OPERATION_CREATE", Seq(PbField("d", Some(PbValue("String", "x")))))))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  /** Adversarial payload: every Typed variant, negative int32 (10-byte
+    * sign-extended varint), unicode, empty strings, base64 bytes,
+    * arrays, ordinal, FINAL op, old_value, multiple changes. */
+  private val adversarial: Seq[PbChange] = Seq(
+    PbChange("Poi", "mainnet", 7L, "OPERATION_UPDATE", Seq(
+      PbField("digest", Some(PbValue("Bytes",
+        java.util.Base64.getEncoder.encodeToString(Array[Byte](0, -1, 127))))),
+      PbField("n", Some(PbValue("Int32", "-2147483648"))),
+      PbField("big", Some(PbValue("Bigint", "123456789012345678901234567890"))),
+      PbField("dec", Some(PbValue("Bigdecimal", "-0.000000000001"))),
+      PbField("ok", Some(PbValue("Bool", "true")), Some(PbValue("Bool", "false"))),
+      PbField("emptied", Some(PbValue("String", ""))),
+      PbField("uni", Some(PbValue("String", "üñïçødé 😀"))),
+      PbField("tags", Some(PbValue("Array", null, Seq(
+        PbValue("String", "a"), PbValue("String", "b,c\\d"))))),
+      PbField("nums", Some(PbValue("Array", null, Seq(
+        PbValue("Bigint", "1"), PbValue("Bigint", "-2"))))))),
+    PbChange("Empty", "", 0L, "OPERATION_UNSPECIFIED", Nil),
+    PbChange("Fin", "z", 1L, "OPERATION_FINAL", Seq(PbField("f", None))))
+
+  test("decode ∘ encode is identity on adversarial structures") {
+    val bytes = ProtoEntityChanges.encode(adversarial)
+    assert(ProtoEntityChanges.decode(bytes) === adversarial)
+  }
+
+  test("unknown fields and wire types skip losslessly") {
+    // splice unknown fields at the EntityChanges level (fixed64 wt1,
+    // fixed32 wt5, varint wt0, length-delimited wt2 with field numbers
+    // the descriptor doesn't use) around a real change
+    val real = ProtoEntityChanges.encode(adversarial.take(1))
+    val noise1 = Array(0x59, 1, 2, 3, 4, 5, 6, 7, 8).map(_.toByte) // field 11, wt1
+    val noise2 = Array(0x78, 0x96, 0x01).map(_.toByte) // field 15, wt0 varint 150
+    val noise3 = Array(0x65, 9, 9, 9, 9).map(_.toByte) // field 12, wt5
+    val noise4 = Array(0x3A, 0x02, 0x68, 0x69).map(_.toByte) // field 7, wt2 "hi"
+    val spliced = noise1 ++ noise2 ++ real ++ noise3 ++ noise4
+    assert(ProtoEntityChanges.decode(spliced) === adversarial.take(1))
+  }
+
+  test("the expression decodes block payloads onto the change model") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // derive per-block payloads FROM the change model (§3): one
+    // EntityChanges message per block, value/props as typed fields —
+    // then decode through the EXPRESSION and reconstruct the model
+    val model = EntityChanges.changes(spark, sf).collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Long]("block_num"),
+        r.getAs[String]("op"), r.getAs[Double]("value"),
+        r.getAs[String]("props")))
+    val opCode = Map("CREATE" -> "OPERATION_CREATE",
+      "UPDATE" -> "OPERATION_UPDATE", "DELETE" -> "OPERATION_DELETE")
+    val payloads = model.groupBy(_._2).toSeq.map { case (block, rows) =>
+      (block, ProtoEntityChanges.encode(rows.sortBy(_._1).map { case (id, _, op, v, props) =>
+        PbChange("Event", id, 0L, opCode(op), Seq(
+          PbField("value", Some(PbValue("Bigdecimal", v.toString))),
+          PbField("props", Some(PbValue("String", props)))))
+      }.toSeq))
+    }
+    val decoded = payloads.toDF("block_num", "payload")
+      .select(col("block_num"),
+        explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("c.id"), col("block_num"), col("c.op"),
+        col("c.fields").getItem(0).getField("value").as("value"),
+        col("c.fields").getItem(1).getField("value").as("props"),
+        col("c.entity"), col("c.fields").getItem(0).getField("vtype").as("vt"))
+      .collect()
+    assert(decoded.forall(_.getAs[String]("entity") === "Event"))
+    assert(decoded.forall(_.getAs[String]("vt") === "Bigdecimal"))
+    val got = decoded.map(r => (r.getAs[String]("id"), r.getAs[Long]("block_num"),
+      r.getAs[String]("op") match {
+        case "OPERATION_CREATE" => "CREATE"
+        case "OPERATION_UPDATE" => "UPDATE"
+        case "OPERATION_DELETE" => "DELETE"
+      }, r.getAs[String]("value").toDouble, r.getAs[String]("props"))).toSet
+    assert(got === model.toSet)
+    assert(got.nonEmpty)
+  }
+}
