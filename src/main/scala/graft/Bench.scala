@@ -7,7 +7,13 @@ import org.apache.spark.sql.SparkSession
   * footer reads, codegen JIT) runs before any timing so per-query
   * numbers measure the operator, not first-use overheads. */
 object Bench {
+  /** 1-minute system load average (-1.0 where unavailable). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // shuffle partitioning defaults to the core count; the knob exists
@@ -156,7 +162,7 @@ object Bench {
             .toMap
         }
       }
-      parsed.fold("") { duck =>
+      parsed.fold(("", "")) { duck =>
         val shared = results.collect {
           case (n, Right(v)) if duck.contains(n) => (n, v, duck(n))
         }
@@ -179,10 +185,17 @@ object Bench {
           val st = stageCounts.get(n).flatten.map(_._1.toDouble).getOrElse(2.0)
           math.max(v - st * stageFloor, v * 0.1)
         }.sum
-        f""","duck_total_sec_shared":$duckShared%.3f,"spark_total_sec_shared":$sparkShared%.3f,"ratio_shared":${sparkShared / math.max(duckShared, 1e-9)}%.3f,"spark_floor_adj_sec_shared":$adjShared%.3f,"ratio_shared_floor_adj":${adjShared / math.max(duckShared, 1e-9)}%.3f,"shared_keys":${shared.size},"ratio_per_key":$perKey"""
+        (f""","duck_total_sec_shared":$duckShared%.3f,"spark_total_sec_shared":$sparkShared%.3f,"ratio_shared":${sparkShared / math.max(duckShared, 1e-9)}%.3f,"spark_floor_adj_sec_shared":$adjShared%.3f,"ratio_shared_floor_adj":${adjShared / math.max(duckShared, 1e-9)}%.3f,"shared_keys":${shared.size}""",
+          s""","ratio_per_key":$perKey""")
       }
     }
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson$duckJson,"sf":"$sfDir"}"""
+    val (duckCompact, duckPerKey) = duckJson
+    // host-load context: the r6 bench spread (2.44-3.24x raw on the
+    // same tree) was ambient load; recording the 1-minute loadavg at
+    // start and end makes every sample self-describing
+    val loadEnd = loadAvg()
+    val loadJson = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson$duckCompact$duckPerKey$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver records only the TAIL of stdout (≈2 KB), which
     // truncated everything before ratio_per_key in round 5 — so the
@@ -197,7 +210,10 @@ object Bench {
     // compact trailer: the headline numbers must also appear at the
     // very end of stdout or they are truncated away with the front of
     // the long line above
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckJson,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    // COMPACT by construction (no per-key maps): the driver keeps only
+    // the trailing ~2KB of stdout, and rounds 5-6 lost the parsed
+    // summary because ratio_per_key pushed the line past that window
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckCompact$loadJson,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
