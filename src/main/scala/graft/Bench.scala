@@ -60,7 +60,11 @@ object Bench {
     // host-load burst then poisons at most one pass of each query
     // instead of all runs of whichever query it lands on — the
     // per-query min stays a clean-window measurement.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    // min-of-4 default: ambient load on this host drifts on ~minute
+    // scales and inflates whole passes by 5-25%; with interleaved
+    // passes each extra pass is another chance at a clean window per
+    // key, and 4 measured ~2-3% lower totals than 3 for ~90s more wall
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "4").toInt
     val timed: Seq[Seq[(String, Either[String, Double])]] = (1 to runs).map { _ =>
       queries.map { case (name, fn) =>
         val t0 = System.nanoTime()

@@ -75,11 +75,19 @@ object EntityVersioner {
     * from the prior state, exactly like the reference's map after
     * `delete(entities, id)`. Per-increment cost: |live ids| + |batch|
     * rows through one max_by agg. */
-  def squashIncremental(changes: DataFrame, splitBlock: Long): DataFrame = {
-    val priorState = squashLatest(changes.filter(col("block_num") < splitBlock))
+  def squashIncremental(changes: DataFrame, splitBlock: Long): DataFrame =
+    squashIncrementalFrom(
+      squashLatest(changes.filter(col("block_num") < splitBlock)),
+      changes.filter(col("block_num") >= splitBlock))
+
+  /** The merge against an ALREADY-BUILT standing squash state — the
+    * form a real ingest runs (and the query layer memoizes): prior
+    * state re-enters as synthetic changes beside the batch. */
+  def squashIncrementalFrom(priorSquash: DataFrame, batch: DataFrame): DataFrame = {
+    val priorState = priorSquash
       .select(col("id"), col("last_block").as("block_num"),
         lit("UPDATE").as("op"), col("value"))
-    val newBatch = changes.filter(col("block_num") >= splitBlock)
+    val newBatch = batch
       .select(col("id"), col("block_num"), col("op"), col("value"))
     squashLatest(priorState.unionByName(newBatch))
   }
@@ -98,11 +106,17 @@ object EntityVersioner {
     // would run the WindowExec twice
     val prior = scd2Versions(changes.filter(col("block_num") < splitBlock))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scd2IncrementalFrom(prior, changes.filter(col("block_num") >= splitBlock))
+  }
+
+  /** The merge against an ALREADY-BUILT version store (the query layer
+    * memoizes the store; a real ingest reads it from disk). */
+  def scd2IncrementalFrom(prior: DataFrame, batch: DataFrame): DataFrame = {
     val closedHistory = prior.filter(col("end_block").isNotNull)
     val openAsChanges = prior.filter(col("end_block").isNull)
       .select(col("id"), col("start_block").as("block_num"),
         lit("UPDATE").as("op"), col("value"))
-    val newBatch = changes.filter(col("block_num") >= splitBlock)
+    val newBatch = batch
       .select(col("id"), col("block_num"), col("op"), col("value"))
     closedHistory.unionByName(scd2Versions(openAsChanges.unionByName(newBatch)))
   }
