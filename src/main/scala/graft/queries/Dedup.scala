@@ -179,7 +179,19 @@ object Dedup {
     * capped shingle buckets — the shared front half of the jaccard
     * (#28) and containment (#28b) thresholds, which differ only in
     * the final set-overlap predicate. */
-  private def bucketPairStats(s: SparkSession, d: String): DataFrame = {
+  // memoized: jaccard (#28) and containment (#28b) share this whole
+  // candidate frame — only their final integer predicates differ, so
+  // the pair generation + size joins run once per (session, dir)
+  private val bucketPairStatsMemo =
+    graft.SessionMemo.named[DataFrame]("dd_bucket_pair_stats")
+
+  private def bucketPairStats(s: SparkSession, d: String): DataFrame =
+    bucketPairStatsMemo.getOrBuild(s, d) {
+      buildBucketPairStats(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  private def buildBucketPairStats(s: SparkSession, d: String): DataFrame = {
     val buckets = shingleBuckets(s, d)
     // all (a<b) pairs inside one bucket via TWO chained explodes —
     // both run in GenerateExec's codegen path, where the equivalent
