@@ -395,18 +395,24 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Filter") >= 1, p)
   }
 
-  test("tx_cms_topk: ONE vocabulary exchange feeds candidates and registers") {
+  test("tx_cms_topk: the ONE memoized vocabulary feeds candidates and registers") {
     val df = graft.queries.TextAnalysis.txCmsTopk(spark, sf)
     df.collect() // executed plan, not the logical shape
     val p = physical(df)
-    // the corpus-sized shuffle is the vocab agg; candidates + registers
-    // must consume the SAME one (AQE stage reuse), so the corpus is
-    // tokenized exactly once — the executed plan must carry the
-    // ReusedExchange and a single documents scan in its final section
-    assert(nodes(p, "ReusedExchange") >= 1, p)
+    // the corpus-sized work is the vocab agg, now a session-memoized
+    // persisted frame (shared with tx_top_ngrams): candidates +
+    // registers must BOTH read the cache — the corpus is tokenized at
+    // most once per session, and this query's own plan never re-scans
+    // the documents table at all
+    assert(nodes(p, "InMemoryTableScan") >= 2, p)
     val cut = p.indexOf("Initial Plan")
     val finalSection = if (cut >= 0) p.substring(0, cut) else p
-    assert("documents\\.parquet".r.findAllIn(finalSection).size <= 1, p)
+    // no documents scan outside the cached relation's build plan: the
+    // InMemoryRelation dump carries the one-time build subtree, so
+    // only the section ABOVE the first InMemoryRelation is per-query
+    val perQuery = finalSection.substring(0,
+      math.max(finalSection.indexOf("InMemoryRelation"), 0))
+    assert("documents\\.parquet".r.findAllIn(perQuery).isEmpty, p)
     assert(nodes(p, "CartesianProduct") === 0, p)
   }
 

@@ -276,6 +276,13 @@ class PropertySpec extends SparkSpec {
         val touched = g.edges.flatMap(e => Seq(e._1, e._2)).distinct
         val want = touched.map(v => v -> find(v.toInt).toLong).toMap
         assert(got === want)
+        // BOTH closure engines: the default gate closes graphs this
+        // size on the driver, so force the distributed pointer-jumping
+        // loop too — the random graphs must agree with the oracle on
+        // either side of the 2^18-edge gate
+        val gotDist = graft.queries.Dedup.connectedComponents(pairs, 0L).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+        assert(gotDist === want)
       }
     }
   }
