@@ -69,6 +69,57 @@ class ProtoSpec extends SparkSpec {
     assert(ProtoEntityChanges.decode(spliced) === adversarial.take(1))
   }
 
+  test("live-sink path end-to-end: streamed proto payloads -> decode -> squash == batch SCD2") {
+    // the reference `run` loop as one flow: per-block EntityChanges
+    // payloads arrive on a stream, decode map-only through the
+    // expression, fan out to changes, and the streaming squash closes
+    // versions — which must equal batch SCD2 over the same chain
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EntityChangeStream
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val chain = Seq( // (id, block, op, value)
+      ("e1", 1L, "CREATE", 1.0), ("e2", 2L, "CREATE", 2.0),
+      ("e1", 3L, "UPDATE", 1.5), ("e2", 4L, "DELETE", 0.0),
+      ("e1", 5L, "UPDATE", 1.9), ("e3", 5L, "CREATE", 3.0))
+    val opCode = Map("CREATE" -> "OPERATION_CREATE",
+      "UPDATE" -> "OPERATION_UPDATE", "DELETE" -> "OPERATION_DELETE")
+    val payloads = chain.groupBy(_._2).toSeq.map { case (block, rows) =>
+      (block, ProtoEntityChanges.encode(rows.map { case (id, _, op, v) =>
+        PbChange("Event", id, 0L, opCode(op),
+          Seq(PbField("value", Some(PbValue("Bigdecimal", v.toString)))))
+      }))
+    }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val changes = input.toDF().toDF("block_num", "payload")
+      .select(col("block_num"),
+        explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("c.id").as("id"), col("block_num").as("blockNum"),
+        when(col("c.op") === "OPERATION_CREATE", "CREATE")
+          .when(col("c.op") === "OPERATION_DELETE", "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("c.fields").getItem(0).getField("value").cast("double").as("value"))
+      .as[EntityChangeStream.Change]
+    val q = EntityChangeStream.closedVersions(changes)
+      .writeStream.format("memory").queryName("proto_versions")
+      .outputMode("append").start()
+    try {
+      payloads.sortBy(_._1).grouped(2).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      val got = spark.table("proto_versions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val want = graft.operators.EntityVersioner.scd2Versions(
+          chain.toDF("id", "block_num", "op", "value"))
+        .filter(col("end_block").isNotNull).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+          r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("the expression decodes block payloads onto the change model") {
     import spark.implicits._
     graft.plans.GraftExtensions.ensureRegistered(spark)
