@@ -56,6 +56,17 @@ class ProtoSpec extends SparkSpec {
     assert(ProtoEntityChanges.decode(bytes) === adversarial)
   }
 
+  test("malformed payloads fail loudly, never decode to garbage") {
+    val good = ProtoEntityChanges.encode(adversarial.take(1))
+    // truncated mid-message, truncated mid-varint, and a
+    // length-delimited field whose declared length overruns the buffer
+    intercept[Exception](ProtoEntityChanges.decode(good.dropRight(3)))
+    intercept[Exception](ProtoEntityChanges.decode(Array(0x2A, 0xFF).map(_.toByte)))
+    intercept[Exception](ProtoEntityChanges.decode(Array(0x2A, 0x7F, 0x0A).map(_.toByte)))
+    // empty payload is a VALID empty EntityChanges message
+    assert(ProtoEntityChanges.decode(Array.empty[Byte]) === Nil)
+  }
+
   test("unknown fields and wire types skip losslessly") {
     // splice unknown fields at the EntityChanges level (fixed64 wt1,
     // fixed32 wt5, varint wt0, length-delimited wt2 with field numbers
