@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: the session-memoized standing artifacts (edge cache,
+  // pair/vocabulary indexes, incremental prior states) total well past
+  // the ~4.6GB storage pool an 8g heap leaves — eviction silently
+  // recomputes the pagerank edge cache per iteration in full-suite
+  // runs. The host has 128GiB; the env var still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

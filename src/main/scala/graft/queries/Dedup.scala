@@ -898,9 +898,13 @@ object Dedup {
     graft.plans.GraftExtensions.ensureRegistered(batch.sparkSession)
     val ClusterState(priorHashed, priorGroups, _, _, _) = state
     // ---- the ingest: batch-only work against the state ----
+    // deliberately NOT persisted: the two consumers prune differently
+    // (the group agg needs the signature flag, the final expansion only
+    // (doc_id, text_hash) — column pruning drops the sig kernel there),
+    // so recomputing one cheap md5 pass beats a persist's
+    // materialization job
     val batchHashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"),
         expr("graft_minhash_sigs(text) IS NOT NULL").as("signed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val batchGroups = batchHashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),
         max(col("signed")).as("signed"))
