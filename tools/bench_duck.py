@@ -10,25 +10,35 @@ judge re-deriving them.
 
 Usage: python3 tools/bench_duck.py <sfdir> <verify_outdir> [out.json]
 """
-import json, sys, time
+import json, os, sys, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
-RUNS = 3
+RUNS = int(os.environ.get("DUCK_RUNS", "3"))
+# a query whose first pass exceeds this skips its remaining passes —
+# min-of-N on a >20s query changes nothing but wall time (default off)
+SLOW_SKIP_SEC = float(os.environ.get("DUCK_SLOW_SKIP_SEC", "inf"))
 
 def main(sfdir, outdir, out="DUCK_TIMING.json"):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships flat files; ScaleUp writes Spark dirs
+        p = f"{sfdir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     names = sorted(oracle)
     times = {n: [] for n in names}
-    for _ in range(RUNS):  # interleaved passes, same rationale as Bench
+    for r in range(RUNS):  # interleaved passes, same rationale as Bench
         for n in names:
+            if times[n] and min(times[n]) > SLOW_SKIP_SEC:
+                continue
             t0 = time.time()
             con.execute(oracle[n]).fetchall()
-            times[n].append(time.time() - t0)
+            dt = time.time() - t0
+            times[n].append(dt)
+            print(f"[pass {r+1}/{RUNS}] {n}: {dt:.2f}s", file=sys.stderr)
     queries = {n: round(min(ts), 4) for n, ts in times.items()}
     doc = {"sf": sfdir, "runs": RUNS,
            "total_sec": round(sum(queries.values()), 3),
