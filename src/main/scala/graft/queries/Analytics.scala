@@ -373,21 +373,91 @@ object Analytics {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
 
   /** Exact per-group median without percentile interpolation (FP
-    * interpolation is not bit-portable): rank from both ends, average
-    * the middle one-or-two values in exact decimal. One shuffle. */
-  def qMedian(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    * interpolation is not bit-portable): rank by (value, key), take
+    * the middle one-or-two values, average in exact decimal.
+    *
+    * Scale: the naive plan windows EVERY row into |groups| partitions
+    * — with 3 order statuses that is a whole-table sort at 3-way
+    * parallelism, a scale-killer (measured 14.9 s at sf10 where the
+    * suite median key is <4 s). Instead: one sketch pass
+    * (`percentile_approx` at 0.49/0.51, accuracy 10⁴) brackets the
+    * median per group; one EXACT map-side-combined count pass
+    * establishes each group's strictly-below-bracket count and
+    * in-bracket count; only the bracket slice (sketch-error bounded,
+    * ~2% of rows) is rank-sorted, its local row_number offset by the
+    * exact below-count. Correctness never rests on the sketch: if any
+    * group's middle ranks fall outside its bracket (the guard is
+    * checked against the EXACT counts), the whole query falls back to
+    * the naive full-window plan. Two bounded |groups|-row collects at
+    * build time (the documented bounded-collect contract —
+    * [[qMedian]] joins dd_cluster/tx_curation/ann_ivf in the
+    * collect-at-build family). */
+  def qMedian(spark: SparkSession, dir: String): DataFrame =
+    qMedianImpl(Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")))
+
+  private[graft] def qMedianImpl(ords: DataFrame,
+                                 forceFallback: Boolean = false): DataFrame = {
+    import ords.sparkSession.implicits._
+    def finish(middle: DataFrame): DataFrame =
+      middle.groupBy($"o_orderstatus")
+        // one middle row (odd cnt) or two (even): 2*median =
+        // sum*(3-count) — exact decimal multiply; decimal DIVISION
+        // scale rules differ across engines, multiplication doesn't
+        .agg(canon(sum(dec($"o_totalprice")) * (lit(3) - count(lit(1))))
+          .as("median_x2"))
     val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice", $"o_orderkey")
-    Tables.orders(spark, dir)
+    def fullPlan: DataFrame = finish(ords
       .withColumn("rn", row_number().over(w))
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy($"o_orderstatus")))
       .filter($"rn" === expr("(cnt + 1) div 2") || $"rn" === expr("(cnt + 2) div 2"))
-      .groupBy($"o_orderstatus")
-      // one middle row (odd cnt) or two (even): 2*median = sum*(3-count)
-      // — exact decimal multiply; decimal DIVISION scale rules differ
-      // across engines, multiplication doesn't
-      .agg(canon(sum(dec($"o_totalprice")) * (lit(3) - count(lit(1))))
-        .as("median_x2"))
+      .drop("rn", "cnt"))
+    if (forceFallback) return fullPlan
+
+    // sketch pass: |groups| rows of (cnt, bracket)
+    val sketch = ords.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        percentile_approx($"o_totalprice", lit(0.49), lit(10000)).as("lo"),
+        percentile_approx($"o_totalprice", lit(0.51), lit(10000)).as("hi"))
+      .collect()
+    def perGroup(f: org.apache.spark.sql.Row => Column): Column =
+      sketch.foldLeft(lit(null).cast("double"))((acc, r) =>
+        when($"o_orderstatus" === r.getString(0), f(r)).otherwise(acc))
+    val loC = perGroup(r => lit(r.getDouble(2)))
+    val hiC = perGroup(r => lit(r.getDouble(3)))
+    // exact pass: strictly-below and in-bracket counts per group.
+    // Rank order is (value, key) and the bracket cuts on VALUE, so a
+    // slice row's global rank is exactly below + its in-slice rank.
+    val exact = ords.groupBy($"o_orderstatus")
+      .agg(sum(when($"o_totalprice" < loC, 1L).otherwise(0L)).as("below"),
+        sum(when($"o_totalprice" >= loC && $"o_totalprice" <= hiC, 1L)
+          .otherwise(0L)).as("inside"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val guarded = sketch.forall { r =>
+      val cnt = r.getLong(1)
+      val (k1, k2) = ((cnt + 1) / 2, (cnt + 2) / 2)
+      val (below, inside) = exact(r.getString(0))
+      below < k1 && k2 <= below + inside
+    }
+    if (!guarded) return fullPlan // sketch missed — exactness unharmed
+
+    val ranks = sketch.map { r =>
+      val cnt = r.getLong(1)
+      r.getString(0) -> ((cnt + 1) / 2, (cnt + 2) / 2)
+    }.toMap
+    def rankCol(pick: ((Long, Long)) => Long): Column =
+      sketch.foldLeft(lit(null).cast("long"))((acc, r) =>
+        when($"o_orderstatus" === r.getString(0),
+          lit(pick(ranks(r.getString(0))))).otherwise(acc))
+    val belowC = sketch.foldLeft(lit(null).cast("long"))((acc, r) =>
+      when($"o_orderstatus" === r.getString(0),
+        lit(exact(r.getString(0))._1)).otherwise(acc))
+    finish(ords
+      .filter($"o_totalprice" >= loC && $"o_totalprice" <= hiC)
+      .withColumn("grank", row_number().over(w) + belowC)
+      .filter($"grank" === rankCol(_._1) || $"grank" === rankCol(_._2))
+      .drop("grank"))
   }
 
   val qMedianSql: String =

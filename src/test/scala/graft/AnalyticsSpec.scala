@@ -14,6 +14,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(total === Tables.lineitem(spark, sf).count())
   }
 
+  test("q_median: sketch-guided slice == full-window plan (sf + adversarial)") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1).toSeq
+    // real data: the guarded sliced plan must equal the naive plan
+    val ords = Tables.orders(spark, sf)
+      .select($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+    assert(canon(Analytics.qMedianImpl(ords)) ===
+      canon(Analytics.qMedianImpl(ords, forceFallback = true)))
+    // adversarial: a group that is ALL ties (bracket degenerates to a
+    // point), a 1-row group, a 2-row group, and an even-count group
+    // with boundary ties
+    val adv = Seq(
+      ("T", 5.0, 1L), ("T", 5.0, 2L), ("T", 5.0, 3L), ("T", 5.0, 4L),
+      ("S", 9.0, 5L),
+      ("D", 1.0, 6L), ("D", 3.0, 7L),
+      ("E", 1.0, 8L), ("E", 2.0, 9L), ("E", 2.0, 10L), ("E", 7.0, 11L)
+    ).toDF("o_orderstatus", "o_totalprice", "o_orderkey")
+    val sliced = canon(Analytics.qMedianImpl(adv))
+    assert(sliced === canon(Analytics.qMedianImpl(adv, forceFallback = true)))
+    // spot values: 2*median — T all-ties: 10.0; S single: 18.0;
+    // D even: 1+3=4.0; E even: 2+2=4.0
+    assert(sliced === Seq("D" -> 4.0, "E" -> 4.0, "S" -> 18.0, "T" -> 10.0))
+  }
+
   test("q_pivot: cells reconcile with the flat groupBy; no discovery job") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.qPivot(spark, sf).collect()
