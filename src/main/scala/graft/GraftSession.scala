@@ -23,6 +23,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // broadcast threshold: Spark's 10m default is tuned for small
+      // executors; SPARK_GRAFT_BROADCAST lets a deployment size it to
+      // its executor memory (the driver/bench hosts here have 24g+
+      // heaps). Applies to both the static planner and AQE's runtime
+      // re-plan (adaptive threshold inherits this when unset).
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10m"))
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Build (or reuse) the session and register graft's functions. */

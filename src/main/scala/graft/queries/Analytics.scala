@@ -351,12 +351,21 @@ object Analytics {
     * scans. `grouping_id` disambiguates NULL-as-total from NULL data. */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.lineitem(spark, dir)
-      .rollup($"l_returnflag", $"l_linestatus")
+    // rollup AFTER the base aggregate, not over the raw rows: Spark
+    // plans rollup(a,b) as an Expand that replicates EVERY input row
+    // once per grouping set (3× the corpus through the first hash agg
+    // — measured 3.45 s at sf10). count/sum are algebraic, so rolling
+    // up the |groups|-row base aggregate is exact and the Expand
+    // touches 6 rows instead of 60M.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n0"),
+        sum(cents($"l_extendedprice")).as("units0"))
+    base.rollup($"l_returnflag", $"l_linestatus")
       .agg(
         grouping_id().as("gid"),
-        count(lit(1)).as("n"),
-        fromUnits(sum(cents($"l_extendedprice")), 2).as("sum_price"))
+        sum($"n0").as("n"),
+        fromUnits(sum($"units0"), 2).as("sum_price"))
       .select(
         coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
         coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
