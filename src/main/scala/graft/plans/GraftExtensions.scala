@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -64,7 +64,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => BpeApply(args(0), args(1))),
     (FunctionIdentifier("graft_entity_changes"),
       new ExpressionInfo(classOf[ProtoEntityChangesExpr].getName, "graft_entity_changes"),
-      (args: Seq[Expression]) => ProtoEntityChangesExpr(args(0)))
+      (args: Seq[Expression]) => ProtoEntityChangesExpr(args(0))),
+    (FunctionIdentifier("graft_entity_changes_encode"),
+      new ExpressionInfo(classOf[ProtoEntityChangesEncodeExpr].getName, "graft_entity_changes_encode"),
+      (args: Seq[Expression]) => ProtoEntityChangesEncodeExpr(args(0)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -284,6 +284,58 @@ object GraphLoad {
         col("op"),
         col("value").cast("decimal(20,2)").cast("string").as("value"))).as("line"))
 
+  /** #6d gl_proto_parse — the reference's ACTUAL wire format, oracle
+    * gated end to end: each block's changes are serialized to one
+    * `sf.substreams.sink.entity.v1.EntityChanges` protobuf payload
+    * (`graft_entity_changes_encode`, the byte layout `run` unmarshals
+    * per block — sinker/sinker.go:213-214), then decoded back with
+    * `graft_entity_changes` and flattened to one row per field. The
+    * oracle computes the same flatten in plain SQL over the change
+    * stream, so a hash match proves the distributed encode ∘ decode
+    * round-trip is identity on the whole corpus — not just on
+    * ProtoSpec's hand-derived fixtures (which pin the byte layout
+    * itself to the public wire spec).
+    *
+    * Field mapping (sinker.go:294-315 shapes): `value` → the
+    * `Bigdecimal` Typed variant (decimal-string rendering, the
+    * reference's big-decimal convention), `props` → `String`; unset
+    * fields are omitted, exactly as proto3 canonical form omits
+    * defaults. `ordinal` stands in for the per-block change ordinal
+    * with the block number (§3's synthetic mapping).
+    *
+    * Scale: ONE shuffle — the per-block `collect_list` groups a
+    * block's changes (the reference's own per-block unit, bounded by
+    * changes-per-block, never corpus-sized); encode and decode both
+    * run map-only inside whole-stage codegen. A 100 TB payload stream
+    * round-trips at scan speed. */
+  def glProtoParse(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val changeStruct = struct(
+      lit("user_state").as("entity"),
+      col("id"),
+      col("block_num").cast("long").as("ordinal"),
+      concat(lit("OPERATION_"), col("op")).as("op"),
+      filter(array(
+        struct(lit("value").as("name"), lit("Bigdecimal").as("vtype"),
+          col("value").cast("decimal(20,2)").cast("string").as("value")),
+        struct(lit("props").as("name"), lit("String").as("vtype"),
+          col("props").as("value"))
+      ), f => f("value").isNotNull).as("fields"))
+    ch(s, d)
+      .groupBy("block_num")
+      .agg(collect_list(changeStruct).as("changes"))
+      .select(col("block_num"),
+        call_function("graft_entity_changes_encode", col("changes")).as("payload"))
+      .select(col("block_num"),
+        explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("block_num"), col("c.entity").as("entity"), col("c.id").as("id"),
+        col("c.ordinal").as("ordinal"), col("c.op").as("op"),
+        explode(col("c.fields")).as("f"))
+      .select(col("block_num"), col("entity"), col("id"), col("ordinal"), col("op"),
+        col("f.name").as("field_name"), col("f.vtype").as("vtype"),
+        col("f.value").as("field_value"))
+  }
+
   /** Compaction group target size in bytes. Chosen so the sf0.01
     * manifest (10 bundles, ~60 KB each) packs into several groups; a
     * production deployment sets this to its parquet row-group /
@@ -564,7 +616,19 @@ object GraphLoad {
          |       MAX(bundle) AS last_bundle,
          |       CAST(SUM(bytes) AS BIGINT) AS bytes,
          |       CAST(SUM(n_lines) AS BIGINT) AS n_lines
-         |FROM off GROUP BY 1""".stripMargin
+         |FROM off GROUP BY 1""".stripMargin,
+
+    "gl_proto_parse" ->
+      s"""$W
+         |SELECT block_num, 'user_state' AS entity, id,
+         |       block_num AS ordinal, 'OPERATION_' || op AS op,
+         |       'value' AS field_name, 'Bigdecimal' AS vtype,
+         |       CAST(CAST(value AS DECIMAL(20,2)) AS VARCHAR) AS field_value
+         |FROM changes WHERE value IS NOT NULL
+         |UNION ALL
+         |SELECT block_num, 'user_state', id, block_num, 'OPERATION_' || op,
+         |       'props', 'String', props
+         |FROM changes WHERE props IS NOT NULL""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -595,6 +659,7 @@ object GraphLoad {
     "gl_change_validation" -> (glChangeValidation _),
     "gl_undo_canonical" -> (glUndoCanonical _),
     "gl_jsonl_encode" -> (glJsonlEncode _),
-    "gl_compaction_plan" -> (glCompactionPlan _)
+    "gl_compaction_plan" -> (glCompactionPlan _),
+    "gl_proto_parse" -> (glProtoParse _)
   )
 }

@@ -169,4 +169,37 @@ class ProtoSpec extends SparkSpec {
     assert(got === model.toSet)
     assert(got.nonEmpty)
   }
+
+  test("encode expression round-trips every Typed variant distributed, arrays included") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // Build change rows covering the variants the gl_proto_parse query
+    // does NOT exercise (Array, Int32, Bool, Bytes, negative int32),
+    // run them through graft_entity_changes_encode on EXECUTORS, decode
+    // with graft_entity_changes, and demand the flattened view is
+    // byte-for-byte what the driver-side codec produces.
+    val changes = adversarial.take(1) // Poi change: all variants incl. arrays
+    val rows = changes.map { c =>
+      (c.entity, c.id, c.ordinal, c.op, c.fields.map { f =>
+        val v = f.newValue.get
+        val arr = if (v.vtype == "Array")
+          v.array.map(e => (e.vtype, e.value)) else null
+        (f.name, v.vtype, v.value, arr)
+      })
+    }
+    val df = rows.toDF("entity", "id", "ordinal", "op", "fields")
+      .select(call_function("graft_entity_changes_encode",
+        array(struct(col("entity"), col("id"), col("ordinal"), col("op"),
+          col("fields")))).as("payload"))
+    val got = df.collect().head.getAs[Array[Byte]]("payload")
+    // old_value is not carried by the expression's field schema — the
+    // driver-side twin must drop it for byte equality
+    val noOld = changes.map(c => c.copy(fields = c.fields.map(_.copy(oldValue = None))))
+    assert(got.toSeq === ProtoEntityChanges.encode(noOld).toSeq)
+    // and the decode expression inverts it on the executor too
+    val back = df.select(explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("c.entity"), size(col("c.fields")).as("nf")).collect().head
+    assert(back.getAs[String]("entity") === "Poi")
+    assert(back.getAs[Int]("nf") === changes.head.fields.size)
+  }
 }
