@@ -77,7 +77,9 @@ object Analytics {
           .as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
-      .orderBy($"l_returnflag", $"l_linestatus")
+      // no trailing ORDER BY: the result set has no ordering contract
+      // (the gate sorts rows itself), and a global sort — even of a
+      // groups-sized output — adds a range-sampling job + exchange
   }
 
   val q1AggSql: String =
@@ -88,7 +90,7 @@ object Analytics {
       |  COUNT(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |""".stripMargin
 
   // ---- #21b incremental aggregate maintenance -----------------------
 
@@ -148,7 +150,6 @@ object Analytics {
         fromUnits(col("base_units"), 2).as("sum_base_price"),
         fromUnits(col("disc_units"), 4).as("sum_disc_price"),
         col("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   /** Oracle = the FULL recompute: incremental must be indistinguishable. */
@@ -218,7 +219,6 @@ object Analytics {
       .groupBy($"n_name")
       .agg(fromUnits(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4)
         .as("revenue"))
-      .orderBy($"n_name")
   }
 
   val q5MultijoinSql: String =
@@ -231,7 +231,7 @@ object Analytics {
       |JOIN nation ON s_nationkey = n_nationkey
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY n_name
-      |ORDER BY n_name""".stripMargin
+      |""".stripMargin
 
   /** Top-N per group: 3 highest-value orders per customer.
     * Scale: one shuffle on o_custkey; rank inside partitions. */
@@ -244,7 +244,9 @@ object Analytics {
       // o_totalprice is passed through raw (already double in the
       // source parquet): no arithmetic, so no canonicalization needed
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
-      .orderBy($"o_custkey", $"rk")
+      // no trailing ORDER BY — a |custkey|×3 global sort is a real
+      // range-exchange funnel at scale, and the output has no
+      // ordering contract
   }
 
   val qWindowTopnSql: String =
@@ -253,8 +255,7 @@ object Analytics {
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
       |  FROM orders
-      |) WHERE rk <= 3
-      |ORDER BY o_custkey, rk""".stripMargin
+      |) WHERE rk <= 3""".stripMargin
 
   /** Sessionization: a new session starts after a >30 min gap per user;
     * session id = cumulative count of session-starts up to the event.
@@ -273,7 +274,7 @@ object Analytics {
       .groupBy($"user_id", $"session_id")
       .agg(count(lit(1)).as("n_events"),
         fromUnits(sum(cents($"value")), 2).as("session_value"))
-      .orderBy($"user_id", $"session_id")
+      // the session-grain output is data-proportional: no global sort
   }
 
   val qSessionizeSql: String =
@@ -293,8 +294,7 @@ object Analytics {
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100.0 AS session_value
       |FROM sessions
-      |GROUP BY user_id, session_id
-      |ORDER BY user_id, session_id""".stripMargin
+      |GROUP BY user_id, session_id""".stripMargin
 
   /** JSON extraction from the events.props payload — the reference
     * parses JSONL entity-change payloads (csvprocessor/entity.go:126-139);
@@ -305,7 +305,6 @@ object Analytics {
       .withColumn("k", get_json_object($"props", "$.k").cast("long"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
-      .orderBy($"event_type")
   }
 
   val qJsonExtractSql: String =
@@ -313,8 +312,7 @@ object Analytics {
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events
-      |GROUP BY event_type
-      |ORDER BY event_type""".stripMargin
+      |GROUP BY event_type""".stripMargin
 
   /** As-of join: every purchase event picks up the value of the user's
     * latest preceding non-purchase event. Spark-first realization is
@@ -719,8 +717,7 @@ object Analytics {
       |            WHERE o.o_orderdate <= l.l_shipdate
       |              AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY)) AS BIGINT) AS open_sum
       |FROM lineitem l
-      |GROUP BY l_returnflag
-      |ORDER BY l_returnflag""".stripMargin
+      |GROUP BY l_returnflag""".stripMargin
 
   /** #26i q_range_join — the PAIR-producing point-in-interval join
     * ([[qIntervalCount]]'s sweep covers counts; when the consumer

@@ -32,8 +32,9 @@ class PlanSpec extends SparkSpec {
     val df = Analytics.q1Agg(spark, sf)
     val p = physical(df)
     assert(nodes(p, "HashAggregate") === 2, p) // partial+final
-    // one exchange for the agg + the tiny range partition for the sort
-    assert(shuffles(p) <= 2, p)
+    // exactly the agg exchange — the output carries no ORDER BY, so
+    // there is no range-partition exchange to pay for
+    assert(shuffles(p) === 1, p)
     val f = formatted(df)
     assert(f.contains("ReadSchema"))
     assert(!f.contains("l_shipdate"), "scan reads columns the query never uses")
@@ -62,9 +63,9 @@ class PlanSpec extends SparkSpec {
 
   test("q_sessionize: both windows and the session agg share one partitioning") {
     val p = physical(Analytics.qSessionize(spark, sf))
-    // one exchange on user_id feeds lag, the cumulative sum AND the
-    // final aggregate; the only other one is the output sort
-    assert(shuffles(p) <= 2, p)
+    // ONE exchange on user_id feeds lag, the cumulative sum AND the
+    // final aggregate (ordered output dropped: no range exchange)
+    assert(shuffles(p) === 1, p)
     assert(nodes(p, "Window") === 2, p)
   }
 
