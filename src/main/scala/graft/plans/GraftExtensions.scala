@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -67,7 +67,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ProtoEntityChangesExpr(args(0))),
     (FunctionIdentifier("graft_entity_changes_encode"),
       new ExpressionInfo(classOf[ProtoEntityChangesEncodeExpr].getName, "graft_entity_changes_encode"),
-      (args: Seq[Expression]) => ProtoEntityChangesEncodeExpr(args(0)))
+      (args: Seq[Expression]) => ProtoEntityChangesEncodeExpr(args(0))),
+    (FunctionIdentifier("graft_json_long"),
+      new ExpressionInfo(classOf[JsonLong].getName, "graft_json_long"),
+      (args: Seq[Expression]) => JsonLong(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -301,8 +301,11 @@ object Analytics {
     * here the engine-level capability: schema-on-read JSON columns. */
   def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // graft_json_long: one byte pass per row (spec-pinned to the
+    // get_json_object+cast composable twin — JsonKernelSpec)
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     Tables.events(spark, dir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("k", call_function("graft_json_long", $"props", lit("k")))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"), max($"k").as("max_k"))
   }

@@ -385,12 +385,16 @@ object GraphLoad {
         sum(col("n_lines")).as("n_lines"))
   }
 
-  def glJsonlParse(s: SparkSession, d: String): DataFrame =
+  def glJsonlParse(s: SparkSession, d: String): DataFrame = {
+    // graft_json_long = one byte pass per line (JsonKernelSpec pins it
+    // to the from_json composable twin); for a map-only parse the
+    // Jackson setup per row IS the cost
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Tables.events(s, d)
       .select(col("event_id"),
-        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
-          .getField("k").as("k"))
+        call_function("graft_json_long", col("props"), lit("k")).as("k"))
       .filter(col("k") > 90)
+  }
 
   // ---- oracle twins --------------------------------------------------
 
