@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only the tail of stdout and json-parses the
+// LAST line; sbt's "[success] Total time" epilogue after graft.Bench's
+// compact summary line is exactly what left BENCH_r{5,6}.json with
+// parsed:null. Suppress it so the summary JSON is the final line.
+Global / showSuccess := false
+// ...and bypass the "[info] " logger prefix on forked run output for
+// the same reason: the summary line must parse as bare JSON.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
