@@ -1226,6 +1226,127 @@ object TextAnalysis {
        |  FROM dtf JOIN dfx USING (t))
        |SELECT doc_id, rk, t, c, df, score FROM scored WHERE rk <= $TfidfTopK""".stripMargin
 
+  // ---- #34t BM25 retrieval --------------------------------------------
+
+  /** BM25 parameters ×100 (k1 = 1.2, b = 0.75, the standard Robertson
+    * defaults) kept as integers so the scoring below is exact. */
+  val Bm25K1x100 = 120L
+  val Bm25Bx100 = 75L
+  val Bm25TopK = 10
+  /** Salt fanout for the two-level per-query top-K (see scale note). */
+  val Bm25Salts = 32
+
+  /** The retrieval workload: a literal (query_id, term) set — the
+    * serving side ships queries, not data. "shuffle" is deliberately
+    * absent from the corpus vocabulary: a term with no postings must
+    * contribute nothing (and divide by nothing) in both engines. */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    1L -> "dup", 1L -> "spark",
+    2L -> "hash", 2L -> "join", 2L -> "shuffle",
+    3L -> "window", 3L -> "stream", 3L -> "batch",
+    4L -> "vector")
+
+  // BM25(q,d) = Σ_t idf·tf·(k1+1) / (tf + k1(1−b + b·dl/avgdl)),
+  // cleared of fractions by 10000·avgdl: numerator factor
+  // (k1+1)·10000/100 = 22000, denominator 10000·avgdl·tf
+  // + k1·(1−b)·10000·avgdl/10000 → the three integer coefficients:
+  private val Bm25Num = (100L + Bm25K1x100) * 100L          // 22000
+  private val Bm25DenA = Bm25K1x100 * (100L - Bm25Bx100)    // 3000
+  private val Bm25DenB = Bm25K1x100 * Bm25Bx100             // 9000
+
+  /** #34t tx_bm25 — BM25 scored retrieval: top-K documents per query
+    * over the corpus, THE ranking function behind lexical search and
+    * the retrieval half of decontamination-by-query / RAG-corpus
+    * curation. idf is the same log-free fixed-point reciprocal as
+    * tx_tfidf_topterms (`10⁹ DIV df` — libm's ln is not bit-portable
+    * across engines; any strictly-decreasing function of df preserves
+    * the per-term ordering this grades), and the tf/length saturation
+    * is BM25's own, exact in integers: with k1/b scaled ×100 and both
+    * sides of the fraction multiplied by 10000·avgdl, the per-term
+    * score is one truncating DIV — identical in both engines. avgdl =
+    * Σdl DIV N over tokenized docs.
+    *
+    * Scale: postings come from the memoized (doc_id, t, c) index
+    * filtered to query terms — at 100 TB that filter rides the index
+    * scan, and df/dl/avgdl derive from the same index (dl is the one
+    * full doc-keyed aggregation; a production index stores it). The
+    * query-term frame broadcasts (queries are metadata-sized). Per-
+    * query top-K is TWO-level: row_number inside (query_id, salt)
+    * buckets first — candidate lists shrink to ≤K·salts per query
+    * BEFORE any single task sees a whole query's candidates — then the
+    * final K among survivors. Exact: a global top-K doc is top-K in
+    * its salt bucket. A one-level window would funnel every candidate
+    * of a hot query through one task (queries are FEW — the classic
+    * low-cardinality window skew). */
+  def txBm25(s: SparkSession, d: String): DataFrame =
+    bm25TopDocs(docTfIndex(s, d), Bm25Queries, Bm25TopK)
+
+  /** The session's memoized (doc_id, t, c) index — the standing corpus
+    * artifact tx_rarity / tx_tfidf_topterms / tx_bm25 / ann_hybrid_rrf
+    * all serve from (tokenized once per session). */
+  private[graft] def docTfIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    docTfMemo.getOrBuild(s, d) {
+      docTokenCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+    }
+  }
+
+  /** The ranker over any (doc_id, t, c) frame — split out so specs can
+    * pin exact scores on a constructed corpus. */
+  private[graft] def bm25TopDocs(docTf: DataFrame,
+                                 queries: Seq[(Long, String)],
+                                 k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docTf.sparkSession
+    import spark.implicits._
+    val qterms = queries.toDF("query_id", "t")
+    val terms = queries.map(_._2).distinct
+    val dl = docTf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
+    val avg = dl.agg(expr("sum(dl) DIV count(1)").as("avgdl"))
+    val dfTab = docTf.filter(col("t").isin(terms: _*))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val scored = docTf.join(broadcast(qterms), "t")
+      .join(broadcast(dfTab), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(avg))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr(
+        s"CAST(CAST(1000000000 DIV df AS DECIMAL(38,0)) * c * $Bm25Num * avgdl" +
+          s" DIV (10000 * avgdl * c + $Bm25DenA * avgdl + $Bm25DenB * dl)" +
+          " AS BIGINT)")).as("score"))
+    val pre = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Bm25Salts)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val fin = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk0", row_number().over(pre)).filter(col("rk0") <= k)
+      .withColumn("rk", row_number().over(fin)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+  }
+
+  val txBm25Sql: String = {
+    val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    val terms = Bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH q(query_id, t) AS (VALUES $qvals),
+       |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |dtf AS MATERIALIZED (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1, 2),
+       |dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM dtf GROUP BY 1),
+       |ag AS (SELECT CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl FROM dl),
+       |dfx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dtf
+       |        WHERE t IN ($terms) GROUP BY 1),
+       |scored AS (
+       |  SELECT q.query_id, d.doc_id,
+       |    CAST(SUM(CAST(1000000000 // df AS HUGEINT) * c * $Bm25Num * avgdl
+       |      // (10000 * avgdl * c + $Bm25DenA * avgdl + $Bm25DenB * dl)) AS BIGINT) AS score
+       |  FROM q JOIN dtf d USING (t) JOIN dfx USING (t)
+       |       JOIN dl USING (doc_id) CROSS JOIN ag
+       |  GROUP BY 1, 2)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS INT) AS rk FROM scored)
+       |WHERE rk <= $Bm25TopK""".stripMargin
+  }
+
   // ---- #34i sequence packing -----------------------------------------
 
   /** Packing parameters: shard count ≈ writer parallelism (each shard
@@ -1696,6 +1817,7 @@ object TextAnalysis {
     "tx_rarity" -> (txRarity _),
     "tx_bigram_lm" -> (txBigramLm _),
     "tx_tfidf_topterms" -> (txTfidfTopterms _),
+    "tx_bm25" -> (txBm25 _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
     "tx_curation" -> (txCuration _),
@@ -1722,6 +1844,7 @@ object TextAnalysis {
     "tx_rarity" -> txRaritySql,
     "tx_bigram_lm" -> txBigramLmSql,
     "tx_tfidf_topterms" -> txTfidfToptermsSql,
+    "tx_bm25" -> txBm25Sql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_curation" -> txCurationSql,

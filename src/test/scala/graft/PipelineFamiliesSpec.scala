@@ -529,6 +529,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx_bm25: exact integer scores, tf saturation, absent terms, tie-break") {
+    import spark.implicits._
+    // corpus: d1 = x·2 y·1 (dl 3), d2 = x·1 z·3 (dl 4); avgdl = 7 DIV 2 = 3.
+    // df(x)=2 → idf 5e8; df(y)=df(z)=1 → idf 1e9. Per-term score =
+    // idf·tf·22000·avgdl DIV (10000·avgdl·tf + 3000·avgdl + 9000·dl):
+    //   d1/x: 5e8·2·22000·3 DIV (60000+9000+27000) = 6.6e13 DIV 96000  = 687500000
+    //   d2/x: 5e8·1·22000·3 DIV (30000+9000+36000) = 3.3e13 DIV 75000  = 440000000
+    //   d2/z: 1e9·3·22000·3 DIV (90000+9000+36000) = 1.98e14 DIV 135000 = 1466666666
+    //   d1/y: 1e9·1·22000·3 DIV (30000+9000+27000) = 6.6e13 DIV 66000  = 1000000000
+    val docTf = Seq(
+      (1L, "x", 2L), (1L, "y", 1L),
+      (2L, "x", 1L), (2L, "z", 3L)).toDF("doc_id", "t", "c")
+    val qs = Seq(1L -> "x", 1L -> "z", 1L -> "missing", 2L -> "y", 3L -> "missing")
+    val got = TextAnalysis.bm25TopDocs(docTf, qs, 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("score")))).toMap
+    assert(got((1L, 1)) === ((2L, 440000000L + 1466666666L))) // multi-term sum
+    assert(got((1L, 2)) === ((1L, 687500000L)))
+    assert(got((2L, 1)) === ((1L, 1000000000L)))
+    // query 3's only term has no postings: the query yields NO rows
+    // (not a zero-score row) in both engines
+    assert(got.size === 3)
+    // tie-break: identical docs score identically → doc_id ascending
+    val tie = Seq((10L, "w", 1L), (7L, "w", 1L)).toDF("doc_id", "t", "c")
+    val tGot = TextAnalysis.bm25TopDocs(tie, Seq(1L -> "w"), 10).collect()
+      .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("doc_id")).toMap
+    assert(tGot === Map(1 -> 7L, 2 -> 10L))
+    // corpus invariants: ≤K rows per query, ranks contiguous from 1,
+    // scores non-increasing in rank (the two-level top-K is exact)
+    val real = TextAnalysis.txBm25(spark, sf).collect()
+    val byQ = real.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.length <= TextAnalysis.Bm25TopK)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.map(_.getAs[Int]("rk")).toSeq === (1 to rows.length))
+      val scores = sorted.map(_.getAs[Long]("score")).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+  }
+
   test("tx_classify: scores are exact weight sums over hashed features") {
     import spark.implicits._
     // reference computation in plain Scala: same md5 hash, same mod
