@@ -656,7 +656,119 @@ object Ann {
        |FROM scored s JOIN g ON g.rep_id = s.rep_id
        |QUALIFY rank <= $KnnK""".stripMargin
 
+  // ---- #33f hybrid RRF retrieval --------------------------------------
+
+  /** Rank depth each retriever contributes to the fusion. */
+  val FuseDepth = 20
+  /** The standard RRF constant (Cormack/Clarke/Buettcher's k=60),
+    * and the fixed-point scale that keeps 1/(k+rank) an exact
+    * integer: score = 10⁶ DIV (60 + rank). */
+  val RrfKConst = 60L
+  val RrfScale = 1000000L
+  val HybridTopK = 10
+
+  /** #33f ann_hybrid_rrf — hybrid retrieval: BM25 lexical ranks fused
+    * with embedding-cosine ranks by Reciprocal Rank Fusion, the
+    * standard two-tower serving stack (lexical recall + semantic
+    * recall, rank-level fusion so neither scorer's scale dominates).
+    * Query q contributes its literal term set (tx_bm25's workload) on
+    * the lexical side and vector vec_id=q on the vector side
+    * (vec_id≡doc_id in this corpus); RRF = Σ 10⁶ DIV (60 + rank) over
+    * the retrievers that returned the doc within FuseDepth — exact
+    * integers, no FP. A doc found by only one retriever still scores
+    * (the outer join), which is RRF's point.
+    *
+    * Scale: both inputs are already top-FuseDepth per query — the
+    * fusion joins two ≤|queries|·depth row frames, metadata-sized at
+    * any corpus size; the final per-query window sorts ≤2·depth
+    * candidates. The lexical side rides the memoized doc-term index,
+    * the vector side the memoized quantized corpus (both standing
+    * artifacts). */
+  def annHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocs(TextAnalysis.docTfIndex(s, d),
+        TextAnalysis.Bm25Queries, FuseDepth)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val e = quantized(s, d)
+    val qids = TextAnalysis.Bm25Queries.map(_._1).distinct
+    val q = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", Vectors.cosine(
+        Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
+    // two-level per-query top-N: exact (a global top-N doc is top-N in
+    // its salt bucket); queries are FEW — the same low-cardinality
+    // window-skew shape bm25TopDocs guards against
+    val pre = Window.partitionBy(col("qid"), pmod(col("vec_id"), lit(32)))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val fin = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val vec = scored
+      .withColumn("r0", row_number().over(pre)).filter(col("r0") <= FuseDepth)
+      .withColumn("vec_rk", row_number().over(fin)).filter(col("vec_rk") <= FuseDepth)
+      .select(col("qid").as("query_id"), col("vec_id").as("doc_id"), col("vec_rk"))
+    rrfFuse(lex, vec, HybridTopK)
+  }
+
+  /** The fusion over any two (query_id, doc_id, *_rk) rank lists —
+    * split out so specs can pin exact RRF scores, one-sided docs, and
+    * the tie-break on constructed lists. Absent ranks surface as 0
+    * (never null — null ints round-trip differently through the two
+    * engines' parquet→pandas paths). */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("lex_rk"), lit(0)).as("lex_rk"),
+        coalesce(col("vec_rk"), lit(0)).as("vec_rk"))
+      .withColumn("rrf", expr(
+        s"CAST((CASE WHEN lex_rk > 0 THEN $RrfScale DIV ($RrfKConst + lex_rk) ELSE 0 END)" +
+          s" + (CASE WHEN vec_rk > 0 THEN $RrfScale DIV ($RrfKConst + vec_rk) ELSE 0 END)" +
+          " AS BIGINT)"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"),
+        col("lex_rk"), col("vec_rk"))
+  }
+
+  val annHybridRrfSql: String = {
+    val qids = TextAnalysis.Bm25Queries.map(_._1).distinct.mkString(", ")
+    val qv = Vectors.quantizeSql("embedding")
+    s"""WITH e AS (
+       |  SELECT vec_id, $qv AS qv FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, qv, ${Vectors.dotSql("qv", "qv")} AS n2 FROM e),
+       |nn AS MATERIALIZED (SELECT * FROM n WHERE n2 > 0),
+       |${TextAnalysis.bm25ScoredCtesSql},
+       |lex AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS INT) AS lex_rk
+       |  FROM bm25scored QUALIFY lex_rk <= $FuseDepth),
+       |vq AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2
+       |  FROM nn WHERE vec_id IN ($qids)),
+       |vscored AS MATERIALIZED (
+       |  SELECT CAST(qid AS BIGINT) AS query_id, vec_id AS doc_id,
+       |         ${Vectors.cosineSql(Vectors.dotSql("qv", "qqv"), "n2", "qn2")} AS cos
+       |  FROM nn, vq WHERE vec_id <> qid),
+       |vr AS MATERIALIZED (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, doc_id) AS INT) AS vec_rk
+       |  FROM vscored QUALIFY vec_rk <= $FuseDepth),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |         COALESCE(l.lex_rk, 0) AS lex_rk, COALESCE(v.vec_rk, 0) AS vec_rk
+       |  FROM lex l FULL JOIN vr v USING (query_id, doc_id)),
+       |rrfd AS (
+       |  SELECT query_id, doc_id, lex_rk, vec_rk,
+       |    CAST((CASE WHEN lex_rk > 0 THEN $RrfScale // ($RrfKConst + lex_rk) ELSE 0 END)
+       |       + (CASE WHEN vec_rk > 0 THEN $RrfScale // ($RrfKConst + vec_rk) ELSE 0 END)
+       |     AS BIGINT) AS rrf
+       |  FROM fused)
+       |SELECT query_id,
+       |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+       |  doc_id, rrf, lex_rk, vec_rk
+       |FROM rrfd QUALIFY rk <= $HybridTopK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hybrid_rrf" -> (annHybridRrf _),
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_topk_brute" -> (annTopkBrute _),
     "ann_lsh_bucket" -> (annLshBucket _),
@@ -853,6 +965,7 @@ object Ann {
   def oracles: Map[String, String] = Map(
     "ann_knn_graph" -> annKnnGraphSql,
     "ann_topk_brute" -> annTopkBruteSql,
+    "ann_hybrid_rrf" -> annHybridRrfSql,
     "ann_lsh_bucket" -> annLshBucketSql,
     // the merged index must equal the rebuilt one — same full-pipeline
     // recompute gates the incremental entry (planes are static literals)

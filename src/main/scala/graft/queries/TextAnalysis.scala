@@ -1250,9 +1250,9 @@ object TextAnalysis {
   // cleared of fractions by 10000·avgdl: numerator factor
   // (k1+1)·10000/100 = 22000, denominator 10000·avgdl·tf
   // + k1·(1−b)·10000·avgdl/10000 → the three integer coefficients:
-  private val Bm25Num = (100L + Bm25K1x100) * 100L          // 22000
-  private val Bm25DenA = Bm25K1x100 * (100L - Bm25Bx100)    // 3000
-  private val Bm25DenB = Bm25K1x100 * Bm25Bx100             // 9000
+  private[graft] val Bm25Num = (100L + Bm25K1x100) * 100L          // 22000
+  private[graft] val Bm25DenA = Bm25K1x100 * (100L - Bm25Bx100)    // 3000
+  private[graft] val Bm25DenB = Bm25K1x100 * Bm25Bx100             // 9000
 
   /** #34t tx_bm25 — BM25 scored retrieval: top-K documents per query
     * over the corpus, THE ranking function behind lexical search and
@@ -1324,28 +1324,34 @@ object TextAnalysis {
       .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
   }
 
-  val txBm25Sql: String = {
+  /** The lexical scoring pipeline as SQL CTEs ending in
+    * `bm25scored(query_id BIGINT, doc_id, score)` — shared between
+    * [[txBm25Sql]] and the hybrid-fusion oracle in [[Ann]]. */
+  private[graft] val bm25ScoredCtesSql: String = {
     val qvals = Bm25Queries.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
     val terms = Bm25Queries.map(_._2).distinct.map(t => s"'$t'").mkString(", ")
-    s"""WITH q(query_id, t) AS (VALUES $qvals),
+    s"""q(query_id, t) AS (VALUES $qvals),
        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |dtf AS MATERIALIZED (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM words GROUP BY 1, 2),
        |dl AS MATERIALIZED (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM dtf GROUP BY 1),
        |ag AS (SELECT CAST(SUM(dl) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avgdl FROM dl),
        |dfx AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM dtf
        |        WHERE t IN ($terms) GROUP BY 1),
-       |scored AS (
-       |  SELECT q.query_id, d.doc_id,
+       |bm25scored AS (
+       |  SELECT CAST(q.query_id AS BIGINT) AS query_id, d.doc_id,
        |    CAST(SUM(CAST(1000000000 // df AS HUGEINT) * c * $Bm25Num * avgdl
        |      // (10000 * avgdl * c + $Bm25DenA * avgdl + $Bm25DenB * dl)) AS BIGINT) AS score
        |  FROM q JOIN dtf d USING (t) JOIN dfx USING (t)
        |       JOIN dl USING (doc_id) CROSS JOIN ag
-       |  GROUP BY 1, 2)
-       |SELECT CAST(query_id AS BIGINT) AS query_id, rk, doc_id, score FROM (
-       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |    ORDER BY score DESC, doc_id ASC) AS INT) AS rk FROM scored)
-       |WHERE rk <= $Bm25TopK""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin
   }
+
+  val txBm25Sql: String =
+    s"""WITH $bm25ScoredCtesSql
+       |SELECT query_id, rk, doc_id, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id ASC) AS INT) AS rk FROM bm25scored)
+       |WHERE rk <= $Bm25TopK""".stripMargin
 
   // ---- #34i sequence packing -----------------------------------------
 

@@ -737,6 +737,44 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_hybrid_rrf: exact RRF scores, one-sided docs, tie-break, fusion order") {
+    import spark.implicits._
+    // query 1: doc 5 is lex rk1 + vec rk2 → 10⁶ DIV 61 + 10⁶ DIV 62 =
+    // 16393 + 16129 = 32522; doc 6 is lex-only rk2 → 10⁶ DIV 62 =
+    // 16129; doc 7 is vec-only rk1 → 16393. Fusion beats either alone;
+    // the vec-only rk1 doc outranks the lex-only rk2 doc.
+    val lex = Seq((1L, 5L, 1), (1L, 6L, 2)).toDF("query_id", "doc_id", "lex_rk")
+    val vec = Seq((1L, 7L, 1), (1L, 5L, 2)).toDF("query_id", "doc_id", "vec_rk")
+    val got = Ann.rrfFuse(lex, vec, 10).collect()
+      .map(r => r.getAs[Int]("rk") ->
+        ((r.getAs[Long]("doc_id"), r.getAs[Long]("rrf"),
+          r.getAs[Int]("lex_rk"), r.getAs[Int]("vec_rk")))).toMap
+    assert(got(1) === ((5L, 32522L, 1, 2)))
+    assert(got(2) === ((7L, 16393L, 0, 1)))
+    assert(got(3) === ((6L, 16129L, 2, 0)))
+    // tie: same ranks from disjoint retrievers → identical rrf, doc_id asc
+    val lex2 = Seq((1L, 9L, 1)).toDF("query_id", "doc_id", "lex_rk")
+    val vec2 = Seq((1L, 3L, 1)).toDF("query_id", "doc_id", "vec_rk")
+    val tie = Ann.rrfFuse(lex2, vec2, 10).collect()
+      .map(r => r.getAs[Int]("rk") -> r.getAs[Long]("doc_id")).toMap
+    assert(tie === Map(1 -> 3L, 2 -> 9L))
+    // corpus: every query present on either side appears; ranks dense;
+    // rrf non-increasing; no null rank columns anywhere
+    val real = Ann.annHybridRrf(spark, sf).collect()
+    assert(real.nonEmpty)
+    real.groupBy(_.getAs[Long]("query_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).sameElements(1 to g.length))
+      assert(g.length <= Ann.HybridTopK)
+      val rrfs = byRank.map(_.getAs[Long]("rrf"))
+      assert(rrfs.zip(rrfs.tail).forall { case (x, y) => x >= y })
+      g.foreach { r =>
+        assert(!r.isNullAt(r.fieldIndex("lex_rk")) && !r.isNullAt(r.fieldIndex("vec_rk")))
+        assert(r.getAs[Int]("lex_rk") > 0 || r.getAs[Int]("vec_rk") > 0)
+      }
+    }
+  }
+
   test("ann_lsh_bucket: recall >= 0.9 vs brute force at sf0.001") {
     def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
