@@ -676,17 +676,17 @@ object Ann {
     * (vec_id≡doc_id in this corpus); RRF = Σ 10⁶ DIV (60 + rank) over
     * the retrievers that returned the doc within FuseDepth — exact
     * integers, no FP. A doc found by only one retriever still scores
-    * (the outer join), which is RRF's point.
+    * (the union fold keeps it), which is RRF's point.
     *
     * Scale: both inputs are already top-FuseDepth per query — the
-    * fusion joins two ≤|queries|·depth row frames, metadata-sized at
-    * any corpus size; the final per-query window sorts ≤2·depth
-    * candidates. The lexical side rides the memoized doc-term index,
-    * the vector side the memoized quantized corpus (both standing
-    * artifacts). */
+    * fusion unions two ≤|queries|·depth row frames (metadata-sized at
+    * any corpus size) through ONE aggregate shuffle; the final
+    * per-query window sorts ≤2·depth candidates. The lexical side
+    * rides the memoized BM25 standing artifacts, the vector side the
+    * memoized quantized corpus. */
   def annHybridRrf(s: SparkSession, d: String): DataFrame = {
-    val lex = TextAnalysis.bm25TopDocs(TextAnalysis.docTfIndex(s, d),
-        TextAnalysis.Bm25Queries, FuseDepth)
+    val lex = TextAnalysis.bm25Score(
+        TextAnalysis.bm25Postings(s, d, TextAnalysis.Bm25Queries), FuseDepth)
       .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
     val e = quantized(s, d)
     val qids = TextAnalysis.Bm25Queries.map(_._1).distinct
@@ -695,14 +695,11 @@ object Ann {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cos", Vectors.cosine(
         Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
-    // two-level per-query top-N: exact (a global top-N doc is top-N in
-    // its salt bucket); queries are FEW — the same low-cardinality
-    // window-skew shape bm25TopDocs guards against
-    val pre = Window.partitionBy(col("qid"), pmod(col("vec_id"), lit(32)))
-      .orderBy(col("cos").desc, col("vec_id"))
+    // rank filter → WindowGroupLimit partial+final: upstream tasks
+    // pre-prune to top-N per query before the window exchange (the
+    // low-cardinality window-skew guard, same as bm25Score)
     val fin = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     val vec = scored
-      .withColumn("r0", row_number().over(pre)).filter(col("r0") <= FuseDepth)
       .withColumn("vec_rk", row_number().over(fin)).filter(col("vec_rk") <= FuseDepth)
       .select(col("qid").as("query_id"), col("vec_id").as("doc_id"), col("vec_rk"))
     rrfFuse(lex, vec, HybridTopK)
@@ -714,14 +711,20 @@ object Ann {
     * (never null — null ints round-trip differently through the two
     * engines' parquet→pandas paths). */
   private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
-    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("lex_rk"), lit(0)).as("lex_rk"),
-        coalesce(col("vec_rk"), lit(0)).as("vec_rk"))
-      .withColumn("rrf", expr(
-        s"CAST((CASE WHEN lex_rk > 0 THEN $RrfScale DIV ($RrfKConst + lex_rk) ELSE 0 END)" +
-          s" + (CASE WHEN vec_rk > 0 THEN $RrfScale DIV ($RrfKConst + vec_rk) ELSE 0 END)" +
-          " AS BIGINT)"))
+    // union + one aggregate, not an outer join: a (query, doc) pair
+    // appears at most once per retriever, so summing per-retriever
+    // contributions over the union IS the outer-join fusion with one
+    // shuffle instead of two (and no null rank columns to scrub)
+    def contrib(rk: String) =
+      expr(s"CAST($RrfScale DIV ($RrfKConst + $rk) AS BIGINT)")
+    val both = lex
+      .select(col("query_id"), col("doc_id"), col("lex_rk"),
+        lit(0).as("vec_rk"), contrib("lex_rk").as("c"))
+      .unionByName(vec.select(col("query_id"), col("doc_id"),
+        lit(0).as("lex_rk"), col("vec_rk"), contrib("vec_rk").as("c")))
+    val fused = both.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("rrf"),
+        max(col("lex_rk")).as("lex_rk"), max(col("vec_rk")).as("vec_rk"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
     fused.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("rrf"),

@@ -1233,8 +1233,6 @@ object TextAnalysis {
   val Bm25K1x100 = 120L
   val Bm25Bx100 = 75L
   val Bm25TopK = 10
-  /** Salt fanout for the two-level per-query top-K (see scale note). */
-  val Bm25Salts = 32
 
   /** The retrieval workload: a literal (query_id, term) set — the
     * serving side ships queries, not data. "shuffle" is deliberately
@@ -1266,20 +1264,68 @@ object TextAnalysis {
     * score is one truncating DIV — identical in both engines. avgdl =
     * Σdl DIV N over tokenized docs.
     *
-    * Scale: postings come from the memoized (doc_id, t, c) index
-    * filtered to query terms — at 100 TB that filter rides the index
-    * scan, and df/dl/avgdl derive from the same index (dl is the one
-    * full doc-keyed aggregation; a production index stores it). The
-    * query-term frame broadcasts (queries are metadata-sized). Per-
-    * query top-K is TWO-level: row_number inside (query_id, salt)
-    * buckets first — candidate lists shrink to ≤K·salts per query
-    * BEFORE any single task sees a whole query's candidates — then the
-    * final K among survivors. Exact: a global top-K doc is top-K in
-    * its salt bucket. A one-level window would funnel every candidate
-    * of a hot query through one task (queries are FEW — the classic
-    * low-cardinality window skew). */
+    * Scale: postings come from the memoized standing artifacts
+    * ([[bm25Postings]]: the index with dl attached, the vocab-sized df
+    * table, the 1-row avgdl — all session-persisted, so the query-time
+    * plan is one FILTERED cache scan plus broadcast joins; at 100 TB
+    * the term filter rides the index scan and a production index
+    * stores exactly these columns). Per-query top-K funnels through
+    * WindowGroupLimit partial+final (plan-gated, see [[bm25Score]]) —
+    * the low-cardinality window-skew guard with no extra shuffle. */
   def txBm25(s: SparkSession, d: String): DataFrame =
-    bm25TopDocs(docTfIndex(s, d), Bm25Queries, Bm25TopK)
+    bm25Score(bm25Postings(s, d, Bm25Queries), Bm25TopK)
+
+  /** Standing BM25 artifacts, memoized like the doc-term index they
+    * extend (a production deployment stores all three WITH the index;
+    * re-deriving them per query is the 12-stage plan the first bench
+    * of this key measured): the index with per-doc length attached,
+    * the vocab-sized df table, and the 1-row avgdl. */
+  private val bm25IdxMemo = graft.SessionMemo.named[DataFrame]("tx_bm25_idx")
+  private val bm25DfMemo = graft.SessionMemo.named[DataFrame]("tx_bm25_df")
+  private val bm25AvgMemo = graft.SessionMemo.named[DataFrame]("tx_bm25_avgdl")
+
+  /** The full scoring index: one (t, doc_id, c, df, dl, avgdl) row per
+    * posting, every column [[bm25TermScore]] needs attached — composed
+    * lazily from the memoized artifacts (cache scan + broadcast
+    * joins), so batch queries AND the streaming serving arm
+    * ([[graft.streaming.Bm25Stream]]) read the same standing layout. */
+  private[graft] def bm25ScoringIndex(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    import org.apache.spark.sql.expressions.Window
+    val idx = bm25IdxMemo.getOrBuild(s, d) {
+      docTfIndex(s, d)
+        .withColumn("dl", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val dfTab = bm25DfMemo.getOrBuild(s, d) {
+      docTfIndex(s, d).groupBy(col("t")).agg(count(lit(1)).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val avg = bm25AvgMemo.getOrBuild(s, d) {
+      idx.select(col("doc_id"), col("dl")).distinct()
+        .agg(expr("sum(dl) DIV count(1)").as("avgdl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    idx.join(broadcast(dfTab), "t").crossJoin(broadcast(avg))
+  }
+
+  /** The scored posting frame for a literal query set — the term
+    * filter pushes through the broadcast joins to the index cache
+    * scan. */
+  private[graft] def bm25Postings(s: SparkSession, d: String,
+                                  queries: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    val terms = queries.map(_._2).distinct
+    bm25ScoringIndex(s, d).filter(col("t").isin(terms: _*))
+      .join(broadcast(queries.toDF("query_id", "t")), "t")
+  }
+
+  /** Per-posting BM25 term score (see [[txBm25]] for the algebra) —
+    * shared by the batch ranker and the streaming serving arm. */
+  private[graft] def bm25TermScore: Column = expr(
+    s"CAST(CAST(1000000000 DIV df AS DECIMAL(38,0)) * c * $Bm25Num * avgdl" +
+      s" DIV (10000 * avgdl * c + $Bm25DenA * avgdl + $Bm25DenB * dl)" +
+      " AS BIGINT)")
 
   /** The session's memoized (doc_id, t, c) index — the standing corpus
     * artifact tx_rarity / tx_tfidf_topterms / tx_bm25 / ann_hybrid_rrf
@@ -1291,36 +1337,44 @@ object TextAnalysis {
     }
   }
 
-  /** The ranker over any (doc_id, t, c) frame — split out so specs can
-    * pin exact scores on a constructed corpus. */
+  /** The ranker over any (doc_id, t, c) frame, building the standing
+    * artifacts inline — the spec path (specs pin exact scores on
+    * constructed corpora); the corpus key goes through the memoized
+    * [[bm25Postings]] instead. */
   private[graft] def bm25TopDocs(docTf: DataFrame,
                                  queries: Seq[(Long, String)],
                                  k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docTf.sparkSession
     import spark.implicits._
-    val qterms = queries.toDF("query_id", "t")
     val terms = queries.map(_._2).distinct
     val dl = docTf.groupBy(col("doc_id")).agg(sum(col("c")).as("dl"))
     val avg = dl.agg(expr("sum(dl) DIV count(1)").as("avgdl"))
     val dfTab = docTf.filter(col("t").isin(terms: _*))
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
-    val scored = docTf.join(broadcast(qterms), "t")
+    val posting = docTf.join(broadcast(queries.toDF("query_id", "t")), "t")
       .join(broadcast(dfTab), "t")
       .join(dl, "doc_id")
       .crossJoin(broadcast(avg))
+    bm25Score(posting, k)
+  }
+
+  /** Per-(query, doc) BM25 sum + per-query top-K over any posting
+    * frame carrying (query_id, doc_id, c, df, dl, avgdl). The rank
+    * filter compiles to WindowGroupLimit partial+final (plan-gated):
+    * every upstream task keeps only its own top-K per query BEFORE the
+    * window exchange, so a hot query's candidate list arrives at its
+    * one sorting task already pruned to K·|upstream tasks| rows — the
+    * low-cardinality window skew guard, natively, with no second
+    * shuffle. */
+  private[graft] def bm25Score(posting: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = posting
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(expr(
-        s"CAST(CAST(1000000000 DIV df AS DECIMAL(38,0)) * c * $Bm25Num * avgdl" +
-          s" DIV (10000 * avgdl * c + $Bm25DenA * avgdl + $Bm25DenB * dl)" +
-          " AS BIGINT)")).as("score"))
-    val pre = Window.partitionBy(col("query_id"), pmod(col("doc_id"), lit(Bm25Salts)))
-      .orderBy(col("score").desc, col("doc_id").asc)
-    val fin = Window.partitionBy(col("query_id"))
+      .agg(sum(bm25TermScore).as("score"))
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored
-      .withColumn("rk0", row_number().over(pre)).filter(col("rk0") <= k)
-      .withColumn("rk", row_number().over(fin)).filter(col("rk") <= k)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
   }
 

@@ -610,6 +610,51 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "SortMergeJoin") + nodes(p, "BroadcastHashJoin") >= 1, p)
   }
 
+  // per-query top-K windows are row_number windows; the memoized BM25
+  // index's one-time build subtree (printed below InMemoryRelation)
+  // contains only the dl-attach SUM window, so counting row_number
+  // windows isolates the per-query plan without string surgery
+  private def rankWindows(p: String): Int = nodes(p, "Window \\[row_number")
+
+  test("tx_bm25: filtered cache scan + broadcasts, top-K pre-pruned before the window") {
+    val df = graft.queries.TextAnalysis.txBm25(spark, sf)
+    val p = physical(df)
+    // rank filter → WindowGroupLimit partial+final: upstream tasks keep
+    // only their top-K per query BEFORE the window exchange (the
+    // low-cardinality window-skew guard)
+    assert(nodes(p, "WindowGroupLimit") === 2, p)
+    assert(rankWindows(p) === 1, p)
+    // query terms / df table broadcast; the only cross join is the
+    // 1-row avgdl attach (aggregate output, never data)
+    assert(bhj(p) >= 2, p)
+    assert(crossJoins(p) <= 1, p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") === 0, p)
+    // postings come from the memoized standing index, not a re-tokenize
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
+  test("ann_hybrid_rrf: union fusion — no big join anywhere, both rank lists pre-pruned") {
+    val df = graft.queries.Ann.annHybridRrf(spark, sf)
+    val p = physical(df)
+    // two retriever windows + the fusion window. The retriever rank
+    // filters each become a WindowGroupLimit pair; the fusion window
+    // gets only the Final one — both union branches arrive already
+    // hash-partitioned by query_id, which satisfies the fusion
+    // aggregate AND the final window, so the entire fusion adds ZERO
+    // exchanges (hence no pre-exchange Partial limit to insert)
+    assert(rankWindows(p) === 3, p)
+    assert(nodes(p, "WindowGroupLimit") === 5, p)
+    // the fusion is union + aggregate: no shuffle/merge join in the
+    // whole plan; the only nested-loop joins are the two INTENTIONAL
+    // broadcast-metadata attaches (1-row avgdl, |queries|-row query
+    // vectors under the ≠ self-match guard — ann_topk_brute's shape)
+    assert(nodes(p, "Union") === 1, p)
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") === 0, p)
+    assert(crossJoins(p) <= 2, p)
+    assert(nodes(p, "CartesianProduct") === 0, p)
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
     val df = GraphLoad.glCompactionPlan(spark, sf)
     val p = physical(df)

@@ -768,6 +768,33 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); refIndex.unpersist() }
   }
 
+  test("bm25 stream: streamed queries reproduce the batch top-k exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val index = graft.queries.TextAnalysis.bm25ScoringIndex(spark, sf)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Bm25Stream.topkContinuous(
+        input.toDF().toDF("query_id", "t"), index)
+      .writeStream.format("memory").queryName("bm25_stream")
+      .outputMode("append").start()
+    try {
+      // the batch key's literal query set, split across two
+      // micro-batches on the query boundary — answers must be the
+      // batch key's exact rows (incl. NO rows for the absent-term-only
+      // query)
+      val (b1, b2) = graft.queries.TextAnalysis.Bm25Queries.partition(_._1 <= 2L)
+      Seq(b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+      val got = spark.table("bm25_stream").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+      val want = graft.queries.TextAnalysis.txBm25(spark, sf).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("pack stream: all-docs-one-shard batch packs correctly; null rows are dropped") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
