@@ -83,7 +83,14 @@ object Soak {
     // knn-graph collapses exact-duplicate vectors before blocking, so
     // the ×10 twin flood must leave the graph itself IDENTICAL — only
     // the collapse aggregation may grow
-    "ann_knn_graph")
+    "ann_knn_graph",
+    // round-7 retrieval stack: the exact-twin corpus inflates every
+    // query term's posting list exactly ×10 (df ×10, vocabulary
+    // unchanged), so bm25's filtered index scan + candidate set must
+    // grow linearly while stage count stays flat; the hybrid fuses two
+    // top-depth lists whose SIZE is corpus-independent — its fusion
+    // shuffle must stay ~FLAT at ×10, only the retriever scans grow
+    "tx_bm25", "ann_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SOAK_SRC", "/root/testdata/sf0.1")
