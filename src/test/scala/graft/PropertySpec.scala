@@ -398,4 +398,89 @@ class PropertySpec extends SparkSpec {
       assert(rt === a, s"array $a")
     }
   }
+
+  test("property: BM25 ranking equals an exact-integer reference fold on random indexes") {
+    import graft.queries.TextAnalysis
+    // random (doc_id, t, c) index with counts up to 10^6 (exercises the
+    // decimal(38) headroom) + random multi-term queries over the same
+    // small vocabulary; the reference fold computes the same algebra
+    // with BigInt division (truncating, operands positive == DIV)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val gen = for {
+      nDocs <- Gen.chooseNum(1, 8)
+      rows <- Gen.sequence[List[(Long, String, Long)], (Long, String, Long)](
+        (0 until nDocs).flatMap { d =>
+          vocab.map(t => for {
+            keep <- Gen.prob(0.6)
+            c <- Gen.chooseNum(1L, 1000000L)
+          } yield if (keep) (d.toLong, t, c) else (d.toLong, t, 0L))
+        })
+      nq <- Gen.chooseNum(1, 3)
+      qs <- Gen.listOfN(nq, Gen.someOf(vocab :+ "zz").suchThat(_.nonEmpty))
+    } yield (rows.filter(_._3 > 0), qs.zipWithIndex.flatMap { case (ts, i) =>
+      ts.map(t => (i.toLong + 1L, t)) })
+    forAll(gen, n = 20) { case (rows, queries) =>
+      whenever(rows.nonEmpty && queries.nonEmpty) {
+        val dl = rows.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._3).sum }
+        val avgdl = dl.values.sum / dl.size
+        val dfm = rows.groupBy(_._2).map { case (t, rs) => t -> rs.size.toLong }
+        val cmap = rows.map { case (d, t, c) => (d, t) -> c }.toMap
+        val want = queries.groupBy(_._1).toSeq.flatMap { case (q, qts) =>
+          val scores = dl.keys.toSeq.flatMap { d =>
+            val s = qts.map(_._2).flatMap { t =>
+              for (c <- cmap.get((d, t)); df <- dfm.get(t)) yield {
+                val idf = 1000000000L / df
+                val num = BigInt(idf) * c * 22000 * avgdl
+                val den = BigInt(10000) * avgdl * c + BigInt(3000) * avgdl +
+                  BigInt(9000) * dl(d)
+                (num / den).toLong
+              }
+            }.sum
+            if (qts.map(_._2).exists(t => cmap.contains((d, t)))) Some(d -> s) else None
+          }
+          scores.sortBy { case (d, s) => (-s, d) }.take(10).zipWithIndex
+            .map { case ((d, s), i) => (q, i + 1, d, s) }
+        }.toSet
+        val got = TextAnalysis.bm25TopDocs(
+            rows.toDF("doc_id", "t", "c"), queries, 10).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+            r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSet
+        assert(got === want, s"rows=$rows queries=$queries")
+      }
+    }
+  }
+
+  test("property: RRF fusion equals a reference fold on random rank lists") {
+    import graft.queries.Ann
+    // per query: a random subset of docs ranked 1..n by each retriever
+    // independently (possibly disjoint); the reference fold computes
+    // 1e6/(60+rk) contributions and ranks (-rrf, doc)
+    val gen = for {
+      docs <- Gen.chooseNum(1, 10)
+      nLex <- Gen.chooseNum(0, docs)
+      nVec <- Gen.chooseNum(0, docs)
+      lexDocs <- Gen.pick(nLex, 0 until docs)
+      vecDocs <- Gen.pick(nVec, 0 until docs)
+    } yield (lexDocs.zipWithIndex.map { case (d, i) => (1L, d.toLong, i + 1) },
+      vecDocs.zipWithIndex.map { case (d, i) => (1L, d.toLong, i + 1) })
+    forAll(gen, n = 30) { case (lex, vec) =>
+      whenever(lex.nonEmpty || vec.nonEmpty) {
+        val contrib = (rk: Int) => 1000000L / (60L + rk)
+        val byDoc = (lex.map { case (_, d, rk) => d -> (contrib(rk), rk, 0) } ++
+          vec.map { case (_, d, rk) => d -> (contrib(rk), 0, rk) })
+          .groupBy(_._1).map { case (d, xs) =>
+            (d, xs.map(_._2._1).sum, xs.map(_._2._2).max, xs.map(_._2._3).max)
+          }.toSeq
+        val want = byDoc.sortBy { case (d, rrf, _, _) => (-rrf, d) }.take(5)
+          .zipWithIndex.map { case ((d, rrf, l, v), i) => (1L, i + 1, d, rrf, l, v) }.toSet
+        val got = Ann.rrfFuse(
+            lex.toSeq.toDF("query_id", "doc_id", "lex_rk"),
+            vec.toSeq.toDF("query_id", "doc_id", "vec_rk"), 5).collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+            r.getAs[Long]("doc_id"), r.getAs[Long]("rrf"),
+            r.getAs[Int]("lex_rk"), r.getAs[Int]("vec_rk"))).toSet
+        assert(got === want, s"lex=$lex vec=$vec")
+      }
+    }
+  }
 }
