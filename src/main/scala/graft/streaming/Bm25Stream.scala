@@ -41,7 +41,11 @@ object Bm25Stream {
     * (the batch key's absent-term semantics). */
   def topkContinuous(stream: DataFrame, index: DataFrame,
                      k: Int = TextAnalysis.Bm25TopK): Dataset[Ranked] = {
-    val scored = stream.join(index, "t")
+    // input guard: a null query_id or term would NPE the tuple encoder
+    // mid-batch (the PackStream rule) — drop such rows instead
+    val scored = stream
+      .filter(col("query_id").isNotNull && col("t").isNotNull)
+      .join(index, "t")
       .select(col("query_id"), col("doc_id"),
         TextAnalysis.bm25TermScore.as("ts"))
     implicit val re: org.apache.spark.sql.Encoder[Ranked] = Encoders.product[Ranked]

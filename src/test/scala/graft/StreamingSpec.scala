@@ -795,6 +795,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25 stream: null query rows are dropped, not an encoder crash") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val index = graft.queries.TextAnalysis.bm25ScoringIndex(spark, sf)
+    val input = MemoryStream[(java.lang.Long, String)]
+    val q = graft.streaming.Bm25Stream.topkContinuous(
+        input.toDF().toDF("query_id", "t"), index)
+      .writeStream.format("memory").queryName("bm25_stream_nulls")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (java.lang.Long.valueOf(1L), "spark"),
+        (java.lang.Long.valueOf(2L), null),
+        (null.asInstanceOf[java.lang.Long], "spark")))
+      q.processAllAvailable()
+      val got = spark.table("bm25_stream_nulls").collect()
+      // only query 1 survives the guard; it still answers fully
+      assert(got.nonEmpty)
+      assert(got.map(_.getAs[Long]("query_id")).toSet === Set(1L))
+    } finally q.stop()
+  }
+
   test("pack stream: all-docs-one-shard batch packs correctly; null rows are dropped") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
