@@ -1528,6 +1528,105 @@ object TextAnalysis {
        |GROUP BY doc_id""".stripMargin
   }
 
+  // ---- #34u classifier calibration ------------------------------------
+
+  /** Threshold buckets for the calibration sweep. */
+  val CalBuckets = 16
+
+  /** #34u tx_calibration — the threshold sweep every production
+    * quality filter is tuned with: bucket the classifier's exact
+    * integer scores (#34j) into [[CalBuckets]] fixed-width bins over
+    * the observed score range, then report cumulative
+    * precision/recall FROM THE TOP BUCKET DOWN — one row per occupied
+    * bucket, i.e. the precision-recall curve at every candidate
+    * keep-threshold. Labels are the same deterministic weak-
+    * supervision rule the trainer (#34s) uses (doc contains "spark");
+    * production swaps in human labels, the sweep mechanics are the
+    * operator. precision/recall as ×10⁹ integers, one truncating DIV
+    * each (all operands non-negative ⇒ trunc == floor, bit-identical
+    * cross-engine); bucket width W = (max−min) DIV B + 1 so a
+    * degenerate one-value range still buckets cleanly.
+    *
+    * Scale: one explode+map-side-combined agg computes (score, label)
+    * per doc — the same single corpus pass inference itself costs —
+    * then min/max/total-positives is a 1-row broadcast and everything
+    * after operates on ≤B bucket rows; the cumulative window is
+    * unpartitioned BY CONSTRUCTION over those ≤B rows (the
+    * gl_compaction_plan contract: the window sorts the curve, not
+    * data). */
+  def txCalibration(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+      .select(col("doc_id"), element_at(
+        typedLit((0 until ClsDims).map(clsWeight)),
+        pmod(graft.functions.PortableHash.long60(col("t")), lit(ClsDims))
+          .cast("int") + lit(1)).as("w"),
+        when(col("t") === "spark", 1L).otherwise(0L).as("is_kw"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), max(col("is_kw")).as("pos"))
+    calibrationCurve(scored, CalBuckets)
+  }
+
+  /** The sweep over any (doc_id, score, pos) frame — split out so
+    * specs can pin exact curve rows on constructed scores. */
+  private[graft] def calibrationCurve(scored: DataFrame, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
+      sum(col("pos")).as("tp"))
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.crossJoin(broadcast(stats))
+      .withColumn("wd", expr(s"(mx - mn) DIV $buckets + 1"))
+      .withColumn("bucket", expr("(score - mn) DIV wd"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("bucket_pos"),
+        first(col("mn")).as("mn"), first(col("wd")).as("wd"),
+        first(col("tp")).as("tp"))
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_pos", sum(col("bucket_pos")).over(w))
+      .select(col("bucket"),
+        expr("CAST(mn + bucket * wd AS BIGINT)").as("threshold_lo"),
+        col("n"), col("bucket_pos"), col("cum_n"), col("cum_pos"),
+        expr("CAST(cum_pos * 1000000000 DIV cum_n AS BIGINT)").as("precision_x1e9"),
+        expr("CAST(cum_pos * 1000000000 DIV greatest(tp, 1) AS BIGINT)").as("recall_x1e9"))
+  }
+
+  val txCalibrationSql: String = {
+    val h = graft.functions.PortableHash.long60Sql("t")
+    s"""WITH w AS (
+       |  SELECT i, (${graft.functions.PortableHash.long60Sql(s"'w_' || CAST(i AS VARCHAR)")}
+       |    % 2001) - 1000 AS wv
+       |  FROM (SELECT unnest(generate_series(0, ${ClsDims - 1})) AS i)),
+       |words AS MATERIALIZED (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |sl AS MATERIALIZED (
+       |  SELECT doc_id, CAST(SUM(wv) AS BIGINT) AS score,
+       |         CAST(MAX(CASE WHEN t = 'spark' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM words JOIN w ON ($h % $ClsDims) = i
+       |  GROUP BY doc_id),
+       |st AS (SELECT MIN(score) AS mn, MAX(score) AS mx,
+       |              CAST(SUM(pos) AS BIGINT) AS tp FROM sl),
+       |bk AS (SELECT (score - mn) // ((mx - mn) // $CalBuckets + 1) AS bucket,
+       |              pos, mn, (mx - mn) // $CalBuckets + 1 AS wd, tp
+       |       FROM sl CROSS JOIN st),
+       |g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |             CAST(SUM(pos) AS BIGINT) AS bucket_pos,
+       |             ANY_VALUE(mn) AS mn, ANY_VALUE(wd) AS wd, ANY_VALUE(tp) AS tp
+       |      FROM bk GROUP BY bucket),
+       |c AS (SELECT *,
+       |        CAST(SUM(n) OVER win AS BIGINT) AS cum_n,
+       |        CAST(SUM(bucket_pos) OVER win AS BIGINT) AS cum_pos
+       |      FROM g WINDOW win AS (ORDER BY bucket DESC
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(mn + bucket * wd AS BIGINT) AS threshold_lo, n, bucket_pos,
+       |  cum_n, cum_pos,
+       |  CAST(cum_pos * 1000000000 // cum_n AS BIGINT) AS precision_x1e9,
+       |  CAST(cum_pos * 1000000000 // GREATEST(tp, 1) AS BIGINT) AS recall_x1e9
+       |FROM c""".stripMargin
+  }
+
   // ---- #34h PII scrubbing --------------------------------------------
 
   /** Portable (Java-regex ∩ RE2) PII patterns — canonical definitions
@@ -1878,6 +1977,7 @@ object TextAnalysis {
     "tx_bigram_lm" -> (txBigramLm _),
     "tx_tfidf_topterms" -> (txTfidfTopterms _),
     "tx_bm25" -> (txBm25 _),
+    "tx_calibration" -> (txCalibration _),
     "tx_pii_scrub" -> (txPiiScrub _),
     "tx_repetition" -> (txRepetition _),
     "tx_curation" -> (txCuration _),
@@ -1905,6 +2005,7 @@ object TextAnalysis {
     "tx_bigram_lm" -> txBigramLmSql,
     "tx_tfidf_topterms" -> txTfidfToptermsSql,
     "tx_bm25" -> txBm25Sql,
+    "tx_calibration" -> txCalibrationSql,
     "tx_pii_scrub" -> txPiiScrubSql,
     "tx_repetition" -> txRepetitionSql,
     "tx_curation" -> txCurationSql,

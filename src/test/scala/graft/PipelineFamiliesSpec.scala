@@ -570,6 +570,47 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("tx_calibration: exact curve rows, negative-score range, corpus invariants") {
+    import spark.implicits._
+    // mn=0 mx=100 B=4 → wd = 100 DIV 4 + 1 = 26; buckets: 0,50→1,90→3,100→3
+    // top-down: b3 (n=2,pos=1) → prec 5e8, recall 5e8 (tp=2)
+    //           b1 (cum 3, 2)  → prec 666666666, recall 1e9
+    //           b0 (cum 4, 2)  → prec 5e8, recall 1e9
+    val scored = Seq((1L, 100L, 1L), (2L, 90L, 0L), (3L, 50L, 1L), (4L, 0L, 0L))
+      .toDF("doc_id", "score", "pos")
+    val got = TextAnalysis.calibrationCurve(scored, 4).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("threshold_lo"), r.getAs[Long]("n"),
+          r.getAs[Long]("cum_n"), r.getAs[Long]("cum_pos"),
+          r.getAs[Long]("precision_x1e9"), r.getAs[Long]("recall_x1e9")))).toMap
+    assert(got(3L) === ((78L, 2L, 2L, 1L, 500000000L, 500000000L)))
+    assert(got(1L) === ((26L, 1L, 3L, 2L, 666666666L, 1000000000L)))
+    assert(got(0L) === ((0L, 1L, 4L, 2L, 500000000L, 1000000000L)))
+    assert(got.size === 3)
+    // negative score range: mn=-10 mx=10 B=2 → wd=11; thresholds -10/1
+    val neg = Seq((1L, -10L, 1L), (2L, 10L, 0L)).toDF("doc_id", "score", "pos")
+    val gotN = TextAnalysis.calibrationCurve(neg, 2).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("threshold_lo"), r.getAs[Long]("precision_x1e9"),
+          r.getAs[Long]("recall_x1e9")))).toMap
+    assert(gotN(1L) === ((1L, 0L, 0L)))
+    assert(gotN(0L) === ((-10L, 500000000L, 1000000000L)))
+    // corpus: bottom row covers every doc and full recall; precision in
+    // range; cum counts strictly increasing top-down
+    val real = TextAnalysis.txCalibration(spark, sf).collect()
+      .sortBy(-_.getAs[Long]("bucket"))
+    assert(real.nonEmpty && real.length <= TextAnalysis.CalBuckets)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(real.last.getAs[Long]("cum_n") === nDocs)
+    assert(real.last.getAs[Long]("recall_x1e9") === 1000000000L)
+    real.foreach { r =>
+      val p = r.getAs[Long]("precision_x1e9")
+      assert(p >= 0L && p <= 1000000000L, r.toString)
+    }
+    val cums = real.map(_.getAs[Long]("cum_n"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b })
+  }
+
   test("tx_classify: scores are exact weight sums over hashed features") {
     import spark.implicits._
     // reference computation in plain Scala: same md5 hash, same mod
