@@ -1588,8 +1588,12 @@ object TextAnalysis {
       .select(col("bucket"),
         expr("CAST(mn + bucket * wd AS BIGINT)").as("threshold_lo"),
         col("n"), col("bucket_pos"), col("cum_n"), col("cum_pos"),
-        expr("CAST(cum_pos * 1000000000 DIV cum_n AS BIGINT)").as("precision_x1e9"),
-        expr("CAST(cum_pos * 1000000000 DIV greatest(tp, 1) AS BIGINT)").as("recall_x1e9"))
+        // decimal(38) headroom: cum_pos·10⁹ exceeds int64 once doc
+        // counts pass ~9·10⁹ (the 100 TB regime)
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000000 DIV cum_n AS BIGINT)")
+          .as("precision_x1e9"),
+        expr("CAST(CAST(cum_pos AS DECIMAL(38,0)) * 1000000000 DIV greatest(tp, 1) AS BIGINT)")
+          .as("recall_x1e9"))
   }
 
   val txCalibrationSql: String = {
@@ -1622,8 +1626,8 @@ object TextAnalysis {
        |SELECT CAST(bucket AS BIGINT) AS bucket,
        |  CAST(mn + bucket * wd AS BIGINT) AS threshold_lo, n, bucket_pos,
        |  cum_n, cum_pos,
-       |  CAST(cum_pos * 1000000000 // cum_n AS BIGINT) AS precision_x1e9,
-       |  CAST(cum_pos * 1000000000 // GREATEST(tp, 1) AS BIGINT) AS recall_x1e9
+       |  CAST(CAST(cum_pos AS HUGEINT) * 1000000000 // cum_n AS BIGINT) AS precision_x1e9,
+       |  CAST(CAST(cum_pos AS HUGEINT) * 1000000000 // GREATEST(tp, 1) AS BIGINT) AS recall_x1e9
        |FROM c""".stripMargin
   }
 
