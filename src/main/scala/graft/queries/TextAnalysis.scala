@@ -1554,17 +1554,29 @@ object TextAnalysis {
     * unpartitioned BY CONSTRUCTION over those ≤B rows (the
     * gl_compaction_plan contract: the window sorts the curve, not
     * data). */
+  /** Per-doc (score, weak label) — memoized+persisted: the sweep's
+    * stats pass AND bucket pass both read it, and exchange reuse does
+    * not reliably collapse the duplicate derivation (the tx_rarity
+    * lesson — without the persist the plan re-explodes the corpus for
+    * the 1-row stats aggregate, two corpus passes instead of one).
+    * Production scores once and threshold-tunes many times — this IS
+    * the standing artifact that workflow keeps. */
+  private val clsScoredMemo = graft.SessionMemo.named[DataFrame]("tx_cls_scored")
+
   def txCalibration(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val scored = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("t"))
-      .select(col("doc_id"), element_at(
-        typedLit((0 until ClsDims).map(clsWeight)),
-        pmod(graft.functions.PortableHash.long60(col("t")), lit(ClsDims))
-          .cast("int") + lit(1)).as("w"),
-        when(col("t") === "spark", 1L).otherwise(0L).as("is_kw"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("w")).as("score"), max(col("is_kw")).as("pos"))
+    import org.apache.spark.storage.StorageLevel
+    val scored = clsScoredMemo.getOrBuild(s, d) {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .select(col("doc_id"), element_at(
+          typedLit((0 until ClsDims).map(clsWeight)),
+          pmod(graft.functions.PortableHash.long60(col("t")), lit(ClsDims))
+            .cast("int") + lit(1)).as("w"),
+          when(col("t") === "spark", 1L).otherwise(0L).as("is_kw"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("w")).as("score"), max(col("is_kw")).as("pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
     calibrationCurve(scored, CalBuckets)
   }
 

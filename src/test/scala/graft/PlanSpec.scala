@@ -655,6 +655,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan"), p)
   }
 
+  test("tx_calibration: the cumulative window sorts the curve, not the corpus") {
+    val df = graft.queries.TextAnalysis.txCalibration(spark, sf)
+    val p = physical(df)
+    // the single-partition exchange is fed by the bucket aggregate
+    // (≤CalBuckets rows) — the corpus-sized pass ends at that agg
+    val iSingle = p.indexOf("Exchange SinglePartition")
+    assert(iSingle >= 0, p)
+    assert(p.substring(iSingle).contains("HashAggregate"), p)
+    // one corpus pass: the stats AND bucket branches both read the
+    // memoized per-doc score cache — the explode lives only in the
+    // one-time build subtree below InMemoryRelation; no join anywhere
+    // except the 1-row broadcast stats cross join
+    assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") + bhj(p) === 0, p)
+    assert(crossJoins(p) <= 1, p)
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(nodes(p.substring(0, p.indexOf("InMemoryRelation")), "Generate explode") === 0, p)
+  }
+
   test("gl_compaction_plan: the global window sorts the manifest, not data") {
     val df = GraphLoad.glCompactionPlan(spark, sf)
     val p = physical(df)
