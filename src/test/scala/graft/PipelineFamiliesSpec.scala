@@ -595,6 +595,17 @@ class TextAnalysisSpec extends SparkSpec {
           r.getAs[Long]("recall_x1e9")))).toMap
     assert(gotN(1L) === ((1L, 0L, 0L)))
     assert(gotN(0L) === ((-10L, 500000000L, 1000000000L)))
+    // degenerate range: every score identical → wd = 0 DIV B + 1 = 1,
+    // one bucket at threshold mn, full recall
+    val flat = Seq((1L, 7L, 1L), (2L, 7L, 0L), (3L, 7L, 1L)).toDF("doc_id", "score", "pos")
+    val gotF = TextAnalysis.calibrationCurve(flat, 4).collect()
+    assert(gotF.length === 1)
+    val fr = gotF.head
+    assert(fr.getAs[Long]("bucket") === 0L)
+    assert(fr.getAs[Long]("threshold_lo") === 7L)
+    assert(fr.getAs[Long]("cum_n") === 3L)
+    assert(fr.getAs[Long]("precision_x1e9") === 666666666L)
+    assert(fr.getAs[Long]("recall_x1e9") === 1000000000L)
     // corpus: bottom row covers every doc and full recall; precision in
     // range; cum counts strictly increasing top-down
     val real = TextAnalysis.txCalibration(spark, sf).collect()
