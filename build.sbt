@@ -16,6 +16,7 @@ run / fork := true
 // compact summary line is exactly what left BENCH_r{5,6}.json with
 // parsed:null. Suppress it so the summary JSON is the final line.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // ...and bypass the "[info] " logger prefix on forked run output for
 // the same reason: the summary line must parse as bare JSON.
 run / outputStrategy := Some(StdoutOutput)
