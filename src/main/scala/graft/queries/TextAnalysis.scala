@@ -1494,7 +1494,8 @@ object TextAnalysis {
     * only shuffle. This is the shape any linear/hashed model (quality,
     * language, toxicity) deploys at 100 TB. */
   def txClassify(s: SparkSession, d: String): DataFrame =
-    classifyScores(Tables.documents(s, d))
+    clsScored(s, d).select(col("doc_id"), col("n_tok"), col("score"),
+      expr("CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS BIGINT)").as("kept"))
 
   /** The scorer over any (doc_id, text) frame — split out so specs can
     * pin exact scores on a constructed vocabulary. */
@@ -1554,18 +1555,19 @@ object TextAnalysis {
     * unpartitioned BY CONSTRUCTION over those ≤B rows (the
     * gl_compaction_plan contract: the window sorts the curve, not
     * data). */
-  /** Per-doc (score, weak label) — memoized+persisted: the sweep's
-    * stats pass AND bucket pass both read it, and exchange reuse does
-    * not reliably collapse the duplicate derivation (the tx_rarity
-    * lesson — without the persist the plan re-explodes the corpus for
-    * the 1-row stats aggregate, two corpus passes instead of one).
-    * Production scores once and threshold-tunes many times — this IS
-    * the standing artifact that workflow keeps. */
+  /** Per-doc (n_tok, score, weak label) — memoized+persisted: the
+    * inference key (#34j) and BOTH of the calibration sweep's passes
+    * (the 1-row stats aggregate and the bucketing) read it, and
+    * exchange reuse does not reliably collapse duplicate derivations
+    * (the tx_rarity lesson — without the persist the calibration plan
+    * re-explodes the corpus for its stats aggregate). Production
+    * scores once and serves keep/drop decisions AND threshold tuning
+    * from that one artifact — this IS the frame that workflow keeps. */
   private val clsScoredMemo = graft.SessionMemo.named[DataFrame]("tx_cls_scored")
 
-  def txCalibration(s: SparkSession, d: String): DataFrame = {
+  private[graft] def clsScored(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val scored = clsScoredMemo.getOrBuild(s, d) {
+    clsScoredMemo.getOrBuild(s, d) {
       Tables.documents(s, d)
         .select(col("doc_id"), explode(toks(col("text"))).as("t"))
         .select(col("doc_id"), element_at(
@@ -1574,11 +1576,15 @@ object TextAnalysis {
             .cast("int") + lit(1)).as("w"),
           when(col("t") === "spark", 1L).otherwise(0L).as("is_kw"))
         .groupBy(col("doc_id"))
-        .agg(sum(col("w")).as("score"), max(col("is_kw")).as("pos"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("w")).as("score"),
+          max(col("is_kw")).as("pos"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     }
-    calibrationCurve(scored, CalBuckets)
   }
+
+  def txCalibration(s: SparkSession, d: String): DataFrame =
+    calibrationCurve(clsScored(s, d).select(col("doc_id"), col("score"),
+      col("pos")), CalBuckets)
 
   /** The sweep over any (doc_id, score, pos) frame — split out so
     * specs can pin exact curve rows on constructed scores. */
