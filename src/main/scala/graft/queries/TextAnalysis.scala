@@ -1582,16 +1582,33 @@ object TextAnalysis {
     }
   }
 
-  def txCalibration(s: SparkSession, d: String): DataFrame =
-    calibrationCurve(clsScored(s, d).select(col("doc_id"), col("score"),
-      col("pos")), CalBuckets)
+  /** The 1-row (min score, max score, total positives) — a corpus
+    * constant of the memoized score frame, persisted beside it (the
+    * bm25 avgdl pattern) so a sweep re-run pays a cache probe, not a
+    * re-aggregation. */
+  private val clsStatsMemo = graft.SessionMemo.named[DataFrame]("tx_cls_stats")
+
+  def txCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val scored = clsScored(s, d).select(col("doc_id"), col("score"), col("pos"))
+    val stats = clsStatsMemo.getOrBuild(s, d) {
+      scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
+          sum(col("pos")).as("tp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    calibrationCurve(scored, stats, CalBuckets)
+  }
 
   /** The sweep over any (doc_id, score, pos) frame — split out so
     * specs can pin exact curve rows on constructed scores. */
-  private[graft] def calibrationCurve(scored: DataFrame, buckets: Int): DataFrame = {
+  private[graft] def calibrationCurve(scored: DataFrame, buckets: Int): DataFrame =
+    calibrationCurve(scored,
+      scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
+        sum(col("pos")).as("tp")), buckets)
+
+  private[graft] def calibrationCurve(scored: DataFrame, stats: DataFrame,
+                                      buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val stats = scored.agg(min(col("score")).as("mn"), max(col("score")).as("mx"),
-      sum(col("pos")).as("tp"))
     val w = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     scored.crossJoin(broadcast(stats))
