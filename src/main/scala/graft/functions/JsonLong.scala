@@ -28,7 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * '$.k') AS BIGINT)` on well-formed inputs. First occurrence wins on
   * duplicate keys — the get_json_object convention (Jackson/from_json
   * takes the LAST; the twins themselves disagree there, and the
-  * corpus contract is no-duplicates — JsonKernelSpec).
+  * corpus contract is no-duplicates — JsonKernelSpec). On MALFORMED
+  * input the kernel follows the `from_json` twin: the whole object is
+  * validated (truncated objects, leading-zero numbers, a malformed
+  * member AFTER the matched key → null; trailing bytes past the
+  * closing brace are ignored, as from_json reads one root value and
+  * stops), and escaped member keys decode before comparison — the
+  * twins disagree with each other on some dirty shapes
+  * (get_json_object is lenient); from_json is the declared tie-break,
+  * spec-pinned in JsonKernelSpec.
   *
   * Scale: map-only, codegen-resident, no per-row object allocation on
   * the miss path — a 100 TB JSONL scan parses at byte-scan speed.
@@ -65,7 +73,12 @@ case class JsonLong(left: Expression, right: Expression) extends BinaryExpressio
 
 object JsonLong {
 
-  /** Null (boxed) on any shape the composable twins reject. */
+  /** Null (boxed) on any shape the composable twins reject. The WHOLE
+    * object is validated (members after the matched key included, plus
+    * a whitespace-only tail) — truncated objects, leading-zero
+    * numbers, and trailing garbage all null out exactly like the
+    * strict `from_json` twin, instead of the kernel being lenient
+    * where the twins are not. */
   def compute(json: UTF8String, key: UTF8String): java.lang.Long = {
     val b = json.getBytes
     val kb = key.getBytes
@@ -74,9 +87,15 @@ object JsonLong {
     if (i >= n || b(i) != '{') return null
     i += 1
     var first = true
+    var found = false
+    var result: java.lang.Long = null
     while (i < n) {
       i = skipWs(b, i, n)
-      if (i < n && b(i) == '}') return null // end of object, key absent
+      if (i < n && b(i) == '}') {
+        // object closed: trailing bytes are IGNORED (the from_json
+        // twin reads one root value and stops — spec-pinned)
+        return if (found) result else null
+      }
       if (!first) {
         if (i >= n || b(i) != ',') return null
         i = skipWs(b, i + 1, n)
@@ -87,19 +106,110 @@ object JsonLong {
       val keyStart = i + 1
       i = skipString(b, i, n)
       if (i < 0) return null
-      val matched = (i - 1 - keyStart == kb.length) && {
-        var j = 0
-        while (j < kb.length && b(keyStart + j) == kb(j)) j += 1
-        j == kb.length
-      }
+      // first occurrence wins — later duplicates are skipped (but
+      // still structurally validated like any other member)
+      val matched = !found && keyMatches(b, keyStart, i - 1, kb)
       i = skipWs(b, i, n)
       if (i >= n || b(i) != ':') return null
       i = skipWs(b, i + 1, n)
-      if (matched) return parseLong(b, i, n)
+      if (matched) {
+        found = true
+        result = parseLong(b, i, n) // null on non-integral — kept null
+      }
       i = skipValue(b, i, n)
       if (i < 0) return null
     }
-    null
+    null // ran off the end before the object closed → malformed
+  }
+
+  /** Compare the raw key span `[s, e)` against the wanted key bytes.
+    * Fast path is a raw byte compare; a backslash anywhere in the span
+    * falls back to full JSON-escape decoding, so a key spelled with
+    * escapes (e.g. backslash-u-006b for `k`) matches exactly like the
+    * composable twins. */
+  private def keyMatches(b: Array[Byte], s: Int, e: Int, kb: Array[Byte]): Boolean = {
+    var esc = false
+    var i = s
+    while (i < e && !esc) { if (b(i) == '\\') esc = true; i += 1 }
+    if (!esc) {
+      if (e - s != kb.length) return false
+      var j = 0
+      while (j < kb.length && b(s + j) == kb(j)) j += 1
+      j == kb.length
+    } else {
+      val dec = unescape(b, s, e)
+      dec != null && java.util.Arrays.equals(dec, kb)
+    }
+  }
+
+  /** Decode the JSON string-escape sequences in span `[s, e)` to UTF-8
+    * bytes; null on a malformed escape. Surrogate-pair `\uD8xx\uDCxx`
+    * runs combine into one code point; a lone surrogate encodes as its
+    * own 3-byte sequence (matches no well-formed UTF-8 key). */
+  private def unescape(b: Array[Byte], s: Int, e: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(e - s)
+    var i = s
+    while (i < e) {
+      if (b(i) != '\\') { out.write(b(i)); i += 1 }
+      else {
+        if (i + 1 >= e) return null
+        b(i + 1) match {
+          case '"' => out.write('"'); i += 2
+          case '\\' => out.write('\\'); i += 2
+          case '/' => out.write('/'); i += 2
+          case 'b' => out.write('\b'); i += 2
+          case 'f' => out.write('\f'); i += 2
+          case 'n' => out.write('\n'); i += 2
+          case 'r' => out.write('\r'); i += 2
+          case 't' => out.write('\t'); i += 2
+          case 'u' =>
+            if (i + 6 > e) return null
+            var cp = hex4(b, i + 2)
+            if (cp < 0) return null
+            i += 6
+            if (cp >= 0xD800 && cp <= 0xDBFF && i + 6 <= e &&
+              b(i) == '\\' && b(i + 1) == 'u') {
+              val lo = hex4(b, i + 2)
+              if (lo >= 0xDC00 && lo <= 0xDFFF) {
+                cp = 0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00)
+                i += 6
+              }
+            }
+            writeUtf8(out, cp)
+          case _ => return null
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  private def hex4(b: Array[Byte], i: Int): Int = {
+    var v = 0
+    var j = 0
+    while (j < 4) {
+      val c = b(i + j)
+      val d =
+        if (c >= '0' && c <= '9') c - '0'
+        else if (c >= 'a' && c <= 'f') c - 'a' + 10
+        else if (c >= 'A' && c <= 'F') c - 'A' + 10
+        else return -1
+      v = v * 16 + d
+      j += 1
+    }
+    v
+  }
+
+  private def writeUtf8(o: java.io.ByteArrayOutputStream, cp: Int): Unit = {
+    if (cp < 0x80) o.write(cp)
+    else if (cp < 0x800) {
+      o.write(0xC0 | (cp >> 6)); o.write(0x80 | (cp & 0x3F))
+    } else if (cp < 0x10000) {
+      o.write(0xE0 | (cp >> 12)); o.write(0x80 | ((cp >> 6) & 0x3F))
+      o.write(0x80 | (cp & 0x3F))
+    } else {
+      o.write(0xF0 | (cp >> 18)); o.write(0x80 | ((cp >> 12) & 0x3F))
+      o.write(0x80 | ((cp >> 6) & 0x3F)); o.write(0x80 | (cp & 0x3F))
+    }
   }
 
   private def skipWs(b: Array[Byte], i0: Int, n: Int): Int = {
@@ -160,6 +270,8 @@ object JsonLong {
     val neg = b(i) == '-'
     if (neg) i += 1
     if (i >= n || b(i) < '0' || b(i) > '9') return null
+    val digits0 = i
+    val firstDigit = b(i)
     // accumulate NEGATIVE so Long.MinValue parses exactly
     var v = 0L
     while (i < n && b(i) >= '0' && b(i) <= '9') {
@@ -169,6 +281,8 @@ object JsonLong {
       i += 1
     }
     if (!neg && v == Long.MinValue) return null
+    // JSON grammar forbids leading zeros ("0123") — twin-null
+    if (firstDigit == '0' && i - digits0 > 1) return null
     // a fraction or exponent makes the value non-integral → twin-null
     if (i < n && (b(i) == '.' || b(i) == 'e' || b(i) == 'E')) return null
     // value must end at a structural delimiter or whitespace

@@ -63,21 +63,46 @@ case class ProtoEntityChangesEncodeExpr(child: Expression) extends UnaryExpressi
       PbValue("Array", null, elems)
     } else PbValue(vtype, value)
 
+  /** Mandatory-column accessor: a clean IllegalArgumentException naming
+    * the offending column beats the opaque executor NPE a raw
+    * `getUTF8String(n).toString` throws — the function is registered
+    * session-wide, so arbitrary SQL callers can hand it rows the
+    * gl_proto_parse pipeline's own filters never produce. */
+  private def reqStr(r: InternalRow, ord: Int, col: String, i: Int): String = {
+    if (r.isNullAt(ord)) throw new IllegalArgumentException(
+      s"graft_entity_changes_encode: null '$col' in change #$i — " +
+        "entity, id, ordinal, and op are mandatory")
+    r.getUTF8String(ord).toString
+  }
+
   def compute(input: ArrayData): Array[Byte] = {
     val width = fieldStructWidth
     val changes = (0 until input.numElements()).map { i =>
+      if (input.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_entity_changes_encode: null change struct at #$i")
       val c = input.getStruct(i, 5)
-      val fa = c.getArray(4)
-      val fields = (0 until fa.numElements()).map { j =>
+      if (c.isNullAt(2)) throw new IllegalArgumentException(
+        s"graft_entity_changes_encode: null 'ordinal' in change #$i — " +
+          "entity, id, ordinal, and op are mandatory")
+      // a null fields ARRAY is a change with no typed fields (the
+      // decode side emits an empty array; both encode identically)
+      val fa = if (c.isNullAt(4)) null else c.getArray(4)
+      val fields = (0 until (if (fa == null) 0 else fa.numElements())).map { j =>
+        if (fa.isNullAt(j)) throw new IllegalArgumentException(
+          s"graft_entity_changes_encode: null field struct at change #$i field #$j")
         val f = fa.getStruct(j, width)
         val vtype = if (f.isNullAt(1)) null else f.getUTF8String(1).toString
         val value = if (f.isNullAt(2)) null else f.getUTF8String(2).toString
         val arr = if (width == 4 && !f.isNullAt(3)) f.getArray(3) else null
-        PbField(f.getUTF8String(0).toString,
+        if (vtype != null && vtype != "Array" && vtype != "Unset" && value == null)
+          throw new IllegalArgumentException(
+            s"graft_entity_changes_encode: field '${reqStr(f, 0, "name", i)}' " +
+              s"in change #$i has vtype '$vtype' but a null value")
+        PbField(reqStr(f, 0, "name", i),
           if (vtype == null) None else Some(toValue(vtype, value, arr)))
       }
-      PbChange(c.getUTF8String(0).toString, c.getUTF8String(1).toString,
-        c.getLong(2), c.getUTF8String(3).toString, fields)
+      PbChange(reqStr(c, 0, "entity", i), reqStr(c, 1, "id", i),
+        c.getLong(2), reqStr(c, 3, "op", i), fields)
     }
     ProtoEntityChanges.encode(changes)
   }

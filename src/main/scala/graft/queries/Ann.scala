@@ -584,6 +584,22 @@ object Ann {
   /** Neighbors kept per distinct vector. */
   val KnnK = 5
 
+  private val knnRepsMemo = graft.SessionMemo.named[DataFrame]("ann_knn_reps")
+
+  /** Distinct-vector collapse of the quantized corpus — the standing
+    * artifact the k-NN graph builds over: one row per distinct
+    * (qv, n2) with its canonical rep_id (min vec_id) and multiplicity.
+    * Memoized + persisted beside [[quantized]]: the graph build reads
+    * it THREE times (bucket index + both ends of the vector
+    * re-attach), and production maintains exactly this collapsed
+    * corpus as its dedup state. */
+  private def knnReps(s: SparkSession, d: String): DataFrame =
+    knnRepsMemo.getOrBuild(s, d) {
+      quantized(s, d).groupBy(col("qv"), col("n2"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** #33e ann_knn_graph — k-NN GRAPH construction: top-k neighbors
     * for EVERY vector (not a query set) — the building block under
     * SemDeDup-style pruning, graph-based curation, and label
@@ -596,29 +612,37 @@ object Ann {
     * expands members through their rep after pruning).
     *
     * Scale: the bucket equi-join replaces the n² cross product with
-    * per-bucket blocks over distinct vectors; candidates dedup on
-    * (rep, nid) before the one exact-integer re-rank; output is
-    * exactly |distinct|·k rows. The window partitions on rep_id —
-    * high-cardinality by construction. */
+    * per-bucket blocks over distinct vectors, and ONLY ids ride the
+    * candidate shuffles — the self-join and the (rep, nid) dedup move
+    * 16-byte pairs, and the quantized vectors re-attach AFTERWARDS by
+    * two equi-joins against the collapsed corpus (broadcast under the
+    * threshold, shuffle-hash above — either way the per-candidate
+    * vector payload is paid once, on the deduped set, not on the raw
+    * bucket-block multiset). The exact-integer re-rank projects the
+    * vectors away before the ranking window, so the final exchange is
+    * ids+cos again. Output is exactly |distinct|·k rows; the window
+    * partitions on rep_id — high-cardinality by construction. */
   def annKnnGraph(s: SparkSession, d: String): DataFrame = {
-    val e = quantized(s, d)
-    val reps = e.groupBy(col("qv"), col("n2"))
-      .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("m"))
-    val idx = reps.select(col("rep_id"), col("m"), col("qv"), col("n2"),
+    val reps = knnReps(s, d)
+    val idx = reps.select(col("rep_id"),
       posexplode(slice(tableBuckets(col("qv")), 1, KnnTables))
         .as(Seq("tbl", "bucket")))
-    val a = idx.select(col("rep_id"), col("m"), col("qv").as("qva"),
-      col("n2").as("n2a"), col("tbl"), col("bucket"))
-    val b = idx.select(col("rep_id").as("nid"), col("qv").as("qvb"),
-      col("n2").as("n2b"), col("tbl"), col("bucket"))
-    val cand = a.join(b, Seq("tbl", "bucket"))
+    val cand = idx
+      .join(idx.select(col("rep_id").as("nid"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
       .filter(col("rep_id") =!= col("nid"))
-      .drop("tbl", "bucket")
+      .select(col("rep_id"), col("nid"))
       .dropDuplicates("rep_id", "nid")
-    val w = Window.partitionBy(col("rep_id")).orderBy(col("cos").desc, col("nid"))
-    cand
+    val scored = cand
+      .join(reps.select(col("rep_id"), col("m"),
+        col("qv").as("qva"), col("n2").as("n2a")), "rep_id")
+      .join(reps.select(col("rep_id").as("nid"),
+        col("qv").as("qvb"), col("n2").as("n2b")), "nid")
       .withColumn("cos", Vectors.cosine(
         Vectors.dot(col("qva"), col("qvb")), col("n2a"), col("n2b")))
+      .select(col("rep_id"), col("m"), col("nid"), col("cos"))
+    val w = Window.partitionBy(col("rep_id")).orderBy(col("cos").desc, col("nid"))
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= KnnK)
       .select(col("rep_id"), col("m"), col("nid"), col("rank"), col("cos"))

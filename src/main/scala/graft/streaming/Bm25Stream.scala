@@ -38,9 +38,25 @@ object Bm25Stream {
     * (query_id LONG, t STRING) rows — a query's terms may span rows
     * but must arrive within one micro-batch. Terms with no postings
     * contribute nothing; a query with only such terms emits nothing
-    * (the batch key's absent-term semantics). */
+    * (the batch key's absent-term semantics).
+    *
+    * The one-micro-batch arrival contract is ENFORCED, not merely
+    * documented: each answered query_id leaves a marker in GroupState,
+    * and a fragment of the same query arriving in a LATER micro-batch
+    * is dropped (never a second, overlapping top-k with duplicate rk
+    * values downstream) and counted on `lateFragments` so a violated
+    * arrival contract is observable. Per-key marker state is one long;
+    * pass `answeredRetention` (e.g. "1 hour") to expire markers on a
+    * processing-time timeout and bound total state at any ingest rate
+    * — opt-in because a processing-time timeout makes Spark trigger
+    * no-data micro-batches continuously to fire expirations (the right
+    * trade for a long-lived production stream, pure spin for a
+    * replay/test harness that drives the stream with
+    * processAllAvailable). */
   def topkContinuous(stream: DataFrame, index: DataFrame,
-                     k: Int = TextAnalysis.Bm25TopK): Dataset[Ranked] = {
+                     k: Int = TextAnalysis.Bm25TopK,
+                     lateFragments: Option[org.apache.spark.util.LongAccumulator] = None,
+                     answeredRetention: Option[String] = None): Dataset[Ranked] = {
     // input guard: a null query_id or term would NPE the tuple encoder
     // mid-batch (the PackStream rule) — drop such rows instead
     val scored = stream
@@ -52,22 +68,41 @@ object Bm25Stream {
     implicit val le: org.apache.spark.sql.Encoder[Long] = Encoders.scalaLong
     implicit val te: org.apache.spark.sql.Encoder[(Long, Long, Long)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val timeout =
+      if (answeredRetention.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     scored.as[(Long, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(
-        topk(k))
+      .flatMapGroupsWithState(OutputMode.Append(), timeout)(
+        topk(k, lateFragments, answeredRetention))
   }
 
   /** Per-query handler: sum term scores per doc (exact longs — the
     * same integer sum the batch groupBy computes, associativity-free),
-    * rank (score DESC, doc_id ASC), keep k. State untouched. */
-  private def topk(k: Int)(
+    * rank (score DESC, doc_id ASC), keep k. State is the
+    * answered-query marker (see [[topkContinuous]]). */
+  private def topk(k: Int,
+                   lateFragments: Option[org.apache.spark.util.LongAccumulator],
+                   answeredRetention: Option[String])(
       qid: Long, rows: Iterator[(Long, Long, Long)],
       state: GroupState[Long]): Iterator[Ranked] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    if (state.exists) {
+      // late fragment of an already-answered query: the arrival
+      // contract is violated — drop it (emitting would produce a
+      // second overlapping top-k for the same query_id) and count it
+      val n = rows.size.toLong
+      lateFragments.foreach(_.add(n))
+      state.update(state.get + n)
+      answeredRetention.foreach(state.setTimeoutDuration)
+      return Iterator.empty
+    }
     val byDoc = scala.collection.mutable.LongMap.empty[Long]
     rows.foreach { case (_, doc, ts) =>
       byDoc.update(doc, byDoc.getOrElse(doc, 0L) + ts)
     }
+    state.update(0L)
+    answeredRetention.foreach(state.setTimeoutDuration)
     byDoc.toSeq.sortBy { case (doc, sc) => (-sc, doc) }
       .take(k).zipWithIndex
       .map { case ((doc, sc), i) => Ranked(qid, i + 1, doc, sc) }

@@ -48,7 +48,17 @@ class JsonKernelSpec extends SparkSpec {
       """{"nested": {"k": 5}, "k": 6}""",
       """{"arr": [{"k": 7}], "k": 8}""",
       """{"kk": 9}""", """{"K": 10}""", // near-miss keys
-      """{}""", """[1,2]""", """not json""", """{"k"}""", ""
+      """{}""", """[1,2]""", """not json""", """{"k"}""", "",
+      // ADVICE round 7: dirty-input strictness + escaped keys
+      """{"k": 1""", // truncated object → strict twin nulls
+      """{"k": 0123}""", // leading zero — not JSON grammar
+      """{"k": 1} junk""", // trailing bytes ignored (from_json reads one root)
+      """{"k": 1}   """, // trailing whitespace is fine
+      """{"k": 2, "a": }""", // malformed AFTER the matched key
+      "{\"\\u006b\": 13}", // escaped key == k (literal backslash-u)
+      "{\"\\u006B\": 14}", // uppercase hex digits
+      "{\"\\u006bb\": 15}", // escaped key == kb, near-miss
+      """{"k": -0}""" // -0 is valid JSON
     )
     val rows = cases.toDF("j")
       .select(col("j"), kernel(col("j")).as("got"),
@@ -65,6 +75,11 @@ class JsonKernelSpec extends SparkSpec {
     assert(byInput("""{"a": "\"k\": 9", "k": 4}""") === 4L)
     assert(byInput("""{"k": -9223372036854775808}""") === Long.MinValue)
     assert(byInput("""{"nested": {"k": 5}}""") === null)
+    assert(byInput("{\"\\u006b\": 13}") === 13L)
+    assert(byInput("{\"\\u006B\": 14}") === 14L)
+    assert(byInput("""{"k": 1} junk""") === 1L)
+    assert(byInput("""{"k": 1}   """) === 1L)
+    assert(byInput("""{"k": 0123}""") === null)
   }
 
   test("duplicate keys: first wins, the get_json_object convention") {

@@ -36,6 +36,153 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("run composition: proto replay -> decode -> bundle assign + scd2 + poi + csv -> read-back == the batch keys") {
+    // the reference `run` command's FULL fan-out as ONE chain
+    // (sinker/sinker.go:100-180): per-block EntityChanges protobuf
+    // payloads replay on a stream; the stream decodes them map-only,
+    // and THREE consumers ride the same decoded flow exactly like the
+    // sinker's handleBlockScopedData — SCD2 version closing, the POI
+    // digest, and the bundled graph-CSV store — each of which must
+    // reproduce its piecewise-gated batch key, with the CSV read back
+    // through GraphCsvReader byte-identically.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.sources.ProtoEntityChanges
+    import graft.sources.ProtoEntityChanges.{PbChange, PbField, PbValue}
+    import graft.sources.GraphqlSchema.{EntityDesc, Field, FieldType}
+    import graft.streaming.{BundledCsvSink, EntityChangeStream, PoiStream}
+    import graft.streaming.PoiStream.BlockEvent
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+
+    // replayed prefix: every block_num in [0, Cut) — 30 COMPLETE poi
+    // blocks at PoiBlockSize=10, 3 complete csv bundles at 100
+    val Cut = 300L
+    val CsvBundle = 100L
+    val tsBase = 1700000000000L
+    val subset = EntityChanges.changes(spark, sf)
+      .filter(col("block_num") < Cut)
+      .select("id", "block_num", "op", "value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    assert(subset.nonEmpty)
+    val subsetDf = subset.toSeq.toDF("id", "block_num", "op", "value")
+    val opCode = Map("CREATE" -> "OPERATION_CREATE",
+      "UPDATE" -> "OPERATION_UPDATE", "DELETE" -> "OPERATION_DELETE")
+    // one EntityChanges payload per block — the unit the sinker
+    // unmarshals per BlockScopedData (sinker.go:213-214)
+    val payloads = subset.groupBy(_._2).toSeq.map { case (bn, rows) =>
+      (bn, ProtoEntityChanges.encode(rows.map { case (id, _, op, v) =>
+        PbChange("Event", id, 0L, opCode(op),
+          Seq(PbField("value", Some(PbValue("Bigdecimal", v.toString)))))
+      }))
+    }.sortBy(_._1)
+    // watermark sentinels: far-future blocks whose event time closes
+    // every real poi block (fresh ids — they close no corpus version)
+    val sentinels = Seq(99990L, 100000L).map { bn =>
+      (bn, ProtoEntityChanges.encode(Seq(PbChange("Event", s"sentinel$bn", 0L,
+        "OPERATION_CREATE", Seq(PbField("value", Some(PbValue("Bigdecimal", "0.0"))))))))
+    }
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val decoded = input.toDF().toDF("block_num", "payload")
+      .select(col("block_num"),
+        explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("c.id").as("id"), col("block_num"),
+        when(col("c.op") === "OPERATION_CREATE", "CREATE")
+          .when(col("c.op") === "OPERATION_DELETE", "DELETE")
+          .otherwise("UPDATE").as("op"),
+        col("c.fields").getItem(0).getField("value").cast("double").as("value"))
+
+    val pbs = GraphLoad.PoiBlockSize
+    val csvDir = java.nio.file.Files.createTempDirectory("graft_run_csv").toString
+    val qScd2 = EntityChangeStream.closedVersions(
+        decoded.select(col("id"), col("block_num").as("blockNum"),
+          col("op"), col("value")).as[EntityChangeStream.Change])
+      .writeStream.format("memory").queryName("run_versions")
+      .outputMode("append").start()
+    val qPoi = PoiStream.blockDigests(
+        decoded.select(expr(s"block_num DIV $pbs").as("block"),
+            col("block_num").as("blockNum"),
+            concat(col("op"), lit(":"), col("id"), lit(":"),
+              col("value").cast("decimal(20,2)").cast("string")).as("repr"),
+            timestamp_millis(lit(tsBase) + expr(s"block_num DIV $pbs") * 10000).as("ts"))
+          .withWatermark("ts", "15 seconds").as[BlockEvent])
+      .writeStream.format("memory").queryName("run_poi")
+      .outputMode("append").start()
+    val qCsv = decoded.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        BundledCsvSink.writeBatch(b, id, csvDir, CsvBundle): Unit
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_run_ckpt").toString)
+      .start()
+    val all = Seq(qScd2, qPoi, qCsv)
+    try {
+      // replay in 4 rate-limited waves, sentinels last
+      (payloads.grouped((payloads.size + 2) / 3).toSeq :+ sentinels).foreach { wave =>
+        input.addData(wave); all.foreach(_.processAllAvailable())
+      }
+
+      // 1. bundle assign: the store's directory layout IS glBundleAssign
+      val bundleDirs = new java.io.File(csvDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bundle="))
+        .map(_.getName.stripPrefix("bundle=").toLong).toSet
+      val wantBundles = graft.operators.Bundler.bundleAssign(subsetDf, CsvBundle)
+        .select("bundle").distinct().collect().map(_.getLong(0)).toSet
+      assert(bundleDirs.filter(_ < Cut / CsvBundle) === wantBundles)
+
+      // 2. streamed SCD2 == batch scd2Versions' closed versions
+      val gotV = spark.table("run_versions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .filter(v => v._1.nonEmpty && !v._1.startsWith("sentinel")).toSet
+      val wantV = EntityVersioner.scd2Versions(subsetDf)
+        .filter(col("end_block").isNotNull).collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Long]("start_block"),
+          r.getAs[Long]("end_block"), r.getAs[Double]("value"))).toSet
+      assert(gotV === wantV)
+      assert(gotV.nonEmpty)
+
+      // 3. streamed POI == the batch key over the same complete blocks
+      val gotP = spark.table("run_poi").filter(col("block") < Cut / pbs)
+        .collect().map(r => (r.getAs[Long]("block"), r.getAs[String]("digest"))).toMap
+      val wantP = GraphLoad.glPoiBlockDigest(spark, sf)
+        .filter(col("block") < Cut / pbs).collect()
+        .map(r => (r.getAs[Long]("block"), r.getAs[String]("digest"))).toMap
+      assert(gotP === wantP)
+      assert(gotP.size === (Cut / pbs).toInt)
+
+      // 4. the stored CSV is byte-identical to the batch serialization
+      val gotLines = spark.read.textFile(s"$csvDir/bundle=*")
+        .collect().toSeq
+      val wantLines = BundledCsvSink.toCsvLines(subsetDf, CsvBundle)
+        .select("line").collect().map(_.getString(0)).toSeq
+      val sentinelLines = gotLines.filterNot(l =>
+        wantLines.contains(l)) // only the 2 sentinel rows may remain
+      assert(sentinelLines.forall(_.startsWith("sentinel")), sentinelLines.take(3))
+      assert(gotLines.sorted.diff(sentinelLines.sorted) === wantLines.sorted)
+
+      // 5. read-back through GraphCsvReader's typed parse reproduces
+      // the decoded change rows (the loader's view of the store)
+      val desc = EntityDesc("event", Map(
+        "id" -> Field("id", FieldType.Id, nullable = false, array = false),
+        "value" -> Field("value", FieldType.BigDecimal, nullable = false, array = false)),
+        immutable = true)
+      val raw = spark.read
+        .schema("id STRING, `block$` STRING, value STRING")
+        .csv(s"$csvDir/bundle=*")
+      val back = graft.sources.GraphCsvReader.readEntity(raw, desc)
+        .filter(!col("id").startsWith("sentinel"))
+        .select(col("id"), col("start_block"),
+          col("value").cast("decimal(20,2)").cast("string")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      val wantBack = subsetDf
+        .select(col("id"), col("block_num"),
+          col("value").cast("decimal(20,2)").cast("string")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(back === wantBack)
+    } finally all.foreach(_.stop())
+  }
+
   test("curation chain: cluster -> keep-best -> deduped corpus -> packing is consistent") {
     import graft.queries.{Dedup, TextAnalysis}
     val docs = Tables.documents(spark, sf)

@@ -679,6 +679,7 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "SortMergeJoin") + nodes(p, "ShuffledHashJoin") + bhj(p) === 0, p)
     assert(crossJoins(p) <= 1, p)
     assert(p.contains("InMemoryTableScan"), p)
+    assert(p.contains("InMemoryRelation"), p)
     assert(nodes(p.substring(0, p.indexOf("InMemoryRelation")), "Generate explode") === 0, p)
   }
 

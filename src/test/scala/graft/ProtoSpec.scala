@@ -202,4 +202,51 @@ class ProtoSpec extends SparkSpec {
     assert(back.getAs[String]("entity") === "Poi")
     assert(back.getAs[Int]("nf") === changes.head.fields.size)
   }
+
+  test("encode expression rejects null mandatory columns with a clean error, not an NPE") {
+    // the function is registered session-wide — arbitrary SQL callers
+    // can hand it rows the gl_proto_parse pipeline's filters never
+    // produce; each mandatory-null shape must surface as a named
+    // IllegalArgumentException, not an opaque executor NPE
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    def encodeOf(entity: String, id: String, op: String,
+                 fields: Seq[(String, String, String)]) =
+      Seq((entity, id, 1L, op, fields)).toDF("entity", "id", "ordinal", "op", "fields")
+        .select(call_function("graft_entity_changes_encode",
+          array(struct(col("entity"), col("id"), col("ordinal"), col("op"),
+            col("fields")))).as("payload"))
+    def failure(df: org.apache.spark.sql.DataFrame): String = {
+      val e = intercept[Exception](df.collect())
+      // unwrap Spark's task-failure wrappers down to the root message
+      var t: Throwable = e
+      while (t.getCause != null && !t.isInstanceOf[IllegalArgumentException])
+        t = t.getCause
+      assert(t.isInstanceOf[IllegalArgumentException],
+        s"expected IllegalArgumentException, got $e")
+      t.getMessage
+    }
+    assert(failure(encodeOf(null, "x", "OPERATION_CREATE", Seq.empty))
+      .contains("'entity'"))
+    assert(failure(encodeOf("Poi", null, "OPERATION_CREATE", Seq.empty))
+      .contains("'id'"))
+    assert(failure(encodeOf("Poi", "x", null, Seq.empty))
+      .contains("'op'"))
+    assert(failure(encodeOf("Poi", "x", "OPERATION_CREATE",
+      Seq((null, "String", "v")))).contains("name"))
+    assert(failure(encodeOf("Poi", "x", "OPERATION_CREATE",
+      Seq(("f", "String", null)))).contains("null value"))
+    // a null fields ARRAY is a change with no typed fields — same
+    // bytes as an empty one, not an error
+    val nullFields = Seq(("Poi", "x", 1L, "OPERATION_CREATE"))
+      .toDF("entity", "id", "ordinal", "op")
+      .select(call_function("graft_entity_changes_encode",
+        array(struct(col("entity"), col("id"), col("ordinal"), col("op"),
+          lit(null).cast("array<struct<name:string,vtype:string,value:string>>")
+            .as("fields")))).as("payload"))
+      .collect().head.getAs[Array[Byte]]("payload")
+    val emptyFields = encodeOf("Poi", "x", "OPERATION_CREATE",
+      Seq.empty[(String, String, String)]).collect().head.getAs[Array[Byte]]("payload")
+    assert(nullFields.toSeq === emptyFields.toSeq)
+  }
 }

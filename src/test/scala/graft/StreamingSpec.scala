@@ -817,6 +817,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bm25 stream: a query re-arriving in a later micro-batch is dropped and counted") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val index = graft.queries.TextAnalysis.bm25ScoringIndex(spark, sf)
+    val late = spark.sparkContext.longAccumulator("bm25_late_fragments")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.Bm25Stream.topkContinuous(
+        input.toDF().toDF("query_id", "t"), index, lateFragments = Some(late))
+      .writeStream.format("memory").queryName("bm25_stream_late")
+      .outputMode("append").start()
+    try {
+      val batch1 = graft.queries.TextAnalysis.Bm25Queries.filter(_._1 == 1L)
+      input.addData(batch1); q.processAllAvailable()
+      val answered = spark.table("bm25_stream_late").collect()
+      assert(answered.nonEmpty)
+      // the SAME query's terms arrive again in a later micro-batch:
+      // the arrival contract is violated — no second overlapping
+      // top-k (no duplicate rk per query_id), and the violation is
+      // observable on the accumulator
+      input.addData(batch1); q.processAllAvailable()
+      val after = spark.table("bm25_stream_late").collect()
+      assert(after.length === answered.length)
+      val dupRk = after.groupBy(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")))
+        .values.count(_.length > 1)
+      assert(dupRk === 0)
+      assert(late.value > 0L, "late-fragment accumulator never incremented")
+    } finally q.stop()
+  }
+
   test("pack stream: all-docs-one-shard batch packs correctly; null rows are dropped") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
