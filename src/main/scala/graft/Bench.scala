@@ -47,7 +47,17 @@ object Bench {
     // production depth with the lineage-snapshot cadence engaged)
     val benchExtras: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
         org.apache.spark.sql.DataFrame)] = Seq(
-      "q_pagerank20" -> ((s, d) => graft.queries.Analytics.qPagerankDepth(s, d, 20)))
+      "q_pagerank20" -> ((s, d) => graft.queries.Analytics.qPagerankDepth(s, d, 20)),
+      // production arms of the two BY-DESIGN demonstrators (broadcast
+      // deliberately off in the gated keys to force the salted-shuffle
+      // / runtime-filter shapes): same result, Catalyst defaults — so
+      // every sweep records the demonstration cost AND what a user runs
+      "q_skew_join_prod" -> ((s, d) => graft.queries.Analytics.qSkewJoinProd(s, d)),
+      "q_bloom_join_prod" -> ((s, d) => graft.queries.Analytics.qBloomJoinProd(s, d)))
+    // gated keys whose sf≥1 ratios measure a deliberate demonstration
+    // (broadcast off), not the production path — annotated so sweep
+    // readers compare them against their *_prod twins above
+    val demonstrators = Seq("q_skew_join", "q_bloom_join")
     val queries = (SparkEntry.queries.toSeq ++ benchExtras).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // failures propagate as loud per-query errors in the JSON (a
@@ -199,7 +209,8 @@ object Bench {
     // start and end makes every sample self-describing
     val loadEnd = loadAvg()
     val loadJson = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson$duckCompact$duckPerKey$loadJson,"sf":"$sfDir"}"""
+    val demoJson = demonstrators.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson,"demonstrators":$demoJson$duckCompact$duckPerKey$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver records only the TAIL of stdout (≈2 KB), which
     // truncated everything before ratio_per_key in round 5 — so the

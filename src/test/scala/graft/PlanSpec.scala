@@ -551,17 +551,24 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "InMemoryTableScan") >= 4, p)
   }
 
-  test("q_hll_serve: two register-sized shuffles, no join, partial agg map-side") {
+  test("q_hll_serve: serves from the memoized register STATE — one fold above the cache") {
     val p = physical(Analytics.qHllServe(spark, sf))
     assert(crossJoins(p) === 0, p)
-    // scan → partial max per (type, bucket) BEFORE the first exchange
-    // (that collapse is the flat-shuffle claim) → register agg →
-    // type-keyed fold; nothing else — no join anywhere
-    assert(shuffles(p) === 2, p)
     assert(nodes(p, "Join") === 0, p)
-    val firstEx = p.indexOf("Exchange")
-    assert(p.substring(firstEx).contains("partial_max") ||
-      p.substring(firstEx).contains("HashAggregate"), p)
+    // the register table is the memoized standing artifact (round-8:
+    // serving reads sketch state, it never rescans the corpus) — the
+    // query-time plan above the relation is the single type-keyed
+    // fold over ≤m rows per type
+    assert(p.contains("InMemoryRelation"), p)
+    val query = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(shuffles(query) === 1, p)
+    // the one-time build below the relation is still scan → partial
+    // max per (type, bucket) BEFORE its exchange (the flat-shuffle
+    // claim): register collapse happens map-side, never a raw-row move
+    val build = p.substring(p.indexOf("InMemoryRelation"))
+    assert(nodes(build, "HashAggregate") >= 1, p)
+    assert(build.contains("partial_max") || build.contains("max#") ||
+      build.contains("HashAggregate"), p)
   }
 
   test("q_hll_incremental: the merge is union + one agg — no join, bounded shuffles") {
