@@ -1437,8 +1437,14 @@ object Analytics {
     * keeps the gated 3-iteration bench shape byte-identical — zero
     * extra jobs below the threshold — while bounding any run's live
     * plan to PrSnapEvery rounds; exactly one snapshot RDD stays
-    * persisted at a time (each round releases its predecessor). */
-  val PrSnapEvery = 8
+    * persisted at a time (each round releases its predecessor).
+    * Cadence MEASURED at depth 20, sf0.1 (round 8, same-window pairs):
+    * 8 → 4.3-5.3 s (8-deep plans: per-stage Catalyst/AQE re-analysis
+    * of the iterative tree dominates), 4 → 3.3-3.7 s, 3 → 3.7 s,
+    * 2 → 5.4 s (snapshot materialization jobs dominate) — 4 is the
+    * plan-depth/job-count optimum and stays above the gated key's 3
+    * iterations, so its plan remains untouched. */
+  val PrSnapEvery = 4
 
   /** The final snapshot RDD of each [[pagerank]] run, per session: the
     * returned frame reads it lazily, so it cannot be unpersisted inside
