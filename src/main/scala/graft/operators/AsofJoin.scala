@@ -22,12 +22,24 @@ import org.apache.spark.sql.expressions.Window
 object AsofJoin {
 
   /** leftOn/rightOn: (key, time) columns; valueCols: right columns to
-    * carry. Output = left columns + `asof_<valueCol>`s. */
+    * carry. Output = left columns + `asof_<valueCol>`s.
+    *
+    * `rightTieBreak`: right-side columns appended (ascending, nulls
+    * first) to the window order AT EQUAL time, so several right rows
+    * sharing (key, time) resolve deterministically to the LAST row
+    * under that order — for a single tie-break column that is exactly
+    * "dedup ties by MAX" WITHOUT the pre-aggregation exchange a
+    * groupBy dedup would cost (one full shuffle of the right corpus
+    * saved; the selection is row-wise, so with several valueCols the
+    * winning ROW supplies all of them jointly). Empty = caller
+    * guarantees (key, time) uniqueness on the right, or accepts an
+    * arbitrary-but-single row at ties. */
   def asofJoin(
       left: DataFrame, right: DataFrame,
       leftKey: String, leftTime: String,
       rightKey: String, rightTime: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
 
     val lCols = left.columns.toSeq
     val tagged =
@@ -42,8 +54,14 @@ object AsofJoin {
                 valueCols.map(c => col(c).as(s"r_$c"))): _*))
 
     // right rows (tag 0) sort before left rows at equal time => a right
-    // row AT the left row's time is visible (matches ASOF's <=)
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__is_left"))
+    // row AT the left row's time is visible (matches ASOF's <=); the
+    // tie-break columns order right rows WITHIN an equal time so
+    // last() lands on the canonical one (left rows are all-null on
+    // them — ordering among left duplicates is irrelevant, each left
+    // row emits itself)
+    val ord = col("__t") +: col("__is_left") +:
+      rightTieBreak.map(c => col(s"r_$c").asc_nulls_first)
+    val w = Window.partitionBy(col("__k")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // each right row carries a non-null marker STRUCT around its value:
     // last(ignoreNulls) then distinguishes "no right row yet" (null

@@ -330,10 +330,15 @@ object Analytics {
     val ev = Tables.events(spark, dir).withColumn("t", unix_millis($"ts"))
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id", $"user_id", $"t")
+    // ties on (user_id, t) dedup INSIDE the as-of window via the
+    // value tie-break (== the oracle's MAX(value) pre-agg) — round 8
+    // dropped the groupBy dedup, saving a full right-corpus exchange:
+    // the operator now moves each side exactly once
     val others = ev.filter($"event_type" =!= "purchase")
-      .groupBy($"user_id", $"t").agg(max($"value").as("value")) // dedup ties deterministically
+      .select($"user_id", $"t", $"value")
     graft.operators.AsofJoin.asofJoin(
-        purchases, others, "user_id", "t", "user_id", "t", Seq("value"))
+        purchases, others, "user_id", "t", "user_id", "t", Seq("value"),
+        rightTieBreak = Seq("value"))
       .select($"event_id", $"user_id", $"asof_value")
   }
 

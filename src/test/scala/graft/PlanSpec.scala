@@ -168,9 +168,11 @@ class PlanSpec extends SparkSpec {
     val p = physical(Analytics.qAsofJoin(spark, sf))
     assert(crossJoins(p) === 0, p)
     assert(nodes(p, "SortMergeJoin") === 0, p)
-    // dedup agg + union window share the user_id partitioning;
-    // no other exchanges
-    assert(shuffles(p) <= 2, p)
+    // the tie-break window absorbed the old dedup pre-agg (round 8):
+    // the union window's key exchange is the ONLY shuffle — each side
+    // of the as-of moves exactly once
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "HashAggregate") === 0, p)
   }
 
   test("tx_pii_scrub: map-only — zero shuffles, zero joins") {

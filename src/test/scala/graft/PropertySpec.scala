@@ -227,6 +227,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: AsofJoin's tie-break equals dedup-by-MAX then as-of on random tied inputs") {
+    // round 8: the production wrapper stopped pre-aggregating ties and
+    // instead orders equal-time right rows by value inside the window
+    // — on ANY input with duplicate (key, time) right rows the two
+    // formulations must agree
+    val keyGen = Gen.chooseNum(0L, 3L)
+    val timeGen = Gen.chooseNum(0L, 12L) // small domain => dense ties
+    val rightsGen = Gen.listOfN(40, Gen.zip(keyGen, timeGen, Gen.chooseNum(0L, 999L)))
+    val leftsGen = Gen.listOfN(20, Gen.zip(keyGen, timeGen))
+    forAll(Gen.zip(rightsGen, leftsGen), n = 10) { case (rights, lefts0) =>
+      val lefts = lefts0.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val leftDf = lefts.toDF("row_id", "k", "t")
+      val rightDf = rights.toDF("k", "t", "v")
+      val got = graft.operators.AsofJoin
+        .asofJoin(leftDf, rightDf, "k", "t", "k", "t", Seq("v"),
+          rightTieBreak = Seq("v"))
+        .collect()
+        .map(r => r.getAs[Long]("row_id") ->
+          Option(r.get(r.fieldIndex("asof_v"))).map(_.asInstanceOf[Long])).toMap
+      val deduped = rights.groupBy(r => (r._1, r._2))
+        .map { case ((k, t), vs) => (k, t, vs.map(_._3).max) }.toList
+      val want = lefts.map { case (id, k, t) =>
+        val cands = deduped.filter(r => r._1 == k && r._2 <= t)
+        id -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got === want)
+    }
+  }
+
   test("AsofJoin carries a genuinely-NULL right value instead of skipping it") {
     // right rows: v=7 at t=5, then v=NULL at t=10 — a left row at t=12
     // must see NULL (the latest right row), not fall back to 7
