@@ -407,6 +407,71 @@ object Ann {
       .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
   }
 
+  // ---- #33g IVF+PQ composed index (rows-only recall, oracle-gated) ---
+
+  /** #33g ann_ivf_pq — the IVF·PQ COMPOSITION: coarse quantizer
+    * partitions the corpus into inverted lists, PQ codes stand in for
+    * the vectors inside each list, queries probe their `NumProbes`
+    * closest lists and rank candidates by ADC lookup sums, then the
+    * exact re-rank runs on the shortlist only. This is the layout
+    * every billion-scale vector index actually ships (FAISS IVFPQ,
+    * ScaNN's tree-AH): IVF bounds the fraction of the corpus a query
+    * touches (nprobe/k), PQ bounds the bytes per candidate (M 4-bit
+    * codes ≈ 4 B vs 512 B raw) — the two bounds multiply, so the
+    * per-query scan cost drops ~100× × ~100× vs brute force.
+    *
+    * Spark-first: both trained artifacts are session-scoped literals
+    * (k×dims centroids, M×K×subdims codebooks — the same memos the
+    * standalone keys train), the corpus pass is ONE map-only
+    * projection (fused best-cent + pq-codes kernels, whole-stage
+    * codegen), candidates come from a broadcast equi-join on the
+    * list id, and the ADC sum is the statically-unrolled in-codegen
+    * lookup chain [[annPq]] uses. A corpus vector lives in exactly
+    * one list and probes are distinct per query, so (qid, vec_id)
+    * needs no dedup. At 100 TB: store the coded corpus bucketed by
+    * `cent` (the q_bucket_join layout) and each probe reads only its
+    * list's buckets — the scan never touches the raw vectors until
+    * the |queries|·shortlist re-rank fetch. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = quantized(s, d)
+    val cents = centroidMemo.getOrBuild(s, d)(trainCentroids(e, s))
+    trainedCentroids = Some(cents)
+    val books = pqMemo.getOrBuild(s, d)(trainCodebooks(e, s))
+    trainedBooks = Some(books)
+    // one map-only ingest pass: list id + codes + norm per vector
+    val corpus = e.select(col("vec_id"), col("n2"),
+      assignExpr(cents).as("cent"),
+      pqCodes(col("qv"), books).as("codes"))
+    // per query: nprobe list ids + the M×K ADC lookup table
+    val probes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+      .withColumn("cent", explode(probeExpr(cents)))
+      .withColumn("qtab",
+        call_function("graft_pq_table", col("qqv"), booksLit(books), lit(PqSubspaces)))
+      .select(col("qid"), col("cent"), col("qtab"))
+    val approx = corpus.join(broadcast(probes),
+        corpus("cent") === probes("cent") && col("vec_id") =!= col("qid"))
+      .withColumn("adc", (0 until PqSubspaces).map(m =>
+        element_at(col("qtab"),
+          lit(m * PqK) + element_at(col("codes"), lit(m + 1)) + lit(1)))
+        .reduce(_ + _))
+      .withColumn("score", col("adc").cast("double") / sqrt(col("n2").cast("double")))
+    val ws = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    val shortlist = approx.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank on the shortlist only — the one place raw vectors load
+    val qvecs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("n2").as("qn2"))
+    val scored = shortlist.join(e, "vec_id").join(broadcast(qvecs), "qid")
+      .withColumn("cos", Vectors.cosine(
+        Vectors.dot(col("qv"), col("qqv")), col("n2"), col("qn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id").as("nid"), col("rank"), col("cos"))
+  }
+
   // ---- #31b SemDeDup semantic dedup ---------------------------------
 
   /** SemDeDup parameters: k clusters must grow with the corpus (the
@@ -802,6 +867,7 @@ object Ann {
     "ann_lsh_incremental" -> (annLshIncremental _),
     "ann_ivf" -> (annIvf _),
     "ann_pq" -> (annPq _),
+    "ann_ivf_pq" -> (annIvfPq _),
     "dd_semantic" -> (ddSemantic _)
   )
 
@@ -984,6 +1050,82 @@ object Ann {
        |QUALIFY rank <= $TopK""".stripMargin
   }
 
+  /** DuckDB twin of the WHOLE composed IVF·PQ pipeline from BOTH
+    * trained artifacts: the IVF half reuses [[annIvfSql]]'s CTE chain
+    * verbatim (assignment ties to the HIGHER centroid id, probe order
+    * s DESC / id ASC), the PQ half reuses [[annPqSql]]'s (argmin-L2
+    * codes tie LOW, per-query ADC tables), and the ADC aggregation is
+    * restricted to candidates whose list a query probes — exactly the
+    * broadcast equi-join the Spark side runs. Every comparison is
+    * exact-integer or the identical one-rounding double expression,
+    * so rows+schema+hash must match bit-for-bit. */
+  private def annIvfPqSql(cents: Array[Array[Long]],
+      books: Array[Array[Array[Long]]]): String = {
+    val cn2s = cents.zipWithIndex
+      .map { case (c, j) => s"($j, ${c.map(x => x * x).sum})" }.mkString(", ")
+    val flat = books.flatMap(_.flatMap(_.toSeq)).toIndexedSeq
+    s"""WITH $oraclePreambleSql,
+       |${matrixCteSql("cmat", cents.flatten.toIndexedSeq, Dims)},
+       |cn AS MATERIALIZED (SELECT * FROM (VALUES $cn2s) t(j, cn2)),
+       |cdots AS MATERIALIZED (
+       |  SELECT vec_id, r AS j, CAST(SUM(v * w) AS BIGINT) AS dot
+       |  FROM vels JOIN cmat USING (i) GROUP BY 1, 2),
+       |cscore AS MATERIALIZED (
+       |  SELECT c.vec_id, c.j,
+       |         ${Vectors.cosineSql("c.dot", "nn.n2", "cn.cn2")} AS s
+       |  FROM cdots c JOIN nn ON nn.vec_id = c.vec_id JOIN cn ON cn.j = c.j),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, j AS cent FROM cscore
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j DESC) = 1),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS qid, j AS cent FROM cscore WHERE vec_id < $NumQueries
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, j ASC) <= $NumProbes),
+       |${matrixCteSql("bflat", flat, PqSubDims)},
+       |bmat AS MATERIALIZED (
+       |  SELECT CAST(r // $PqK AS INT) AS m, CAST(r % $PqK AS INT) AS j, i AS sd, w
+       |  FROM bflat),
+       |svels AS MATERIALIZED (
+       |  SELECT vec_id, CAST((i - 1) // $PqSubDims AS INT) AS m,
+       |         CAST((i - 1) % $PqSubDims + 1 AS INT) AS sd, v
+       |  FROM vels),
+       |dists AS MATERIALIZED (
+       |  SELECT s.vec_id, b.m, b.j, SUM((s.v - b.w) * (s.v - b.w)) AS l2
+       |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
+       |  GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, j AS code FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY l2 ASC, j ASC) = 1),
+       |qtab AS MATERIALIZED (
+       |  SELECT s.vec_id AS qid, b.m, b.j, CAST(SUM(s.v * b.w) AS BIGINT) AS dot
+       |  FROM svels s JOIN bmat b ON b.m = s.m AND b.sd = s.sd
+       |  WHERE s.vec_id < $NumQueries
+       |  GROUP BY 1, 2, 3),
+       |adc AS MATERIALIZED (
+       |  SELECT p.qid, a.vec_id, CAST(SUM(t.dot) AS BIGINT) AS adc
+       |  FROM assign a
+       |  JOIN probes p ON p.cent = a.cent AND a.vec_id <> p.qid
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN qtab t ON t.qid = p.qid AND t.m = c.m AND t.j = c.code
+       |  GROUP BY 1, 2),
+       |shortlist AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id
+       |  FROM adc a JOIN nn ON nn.vec_id = a.vec_id
+       |  QUALIFY row_number() OVER (PARTITION BY a.qid
+       |    ORDER BY CAST(a.adc AS DOUBLE) / sqrt(CAST(nn.n2 AS DOUBLE)) DESC, a.vec_id) <= $PqShortlist),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, qv AS qqv, n2 AS qn2 FROM nn WHERE vec_id < $NumQueries),
+       |scored AS MATERIALIZED (
+       |  SELECT sl.qid, sl.vec_id,
+       |         ${Vectors.cosineSql(Vectors.dotSql("nn.qv", "q.qqv"), "nn.n2", "q.qn2")} AS cos
+       |  FROM shortlist sl
+       |  JOIN nn ON nn.vec_id = sl.vec_id
+       |  JOIN q ON q.qid = sl.qid)
+       |SELECT qid, vec_id AS nid,
+       |       CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       |       cos
+       |FROM scored
+       |QUALIFY rank <= $TopK""".stripMargin
+  }
+
   /** ann_ivf/ann_pq oracles are SESSION-ARTIFACT twins: present only
     * once the corresponding query has trained its quantizer in this
     * JVM (always true in a [[graft.Verify]] run, which executes every
@@ -999,5 +1141,7 @@ object Ann {
     "ann_lsh_incremental" -> annLshBucketSql
   ) ++ trainedCentroids.map(c => "ann_ivf" -> annIvfSql(c)) ++
     trainedBooks.map(b => "ann_pq" -> annPqSql(b)) ++
+    (for (c <- trainedCentroids; b <- trainedBooks)
+      yield "ann_ivf_pq" -> annIvfPqSql(c, b)) ++
     semCentroids.map(c => "dd_semantic" -> ddSemanticSql(c))
 }

@@ -276,6 +276,34 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming budget for the GATED [[mmPhashDedup]] run. The synthetic
+    * corpus plants no image twins (its phash space is dense-random —
+    * closest banded pair sits at Hamming 18), so the oracle-gated dial
+    * is opened to 20 to drive non-empty rows through the
+    * band-collision + popcount path cross-engine; a real image-dedup
+    * deployment runs ≤ [[PhashBands]]−1 = 3, the EXACT-recall regime
+    * (pigeonhole — ≤3 differing bits cannot touch all 4 disjoint
+    * bands), which is spec-pinned on planted near-identical payloads
+    * ([[phashPairs]] spec). Both engines run the SAME banded
+    * semantics, so the gate is bit-exact at any dial setting. */
+  val PhashMaxHamming = 20
+
+  /** #38g mm_phash_dedup — near-duplicate payload mining over the
+    * perceptual-hash index: the step an image-curation pipeline runs
+    * after [[mmPhash]] populates the fingerprint table (exact-crop
+    * collapse, augmentation-twin removal before training). Candidates
+    * share an exact 16-bit band (one shuffle on the band key — never
+    * all-pairs), survivors pass the exact popcount filter. Output is
+    * one row per near-dup pair with its Hamming distance.
+    *
+    * Scale: band buckets bound pair work the same way dd_minhash_lsh's
+    * bands do — per-bucket |B|² with 16-bit buckets over a
+    * content-skewed corpus stays bounded once exact twins are collapsed
+    * first (compose with dd_exact's md5-collapse when twin cliques
+    * dominate, the documented dd_cluster recipe). */
+  def mmPhashDedup(s: SparkSession, d: String): DataFrame =
+    phashPairs(mmPhash(s, d), PhashMaxHamming)
+
   /** Scene-cut threshold on the stub frame feature: consecutive-frame
     * feature deltas ≥ this start a new scene. On the byte-feature stub
     * 32 separates letter↔letter deltas (<26) from letter↔space jumps —
@@ -334,6 +362,7 @@ object Multimodal {
     "mm_audio_window" -> (mmAudioWindow _),
     "mm_resize" -> (mmResizeDigest _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_dedup" -> (mmPhashDedup _),
     "mm_scene_cut" -> (mmSceneCut _)
   )
 
@@ -404,6 +433,34 @@ object Multimodal {
         |                'string_agg', '')
         |           END) AS resized_md5
         |FROM documents WHERE text IS NOT NULL""".stripMargin,
+    "mm_phash_dedup" ->
+      s"""WITH s AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 64), i ->
+        |           ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1))) AS smp
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN smp[j + 1]  > smp[(j + 1)  % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b0,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN smp[j + 17] > smp[(j + 17) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b1,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN smp[j + 33] > smp[(j + 33) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b2,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      CASE WHEN smp[j + 49] > smp[(j + 49) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b3
+        |  FROM s),
+        |bands AS (
+        |  SELECT doc_id, b0, b1, b2, b3, t.bi,
+        |    CASE t.bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+        |  FROM h CROSS JOIN range(0, 4) t(bi))
+        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |     + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS INT) AS hamming
+        |FROM bands a JOIN bands b
+        |  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $PhashMaxHamming""".stripMargin,
     "mm_phash" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -383,11 +383,14 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("src", "dst", "w", "deg")
     val iters = 20 // > 2 × PrSnapEvery: two snapshot points exercised
     val df = Analytics.pagerank(edgesDf, iters, 1000)
-    // the returned plan holds only the rounds SINCE the last snapshot
-    // (iters mod PrSnapEvery), never all 20 — the lineage-blowup gate
+    // the returned plan holds only the rounds SINCE the last snapshot,
+    // never all 20 — the lineage-blowup gate. A snapshot fires at
+    // multiples of PrSnapEvery strictly BELOW iters, so the live tail
+    // is ((iters-1) mod PrSnapEvery) + 1 rounds — at most one cadence.
     val joins = df.queryExecution.executedPlan.toString()
       .split('\n').count(_.contains("Join"))
-    assert(joins <= iters % Analytics.PrSnapEvery + 1,
+    val tailRounds = (iters - 1) % Analytics.PrSnapEvery + 1
+    assert(joins <= tailRounds + 1,
       df.queryExecution.executedPlan.toString())
     // and the 20-round values still equal the sequential recurrence
     val nodes = deg.keySet

@@ -1028,6 +1028,39 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class IvfPqSpec extends SparkSpec {
+  test("ann_ivf_pq: composed index recall vs brute force, exact re-rank scores, dense ranks") {
+    val bruteRows = graft.queries.Ann.annTopkBrute(spark, sf).collect()
+    val rows = graft.queries.Ann.annIvfPq(spark, sf).collect()
+    def keys(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val brute = keys(bruteRows)
+    val recall = keys(rows).intersect(brute).size.toDouble / brute.size
+    info(s"ivf+pq recall = $recall")
+    // the two approximations compound (probed-list miss × ADC-shortlist
+    // miss), so the floor sits below either standalone key's
+    assert(recall >= 0.6, s"recall $recall too low")
+    // re-ranked cosines are EXACT: any (qid, nid) shared with brute
+    // force must carry the identical double
+    val bruteCos = bruteRows
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) -> r.getAs[Double]("cos")).toMap
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      bruteCos.get(k).foreach(c => assert(c === r.getAs[Double]("cos"), k.toString))
+    }
+    // structural: per query ranks dense from 1, bounded by TopK, no
+    // self edges, descending scores
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to g.length))
+      assert(g.length <= graft.queries.Ann.TopK)
+      assert(g.forall(r => r.getAs[Long]("nid") != r.getAs[Long]("qid")))
+      val cs = byRank.map(_.getAs[Double]("cos"))
+      assert(cs.zip(cs.tail).forall { case (x, y) => x >= y })
+    }
+  }
+}
+
 class FrameSampleSpec extends SparkSpec {
   test("mm_audio_window: offsets/lengths/digests match a sequential reference") {
     val texts = Tables.documents(spark, sf).collect()
@@ -1152,6 +1185,25 @@ class PhashSpec extends SparkSpec {
     // one flipped sample flips at most its two adjacent-compare bits,
     // and pigeonhole over 4 bands makes recall exact at ≤3
     assert(pairs.head._3 <= 2 && pairs.head._3 >= 1)
+  }
+
+  test("mm_phash_dedup: gated pairs equal an all-pairs recompute restricted to band collisions") {
+    val hashed = Multimodal.mmPhash(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Array(r.getAs[Int]("b0"), r.getAs[Int]("b1"), r.getAs[Int]("b2"), r.getAs[Int]("b3")))
+    val got = Multimodal.mmPhashDedup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming"))).toSet
+    // sequential reference: every ordered pair that shares a band AND
+    // passes the popcount budget — the banded join may never add or
+    // drop a pair relative to this definition
+    val want = (for {
+      (a, ha) <- hashed; (b, hb) <- hashed if a < b
+      if ha.indices.exists(i => ha(i) == hb(i))
+      ham = ha.indices.map(i => Integer.bitCount(ha(i) ^ hb(i))).sum
+      if ham <= Multimodal.PhashMaxHamming
+    } yield (a, b, ham)).toSet
+    assert(got === want)
+    got.foreach { case (a, b, h) => assert(a < b && h >= 0) }
   }
 
   test("mm_scene_cut: cuts exactly at deltas >= tau; scenes aggregate spans") {

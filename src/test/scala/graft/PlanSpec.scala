@@ -275,6 +275,18 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Exchange SinglePartition") === 0, p)
   }
 
+  test("ann_ivf_pq: list-probe candidate join is broadcast equi; no cartesian; windows bounded") {
+    val p = physical(graft.queries.Ann.annIvfPq(spark, sf))
+    assert(nodes(p, "CartesianProduct") === 0, p)
+    // probes→lists candidate join + the two re-rank joins broadcast
+    assert(bhj(p) >= 3, p)
+    // ADC shortlist rank + exact re-rank, both per-qid with the
+    // group-limit pushdown pruning inside each partition
+    assert(nodes(p, "Window \\[") === 2, p)
+    assert(nodes(p, "WindowGroupLimit") >= 2, p)
+    assert(nodes(p, "Exchange SinglePartition") === 0, p)
+  }
+
   test("ann queries never cross-join the corpus") {
     val p = physical(graft.queries.Ann.annLshBucket(spark, sf))
     assert(crossJoins(p) === 0, p)
