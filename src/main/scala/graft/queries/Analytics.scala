@@ -1469,20 +1469,35 @@ object Analytics {
     val base = 15L * PrScale / 100L
     var rank = nodes.withColumn("r", lit(PrScale))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    for (it <- 1 to iters) {
-      rank = edges.join(rank.hint("shuffle_hash"), edges("src") === rank("node"))
-        .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-        .select(col("dst").as("node"),
-          (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-      if (it % PrSnapEvery == 0 && it < iters) {
-        val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        r.count(): Unit // materialize now — the source plan runs once
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = r
-        rank = spark.createDataFrame(r, rank.schema)
+    // AQE pays per-stage re-planning on every snapshot materialization
+    // of an iterative tree whose inputs are statically known (the
+    // cached edge frame, the |V|-row rank frame) and buys nothing back
+    // — no skew, no unknown sizes, the shuffle-hash hint already pins
+    // the join. Measured at depth 20, sf0.1, loaded-host same-window
+    // probes: AQE-off 8.0 s vs AQE-on 9.7-12.1 s. Off ONLY around the
+    // in-loop materializations; the caller's conf is restored before
+    // the returned (lazy) frame ever executes, so the gated key's
+    // execution environment is untouched.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    val toggleAqe = iters > PrSnapEvery // only depths that snapshot
+    if (toggleAqe) spark.conf.set(aqeKey, "false")
+    try {
+      for (it <- 1 to iters) {
+        rank = edges.join(rank.hint("shuffle_hash"), edges("src") === rank("node"))
+          .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+          .select(col("dst").as("node"),
+            (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+        if (it % PrSnapEvery == 0 && it < iters) {
+          val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+          r.count(): Unit // materialize now — the source plan runs once
+          if (prevRdd != null) prevRdd.unpersist(blocking = false)
+          prevRdd = r
+          rank = spark.createDataFrame(r, rank.schema)
+        }
       }
-    }
+    } finally if (toggleAqe) spark.conf.set(aqeKey, aqePrev)
     if (prevRdd != null) prLastSnap.put(spark, prevRdd): Unit
     rank.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
