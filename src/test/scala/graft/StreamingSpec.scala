@@ -533,6 +533,61 @@ class StreamingSpec extends SparkSpec {
     assert(batchPairs.exists { case (a, b) => a == 1L && b >= 100L || b == 1L && a >= 100L })
   }
 
+  test("phash near-dup alerting: banded stream-static collisions match the batch pair miner") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = Array.tabulate(256)(i => ((i * 37 + 11) % 251).toByte)
+    val far = base.reverse
+    val ref = Seq(100L -> base, 101L -> far).toDF("doc_id", "payload")
+    val refIndex = graft.streaming.PhashDedupStream.referenceIndex(ref)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val stream = input.toDS().toDF("doc_id", "payload")
+    val q = graft.streaming.PhashDedupStream
+      .collisions(stream, refIndex, maxHamming = 3)
+      .writeStream.format("memory").queryName("phash_alerts")
+      .outputMode("append").start()
+    try {
+      // 1 = one flipped sample vs ref 100 (≤2 differing bits → ≥2 of
+      // 4 bands still collide); 2 = random-ish, far from both refs
+      val near = base.clone(); near(8) = 250.toByte
+      val novel = Array.tabulate(256)(i => ((i * 101 + 7) % 249).toByte)
+      input.addData(Seq((1L, near), (2L, novel)))
+      q.processAllAvailable()
+      // stateless: an exact copy arriving in a LATER batch still
+      // alerts (hamming 0, all four bands collide)
+      input.addData(Seq((3L, base.clone())))
+      q.processAllAvailable()
+      val rows = spark.table("phash_alerts").collect()
+      val pairs = rows.map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("ref_id"))).toSet
+      assert(pairs === Set((1L, 100L), (3L, 100L)), rows.mkString(", "))
+      // hamming is the pair's exact popcount on every per-band row
+      rows.foreach { r =>
+        val h = r.getAs[Int]("hamming")
+        if (r.getAs[Long]("doc_id") == 3L) assert(h === 0)
+        else assert(h >= 1 && h <= 3, r.toString)
+      }
+      // all four bands of the exact copy collide
+      assert(rows.count(_.getAs[Long]("doc_id") == 3L) === 4)
+
+      // parity with the batch miner: distinct cross pairs == the batch
+      // key's pairs over (ref ∪ arrivals), restricted to cross edges
+      val arrivals = Seq(1L -> near, 2L -> novel, 3L -> base.clone())
+      val hashedUnion = (Seq(100L -> base, 101L -> far) ++ arrivals)
+        .map { case (id, p) =>
+          val h = graft.queries.Multimodal.stubPhash(p)
+          (id, h(0), h(1), h(2), h(3))
+        }.toDF("doc_id", "b0", "b1", "b2", "b3")
+      val batchCross = graft.queries.Multimodal.phashPairs(hashedUnion, 3)
+        .collect()
+        .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+        .filter { case (a, b) => (a >= 100L) != (b >= 100L) }
+        .map { case (a, b) => if (a >= 100L) (b, a) else (a, b) }.toSet
+      assert(pairs === batchCross)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps only the first occurrence of each text") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
