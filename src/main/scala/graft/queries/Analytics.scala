@@ -167,8 +167,17 @@ object Analytics {
     val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(cust, $"o_custkey" === $"c_custkey")
+    // selective-first join order: the segment filter keeps ~1/5 of
+    // customers, so customers⋈orders broadcasts the filtered dim and
+    // the REDUCED order set broadcasts into lineitem — the fact table
+    // never exchanges for a join, only for the final group-by (and
+    // that moves map-side-combined partials, not raw lines). Catalyst
+    // has no stats to reorder this itself; declaring the selective
+    // order is the plan a 100 TB run wants too — if the reduced order
+    // side outgrows the broadcast budget there, AQE degrades it to a
+    // shuffle join, which is exactly the old shape.
+    val co = ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    li.join(co, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
         .as("rev_units"))
