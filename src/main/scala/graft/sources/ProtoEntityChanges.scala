@@ -58,7 +58,7 @@ object ProtoEntityChanges {
 
   // ---- wire-format primitives ---------------------------------------
 
-  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var out = 0L
@@ -165,7 +165,7 @@ object ProtoEntityChanges {
 
   // ---- encoder (round-trip gate + fixture construction) --------------
 
-  private final class Writer {
+  private[sources] final class Writer {
     private val out = new java.io.ByteArrayOutputStream()
     def varint(v0: Long): Unit = {
       var v = v0
