@@ -55,6 +55,28 @@ class PipelineIntegrationSpec extends SparkSpec {
     import graft.streaming.PoiStream.BlockEvent
     graft.plans.GraftExtensions.ensureRegistered(spark)
 
+    // STEP 0 — the manifest gate `run` applies before any byte flows
+    // (run.go:70-117): decode the .spkg from wire bytes, resolve the
+    // requested output module, refuse anything that is not an
+    // EntityChanges map. The replay below exists only because this
+    // passed — and pointing the same run at the store module fails
+    // fast the way run.go:116 does.
+    import graft.sources.SpkgManifest
+    import graft.sources.SpkgManifest.{ModuleInput, Spkg, SpkgModule}
+    val spkgBytes = SpkgManifest.encode(Spkg(1L, "events_sink", "v1.0.0", Seq(
+      SpkgModule("store_index", "store", "", 0L,
+        Seq(ModuleInput("source", "sf.ethereum.type.v2.Block"))),
+      SpkgModule("graph_out", "map",
+        "proto:" + SpkgManifest.SupportedModuleType, 0L,
+        Seq(ModuleInput("source", "sf.ethereum.type.v2.Block"),
+          ModuleInput("store", "store_index"))))))
+    val pkg = SpkgManifest.decode(spkgBytes)
+    assert(SpkgManifest.outputModule(pkg, "graph_out").isRight)
+    assert(SpkgManifest.moduleGraph(pkg, "graph_out")
+      === Right(Seq("store_index", "graph_out")))
+    assert(SpkgManifest.startBlock(pkg, "graph_out") === Right(0L))
+    assert(SpkgManifest.outputModule(pkg, "store_index").isLeft)
+
     // replayed prefix: every block_num in [0, Cut) — 30 COMPLETE poi
     // blocks at PoiBlockSize=10, 3 complete csv bundles at 100
     val Cut = 300L
