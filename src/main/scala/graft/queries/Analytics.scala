@@ -168,15 +168,18 @@ object Analytics {
     val ord = Tables.orders(spark, dir)
     val li = Tables.lineitem(spark, dir)
     // selective-first join order: the segment filter keeps ~1/5 of
-    // customers, so customers⋈orders broadcasts the filtered dim and
-    // the REDUCED order set broadcasts into lineitem — the fact table
-    // never exchanges for a join, only for the final group-by (and
-    // that moves map-side-combined partials, not raw lines). Catalyst
-    // has no stats to reorder this itself; declaring the selective
-    // order is the plan a 100 TB run wants too — if the reduced order
-    // side outgrows the broadcast budget there, AQE degrades it to a
-    // shuffle join, which is exactly the old shape.
-    val co = ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+    // customers, so customers⋈orders reduces the order set BEFORE the
+    // fact table sees it — at broadcast-friendly sizes lineitem never
+    // exchanges for a join, only for the final group-by (map-side-
+    // combined partials, not raw lines). Catalyst has no stats to
+    // reorder this itself; declaring the selective order is the plan
+    // a 100 TB run wants too. Both joins are left UNHINTED: the
+    // filtered customer set scales WITH the data (a forced broadcast
+    // would eventually OOM the driver), so Catalyst/AQE picks
+    // broadcast while either side fits and degrades each join to a
+    // shuffle independently beyond that — the worst case is exactly
+    // the old both-sides-shuffle shape.
+    val co = ord.join(cust, $"o_custkey" === $"c_custkey")
     li.join(co, $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
