@@ -55,6 +55,16 @@ class SpkgSpec extends SparkSpec {
     assert(got === pkg)
   }
 
+  test("malformed bytes fail loudly; empty packages parse to empty") {
+    // truncated varint and a length running past the buffer — the
+    // shared Reader's guards, inherited from the EntityChanges codec
+    intercept[Exception](SpkgManifest.decode(Array(0x32, 0xFF).map(_.toByte)))
+    intercept[Exception](SpkgManifest.decode(Array(0x32, 0x7F, 0x0A).map(_.toByte)))
+    val empty = SpkgManifest.decode(Array.emptyByteArray)
+    assert(empty === Spkg(0L, "", "", Nil))
+    assert(SpkgManifest.outputModule(empty, "x").swap.exists(_.contains("not found")))
+  }
+
   test("output-module validation mirrors run.go's three refusals") {
     assert(SpkgManifest.outputModule(pkg, "graph_out").map(_.initialBlock)
       === Right(12L))
