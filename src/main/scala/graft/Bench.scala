@@ -137,6 +137,19 @@ object Bench {
       spark.sparkContext.removeSparkListener(c)
       math.max(c.stages.get(), 1L)
     }
+    // Wave-floor probe: the single-task floor above cannot see
+    // CPU-SHARE contention — a throttled host runs one task at full
+    // speed but a 32-task stage wave at a fraction of it (measured
+    // round 8: floor flat at ~0.11 s while every wide stage ran 2-3×
+    // slow). A trivial 32-partition exchange+noop measures the
+    // per-stage cost a real shuffle stage pays in the SAME window, so
+    // loaded samples decompose honestly. min-of-5, like the floor.
+    val waveFloor = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(0, 32 * 64, 1, 4).repartition(32)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
     val qs = results.map {
       case (k, Right(v)) => "\"" + k + "\":" + v
       case (k, Left(e)) =>
@@ -210,7 +223,7 @@ object Bench {
     val loadEnd = loadAvg()
     val loadJson = f""","load_avg_start":$loadStart%.2f,"load_avg_end":$loadEnd%.2f"""
     val demoJson = demonstrators.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson,"demonstrators":$demoJson$duckCompact$duckPerKey$loadJson,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","errors":$errs,"floor_per_query_sec":$floor,"wave_floor_sec":$waveFloor,"floor_total_sec":$floorTotal,"data_proportional_sec":$dataProp,"queries":$qs,"stages":$stagesJson,"shuffle_write_mb":$shufJson,"census_incomplete":$dirtyJson,"demonstrators":$demoJson$duckCompact$duckPerKey$loadJson,"sf":"$sfDir"}"""
     println(fullLine)
     // the driver records only the TAIL of stdout (≈2 KB), which
     // truncated everything before ratio_per_key in round 5 — so the
