@@ -101,21 +101,19 @@ object SpkgManifest {
         case (1, 2) => name = r.str()
         case (2, 2) => kind = "map"
           // KindMap.output_type doubles the Output field in current
-          // packages; keep whichever appears, Output (7) wins below
-          val t = subStr2(r); if (t.nonEmpty) outputType = t
+          // packages; keep whichever appears (Output, field 7, is
+          // decoded later in field order so it wins when both exist)
+          val t = subStr(r, 1); if (t.nonEmpty) outputType = t
         case (3, 2) => kind = "store"; r.lenDelim(): Unit
         case (6, 2) =>
           val (s, e) = r.lenDelim(); inputs += decodeInput(new Reader(r.buf, s, e))
-        case (7, 2) => val t = subStr2(r); if (t.nonEmpty) outputType = t
+        case (7, 2) => val t = subStr(r, 1); if (t.nonEmpty) outputType = t
         case (8, 0) => initialBlock = r.varint()
         case (_, wt) => r.skip(wt)
       }
     }
     SpkgModule(name, kind, outputType, initialBlock, inputs.result())
   }
-
-  /** [[subStr]] at field 1 without consuming the delimiter twice. */
-  private def subStr2(r: Reader): String = subStr(r, 1)
 
   def decode(bytes: Array[Byte]): Spkg = {
     val r = new Reader(bytes, 0, bytes.length)
