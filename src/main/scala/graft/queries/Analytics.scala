@@ -1378,6 +1378,10 @@ object Analytics {
   val PrIters = 3
   val PrTopK = 100
 
+  /** Stage width of the iterative rank loop — see the edge-cache
+    * build note in [[qPagerankDepth]]. */
+  val PrLoopPartitions = 8
+
   private val prEdgesMemo =
     graft.SessionMemo.named[DataFrame]("q_pagerank_edges")
   private val prNodesMemo =
@@ -1404,7 +1408,18 @@ object Analytics {
       val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       val deg = und.groupBy(col("src")).agg(sum(col("w")).as("deg"))
-      und.join(deg, "src").repartition(col("src"))
+      // Partition count sized to the DATA, not the session constant:
+      // every per-iteration stage wave (the shuffle-hash join probe +
+      // the contribution aggregate) inherits this count, and a
+      // 20-round run schedules 20+ such waves — |V| ≈ tens of
+      // thousands of rank rows never needs 32 tasks a wave, but pays
+      // 32× per-task scheduling (and thrashes hardest when the host
+      // is core-starved: measured same-window, the 32-task loop ran
+      // 11.3 s where 16 ran 4.8 s). [[PrLoopPartitions]] trades
+      // nothing at this scale — each task still holds thousands of
+      // edge rows — and a 100 TB deployment replaces it with its own
+      // bucket count (the q_bucket_join layout), exactly as before.
+      und.join(deg, "src").repartition(PrLoopPartitions, col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // rank init (the node set) memoized beside the edges: re-deriving
@@ -1491,9 +1506,18 @@ object Analytics {
     // the returned (lazy) frame ever executes, so the gated key's
     // execution environment is untouched.
     val aqeKey = "spark.sql.adaptive.enabled"
+    val partsKey = "spark.sql.shuffle.partitions"
     val aqePrev = spark.conf.get(aqeKey, "true")
+    val partsPrev = spark.conf.get(partsKey, "200")
     val toggleAqe = iters > PrSnapEvery // only depths that snapshot
-    if (toggleAqe) spark.conf.set(aqeKey, "false")
+    if (toggleAqe) {
+      spark.conf.set(aqeKey, "false")
+      // keep the whole loop at the edge cache's width: with the
+      // session default (32) the contribution aggregate would exchange
+      // at 32 while the cached edges sit at PrLoopPartitions, forcing
+      // a width-fixing re-exchange of the rank frame EVERY round
+      spark.conf.set(partsKey, PrLoopPartitions.toString)
+    }
     try {
       for (it <- 1 to iters) {
         rank = edges.join(rank.hint("shuffle_hash"), edges("src") === rank("node"))
@@ -1509,7 +1533,10 @@ object Analytics {
           rank = spark.createDataFrame(r, rank.schema)
         }
       }
-    } finally if (toggleAqe) spark.conf.set(aqeKey, aqePrev)
+    } finally if (toggleAqe) {
+      spark.conf.set(aqeKey, aqePrev)
+      spark.conf.set(partsKey, partsPrev)
+    }
     if (prevRdd != null) prLastSnap.put(spark, prevRdd): Unit
     rank.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
