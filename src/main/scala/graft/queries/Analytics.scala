@@ -1378,9 +1378,27 @@ object Analytics {
   val PrIters = 3
   val PrTopK = 100
 
-  /** Stage width of the iterative rank loop — see the edge-cache
-    * build note in [[qPagerankDepth]]. */
-  val PrLoopPartitions = 8
+  /** Minimum stage width of the iterative rank loop — see the
+    * edge-cache build note in [[qPagerankDepth]]. */
+  val PrLoopMinPartitions = 8
+
+  /** Loop width sized to the CORPUS, not the session constant:
+    * lineitem's on-disk bytes (a driver-side metadata sum, no job)
+    * divided into ~16 MB units, clamped to [[PrLoopMinPartitions]] ..
+    * defaultParallelism. sf0.1 lands at the floor (8 — a 32-task wave
+    * over a tens-of-thousands-row rank frame is pure scheduling
+    * waste), sf10 at full width (its 2 M-edge-per-partition tasks
+    * want every core). A cluster deployment replaces this with its
+    * bucket count, as the edge-cache docs prescribe. */
+  private def prLoopWidth(spark: SparkSession, dir: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bytes = Tables.lineitem(spark, dir).inputFiles.map { u =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(u))
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    math.max(PrLoopMinPartitions,
+      math.min(spark.sparkContext.defaultParallelism, (bytes >> 24).toInt))
+  }
 
   private val prEdgesMemo =
     graft.SessionMemo.named[DataFrame]("q_pagerank_edges")
@@ -1415,11 +1433,12 @@ object Analytics {
       // thousands of rank rows never needs 32 tasks a wave, but pays
       // 32× per-task scheduling (and thrashes hardest when the host
       // is core-starved: measured same-window, the 32-task loop ran
-      // 11.3 s where 16 ran 4.8 s). [[PrLoopPartitions]] trades
-      // nothing at this scale — each task still holds thousands of
-      // edge rows — and a 100 TB deployment replaces it with its own
-      // bucket count (the q_bucket_join layout), exactly as before.
-      und.join(deg, "src").repartition(PrLoopPartitions, col("src"))
+      // 11.3 s where 16 ran 4.8 s). [[prLoopWidth]] trades nothing at
+      // floor scale — each task still holds thousands of edge rows —
+      // grows with the corpus (sf10 runs full-width), and a 100 TB
+      // deployment replaces it with its own bucket count (the
+      // q_bucket_join layout), exactly as before.
+      und.join(deg, "src").repartition(prLoopWidth(spark, dir), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // rank init (the node set) memoized beside the edges: re-deriving
@@ -1512,11 +1531,11 @@ object Analytics {
     val toggleAqe = iters > PrSnapEvery // only depths that snapshot
     if (toggleAqe) {
       spark.conf.set(aqeKey, "false")
-      // keep the whole loop at the edge cache's width: with the
-      // session default (32) the contribution aggregate would exchange
-      // at 32 while the cached edges sit at PrLoopPartitions, forcing
-      // a width-fixing re-exchange of the rank frame EVERY round
-      spark.conf.set(partsKey, PrLoopPartitions.toString)
+      // keep the whole loop at the edge cache's OWN width: with the
+      // session default the contribution aggregate would exchange at
+      // one width while the cached edges sit at another, forcing a
+      // width-fixing re-exchange of the rank frame EVERY round
+      spark.conf.set(partsKey, edges.rdd.getNumPartitions.toString)
     }
     try {
       for (it <- 1 to iters) {
