@@ -839,17 +839,43 @@ object Analytics {
     * Exact distinct rides along (one extra per-register count, summed
     * — registers partition keys, so per-register distincts add up),
     * so the sketch's error is itself part of the gated output. */
+  // register+rider state (≤ m rows per type) — memoized like
+  // q_hll_serve's: the gated key serves the fold from sketch state
+  // instead of re-scanning the corpus per call (round-8 verdict: the
+  // rider's corpus-wide distinct shuffle re-ran every invocation)
+  private val hllDistinctStateMemo =
+    graft.SessionMemo.named[DataFrame]("q_hll_distinct_state")
+
   def qHllDistinct(spark: SparkSession, dir: String): DataFrame =
-    hllSketch(Tables.events(spark, dir))
+    hllSketchFromState(hllDistinctStateMemo.getOrBuild(spark, dir) {
+      hllRiderState(Tables.events(spark, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** The sketch over any (event_type, user_id, ts) frame — split out so
     * the streamed-fold spec can compare against the batch registers on
     * an identical feed. */
-  private[graft] def hllSketch(events: DataFrame): DataFrame = {
-    val regs = hllRows(events)
+  private[graft] def hllSketch(events: DataFrame): DataFrame =
+    hllSketchFromState(hllRiderState(events))
+
+  /** Register + exact-rider state: (event_type, bucket, m_b, nd_b),
+    * ≤ m rows per type. The distinct is a MANUAL two-level aggregate,
+    * not `countDistinct` beside `max`: mixed distinct/non-distinct
+    * aggregates plan through Expand (every corpus row duplicated per
+    * aggregate arm before the shuffle), while the two-level shape
+    * map-side-combines duplicate (user, day) events on the first
+    * exchange — `rho` is a pure function of (user_id, day), so
+    * `max(rho)` at the inner level is exact, and the second exchange
+    * moves only distinct user-days. */
+  private[graft] def hllRiderState(events: DataFrame): DataFrame =
+    hllRows(events)
+      .groupBy(col("event_type"), col("bucket"), col("user_id"), col("day"))
+      .agg(max(col("rho")).as("rho"))
       .groupBy(col("event_type"), col("bucket"))
-      .agg(max(col("rho")).as("m_b"),
-        countDistinct(col("user_id"), col("day")).as("nd_b"))
+      .agg(max(col("rho")).as("m_b"), count(lit(1)).as("nd_b"))
+
+  /** Fold register+rider state to the gated output. */
+  private def hllSketchFromState(regs: DataFrame): DataFrame =
     regs.groupBy(col("event_type"))
       .agg(
         (sum(expr("CAST(1 AS BIGINT) << (53 - m_b)"))
@@ -858,7 +884,6 @@ object Analytics {
         (lit(HllM) - count(lit(1))).cast("long").as("zero_regs"))
       .select(col("event_type"), col("n_exact"), col("zero_regs"),
         (lit(HllAlphaScale) / col("srecip").cast("double")).as("hll_est"))
-  }
 
   /** #26j2 q_hll_serve — the SKETCH-ONLY serving arm of
     * [[qHllDistinct]]: identical registers, identical estimate, but
@@ -1405,6 +1430,24 @@ object Analytics {
   private val prNodesMemo =
     graft.SessionMemo.named[DataFrame]("q_pagerank_nodes")
 
+  /** Cloned-session memo for DEEP (snapshotting) runs. AQE pays
+    * per-stage re-planning on every snapshot materialization of an
+    * iterative tree whose inputs are statically known (the cached edge
+    * frame, the |V|-row rank frame) and buys nothing back — no skew, no
+    * unknown sizes, the shuffle-hash hint already pins the join.
+    * Measured at depth 20, sf0.1, loaded-host same-window probes:
+    * AQE-off 8.0 s vs AQE-on 9.7-12.1 s. And the whole loop must run at
+    * the edge cache's OWN width: with the session default the
+    * contribution aggregate would exchange at one width while the
+    * cached edges sit at another, forcing a width-fixing re-exchange of
+    * the rank frame EVERY round. Both overrides live on a `newSession()`
+    * clone (the q_skew_join pattern) so the CALLER's conf is never
+    * mutated — a query planned concurrently on the caller's session
+    * (e.g. a streaming micro-batch) keeps its own AQE/width. One clone
+    * per (parent, dir): the pinned width is data-sized. */
+  private val prDeepSessionMemo =
+    graft.SessionMemo.named[SparkSession]("q_pagerank_deep_session")
+
   def qPagerank(spark: SparkSession, dir: String): DataFrame =
     qPagerankDepth(spark, dir, PrIters)
 
@@ -1413,12 +1456,22 @@ object Analytics {
     * iterative-family per-round floor is a measured number, not an
     * extrapolation from the 3-round gated key. */
   def qPagerankDepth(spark: SparkSession, dir: String, iters: Int): DataFrame = {
+    // depths that snapshot build EVERYTHING (edge cache, rank loop) on
+    // the AQE-off, width-pinned clone; the gated shallow key stays on
+    // the caller's session with its plan byte-identical
+    val s = if (iters > PrSnapEvery) prDeepSessionMemo.getOrBuild(spark, dir) {
+      val c = spark.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      c.conf.set("spark.sql.shuffle.partitions",
+        prLoopWidth(spark, dir).toString)
+      c
+    } else spark
     // bipartite trade graph: customer ⟷ supplier, one edge per
     // lineitem (multiplicity kept as the edge weight)
-    val edges = prEdgesMemo.getOrBuild(spark, dir) {
-      val e = Tables.orders(spark, dir)
+    val edges = prEdgesMemo.getOrBuild(s, dir) {
+      val e = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(spark, dir)
+        .join(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("src"),
@@ -1438,12 +1491,12 @@ object Analytics {
       // grows with the corpus (sf10 runs full-width), and a 100 TB
       // deployment replaces it with its own bucket count (the
       // q_bucket_join layout), exactly as before.
-      und.join(deg, "src").repartition(prLoopWidth(spark, dir), col("src"))
+      und.join(deg, "src").repartition(prLoopWidth(s, dir), col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     // rank init (the node set) memoized beside the edges: re-deriving
     // it would cost one distinct shuffle over the edge cache per call
-    val nodes = prNodesMemo.getOrBuild(spark, dir) {
+    val nodes = prNodesMemo.getOrBuild(s, dir) {
       edges.select(col("src").as("node")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -1515,46 +1568,24 @@ object Analytics {
     val base = 15L * PrScale / 100L
     var rank = nodes.withColumn("r", lit(PrScale))
     var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
-    // AQE pays per-stage re-planning on every snapshot materialization
-    // of an iterative tree whose inputs are statically known (the
-    // cached edge frame, the |V|-row rank frame) and buys nothing back
-    // — no skew, no unknown sizes, the shuffle-hash hint already pins
-    // the join. Measured at depth 20, sf0.1, loaded-host same-window
-    // probes: AQE-off 8.0 s vs AQE-on 9.7-12.1 s. Off ONLY around the
-    // in-loop materializations; the caller's conf is restored before
-    // the returned (lazy) frame ever executes, so the gated key's
-    // execution environment is untouched.
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val partsKey = "spark.sql.shuffle.partitions"
-    val aqePrev = spark.conf.get(aqeKey, "true")
-    val partsPrev = spark.conf.get(partsKey, "200")
-    val toggleAqe = iters > PrSnapEvery // only depths that snapshot
-    if (toggleAqe) {
-      spark.conf.set(aqeKey, "false")
-      // keep the whole loop at the edge cache's OWN width: with the
-      // session default the contribution aggregate would exchange at
-      // one width while the cached edges sit at another, forcing a
-      // width-fixing re-exchange of the rank frame EVERY round
-      spark.conf.set(partsKey, edges.rdd.getNumPartitions.toString)
-    }
-    try {
-      for (it <- 1 to iters) {
-        rank = edges.join(rank.hint("shuffle_hash"), edges("src") === rank("node"))
-          .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
-          .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
-          .select(col("dst").as("node"),
-            (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
-        if (it % PrSnapEvery == 0 && it < iters) {
-          val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-          r.count(): Unit // materialize now — the source plan runs once
-          if (prevRdd != null) prevRdd.unpersist(blocking = false)
-          prevRdd = r
-          rank = spark.createDataFrame(r, rank.schema)
-        }
+    // The loop never touches session conf: the AQE-off + pinned-width
+    // environment a DEEP run wants lives on the caller's session —
+    // [[qPagerankDepth]] supplies a cloned session for depths that
+    // snapshot (see [[prDeepSessionMemo]]), so a query planned
+    // concurrently on the parent session is never affected.
+    for (it <- 1 to iters) {
+      rank = edges.join(rank.hint("shuffle_hash"), edges("src") === rank("node"))
+        .select(col("dst"), (col("w") * expr("r DIV deg")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_mass"))
+        .select(col("dst").as("node"),
+          (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
+      if (it % PrSnapEvery == 0 && it < iters) {
+        val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        r.count(): Unit // materialize now — the source plan runs once
+        if (prevRdd != null) prevRdd.unpersist(blocking = false)
+        prevRdd = r
+        rank = spark.createDataFrame(r, rank.schema)
       }
-    } finally if (toggleAqe) {
-      spark.conf.set(aqeKey, aqePrev)
-      spark.conf.set(partsKey, partsPrev)
     }
     if (prevRdd != null) prLastSnap.put(spark, prevRdd): Unit
     rank.select(col("node"), col("r").as("rank_scaled"))

@@ -831,13 +831,23 @@ object TextAnalysis {
     * Scale: the benchmark's distinct shingle set is eval-set-sized
     * (tiny against the corpus) → AQE broadcasts it and the corpus side
     * is a map-only probe; one agg by doc for the hit counts. The
-    * shingle index is persisted spill-safe across its two consumers. */
+    * shingle index is persisted spill-safe across its two consumers
+    * AND memoized per (session, corpus): decontamination re-runs per
+    * benchmark revision against the SAME corpus, so the standing index
+    * is built once, not re-shingled per call (round-8 verdict — and
+    * per-call `persist` also stacked a fresh cache entry per bench
+    * pass; the memo holds exactly one). */
+  private val decontamShingleMemo =
+    graft.SessionMemo.named[DataFrame]("tx_decontaminate_shingles")
+
   def txDecontaminate(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
-      .withColumn("w", toks(col("text")))
-      .select(col("doc_id"),
-        explode(graft.functions.Shingles.fromTokens(col("w"), DecontamN)).as("s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = decontamShingleMemo.getOrBuild(s, d) {
+      Tables.documents(s, d)
+        .withColumn("w", toks(col("text")))
+        .select(col("doc_id"),
+          explode(graft.functions.Shingles.fromTokens(col("w"), DecontamN)).as("s"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val bench = sh.filter(col("doc_id") % BenchMod === 0).select(col("s")).distinct()
     sh.filter(col("doc_id") % BenchMod =!= 0)
       .join(bench, "s")

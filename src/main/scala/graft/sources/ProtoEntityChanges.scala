@@ -63,6 +63,10 @@ object ProtoEntityChanges {
     def varint(): Long = {
       var shift = 0; var out = 0L
       while (shift < 64) {
+        // bound against THIS reader's end, not the backing buffer: a
+        // varint truncated at a nested submessage boundary must fail
+        // loudly, not silently consume the parent's following bytes
+        if (pos >= end) throw new IllegalArgumentException("truncated varint")
         val b = buf(pos); pos += 1
         out |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return out
@@ -81,8 +85,10 @@ object ProtoEntityChanges {
     def skip(wt: Int): Unit = wt match {
       case 0 => varint(): Unit
       case 1 => pos += 8
+        if (pos > end) throw new IllegalArgumentException("truncated fixed64")
       case 2 => lenDelim(): Unit
       case 5 => pos += 4
+        if (pos > end) throw new IllegalArgumentException("truncated fixed32")
       case w => throw new IllegalArgumentException(s"unsupported wire type $w")
     }
   }

@@ -92,26 +92,29 @@ object SpkgManifest {
   }
 
   private def decodeModule(r: Reader): SpkgModule = {
-    var name = ""; var kind = "unknown"; var outputType = ""
+    var name = ""; var kind = "unknown"
     var initialBlock = 0L
+    // KindMap.output_type (field 2) doubles the Output field (field 7)
+    // in current packages. Precedence is by FIELD, not wire byte order
+    // (a legally-serialized package may put field 7 before field 2):
+    // each is tracked separately and Output wins after the loop.
+    var kindMapType = ""; var outputFieldType = ""
     val inputs = Seq.newBuilder[ModuleInput]
     while (r.hasMore) {
       val tag = r.varint()
       ((tag >> 3).toInt, (tag & 7).toInt) match {
         case (1, 2) => name = r.str()
         case (2, 2) => kind = "map"
-          // KindMap.output_type doubles the Output field in current
-          // packages; keep whichever appears (Output, field 7, is
-          // decoded later in field order so it wins when both exist)
-          val t = subStr(r, 1); if (t.nonEmpty) outputType = t
+          val t = subStr(r, 1); if (t.nonEmpty) kindMapType = t
         case (3, 2) => kind = "store"; r.lenDelim(): Unit
         case (6, 2) =>
           val (s, e) = r.lenDelim(); inputs += decodeInput(new Reader(r.buf, s, e))
-        case (7, 2) => val t = subStr(r, 1); if (t.nonEmpty) outputType = t
+        case (7, 2) => val t = subStr(r, 1); if (t.nonEmpty) outputFieldType = t
         case (8, 0) => initialBlock = r.varint()
         case (_, wt) => r.skip(wt)
       }
     }
+    val outputType = if (outputFieldType.nonEmpty) outputFieldType else kindMapType
     SpkgModule(name, kind, outputType, initialBlock, inputs.result())
   }
 

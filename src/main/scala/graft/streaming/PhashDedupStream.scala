@@ -54,7 +54,12 @@ object PhashDedupStream {
 
   /** Reference-side projection: fingerprint once, band-explode once.
     * Built from a batch (doc_id, payload) frame and reused every
-    * micro-batch. */
+    * micro-batch — PERSISTED here so the build-once contract holds:
+    * an unpersisted frame is lazy and every micro-batch would
+    * re-fingerprint and re-explode the whole reference corpus (at
+    * cluster scale the persisted index is instead a bucketed table on
+    * (bi, bv), see the object doc). The caller releases it with
+    * `unpersist()` when the query stops. */
   def referenceIndex(reference: DataFrame): DataFrame =
     fingerprints(reference)
       .select(col("doc_id").as("ref_id"),
@@ -62,6 +67,7 @@ object PhashDedupStream {
         col("b2").as("rb2"), col("b3").as("rb3"),
         posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
           .as(Seq("bi", "bv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** `stream` needs (doc_id, payload binary); emits one append-only
     * row per (arriving payload, reference payload, colliding band)
