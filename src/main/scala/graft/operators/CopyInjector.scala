@@ -127,7 +127,21 @@ object CopyInjector {
   /** Ready-to-run psql script for one entity: drop indexes → ordered
     * `\copy` per bundle file → recreate indexes → ANALYZE. This is the
     * drop-indexes / inject-csv / create-indexes command sequence as one
-    * reviewable artifact. */
+    * reviewable artifact. The overload taking a `<psql-dsn>` (the
+    * argument every reference postgres command parses via
+    * postgres.ParseDSN, create-indexes.go:34-40) prefixes the script
+    * with the real connection string in both forms so the artifact is
+    * runnable as-is: `psql "<url>" -f <entity>.sql`. Left = the
+    * reference's DSN error, wrapped the way create-indexes.go:40 does. */
+  def loadScript(manifest: LoadManifest, desc: EntityDesc,
+                 psqlDsn: String): Either[String, String] =
+    Dsn.parse(psqlDsn).left.map(e => s"""invalid postgres DSN "$psqlDsn": $e""")
+      .map { d =>
+        Seq(s"""-- run with: psql "${d.toString}" -f ${manifest.entity}.sql""",
+          s"-- libpq form: ${d.keyValue}",
+          loadScript(manifest, desc)).mkString("\n")
+      }
+
   def loadScript(manifest: LoadManifest, desc: EntityDesc): String = {
     val copyOpts = manifest.copySql.substring(manifest.copySql.indexOf("WITH ("))
     val target = {
