@@ -342,9 +342,10 @@ object Bench {
     // COMPLETE json (per-key walls, stages, shuffle, floor
     // decomposition, duck ratios) is also written to a committed
     // file the judge can always read in full
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
-      fullLine + "\n")
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), fullLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact trailer: the headline numbers must also appear at the
@@ -353,7 +354,7 @@ object Bench {
     // COMPACT by construction (no per-key maps): the driver keeps only
     // the trailing ~2KB of stdout, and rounds 5-6 lost the parsed
     // summary because ratio_per_key pushed the line past that window
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckCompact$loadJson,"detail_file":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckCompact$loadJson,"detail_file":"$detailPath","sf":"$sfDir"}""")
     if (errs > 0) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
