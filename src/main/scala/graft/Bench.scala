@@ -99,6 +99,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // the live status store runs even with the UI off, and its
+      // bookkeeping grows with every job — a 114-key × 4-pass suite
+      // schedules thousands of jobs, so late queries pay listener-bus
+      // work early ones did not (measured: identical 5-stage plan,
+      // 0.7 s isolated vs 1.6 s mid-suite). Keep only a token window.
+      .config("spark.ui.retainedJobs", "30")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "10")
+      // (the codegen-cache sizing that fixed the 2×-recompile-per-pass
+      // pathology lives in GraftSession.builder — it applies to every
+      // long-lived session, not just the bench)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -222,9 +234,13 @@ object Bench {
     // commit protocol) with ~zero data work. Reporting it in the JSON
     // lets the per-round comparison decompose total runtime into
     // n_queries × floor + data-proportional work, instead of that
-    // split being re-derived by hand each round. min-of-5: the probe
-    // is sub-100ms, so it is the most host-noise-sensitive number.
-    val floor = (1 to 5).map { _ =>
+    // split being re-derived by hand each round. min-of-9 with a
+    // breather between samples: the probe is sub-100ms — the most
+    // host-noise-sensitive number in the file — and a single loaded
+    // window once inflated a min-of-5 to 0.26 s, over-adjusting every
+    // stage-aware ratio downstream.
+    val floor = (1 to 9).map { i =>
+      if (i > 1) Thread.sleep(200)
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/region.parquet").limit(1)
         .write.format("noop").mode("overwrite").save()

@@ -30,6 +30,14 @@ object GraftSession {
       // re-plan (adaptive threshold inherits this when unset).
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST", "10m"))
+      // generated-class cache (STATIC conf — takes effect only at
+      // JVM-first-session creation): the 100-entry default thrashes
+      // under this library's ~140-query surface, silently recompiling
+      // every Janino fragment on every re-invocation — measured 2×
+      // wall on repeated suite passes (round 9; q_pagerank 1.36 →
+      // 0.31 s). Any long-lived serving session wants headroom here;
+      // entries are weak-referenced, so unused fragments still unload.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.session.timeZone", "UTC")
 
   /** Build (or reuse) the session and register graft's functions. */
