@@ -20,9 +20,17 @@ prints `ready <n_keys>` once views and SQL are loaded.
 import json
 import os
 import sys
+import threading
 import time
 
 import duckdb
+
+# Optional per-query ceiling: a single unbounded oracle (sf1's
+# quadratic dd_semantic twin ran 1400+ s) must not hold the whole
+# paired protocol hostage. On expiry the statement is interrupted and
+# reported as `err <key> timeout` — the key simply records no duck
+# sample for that pass.
+TIMEOUT_SEC = float(os.environ.get("DUCK_TIMEOUT_SEC", "inf"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -50,13 +58,22 @@ def main(sfdir, oracle_path):
         if sql is None:
             print(f"err {key} no oracle", flush=True)
             continue
+        timer = None
+        if TIMEOUT_SEC != float("inf"):
+            timer = threading.Timer(TIMEOUT_SEC, con.interrupt)
+            timer.start()
         try:
             t0 = time.time()
             con.execute(sql).fetchall()
             print(f"ok {key} {time.time() - t0:.6f}", flush=True)
         except Exception as e:  # keep serving: one bad key != dead worker
             msg = " ".join(str(e).split())[:200]
+            if timer is not None and not timer.is_alive():
+                msg = f"timeout after {TIMEOUT_SEC}s: {msg}"
             print(f"err {key} {msg}", flush=True)
+        finally:
+            if timer is not None:
+                timer.cancel()
 
 
 if __name__ == "__main__":
