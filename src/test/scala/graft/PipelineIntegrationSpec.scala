@@ -131,8 +131,14 @@ class PipelineIntegrationSpec extends SparkSpec {
           .withWatermark("ts", "15 seconds").as[BlockEvent])
       .writeStream.format("memory").queryName("run_poi")
       .outputMode("append").start()
+    // operational telemetry rides the SAME foreachBatch seam the CSV
+    // sink uses (the sinker records stats per handled BlockScopedData,
+    // sinker.go:270-271) — gl_sink_metrics proven on the real
+    // composed pipeline, not a synthetic feed
+    val metrics = new graft.streaming.SinkMetrics
     val qCsv = decoded.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        metrics.record(b.withColumn("entity", lit("Event")))
         BundledCsvSink.writeBatch(b, id, csvDir, CsvBundle): Unit
       }
       .option("checkpointLocation",
@@ -182,6 +188,17 @@ class PipelineIntegrationSpec extends SparkSpec {
         wantLines.contains(l)) // only the 2 sentinel rows may remain
       assert(sentinelLines.forall(_.startsWith("sentinel")), sentinelLines.take(3))
       assert(gotLines.sorted.diff(sentinelLines.sorted) === wantLines.sorted)
+
+      // 4b. the telemetry fold saw exactly what flowed: every decoded
+      // change counted once, head block = the last sentinel, blocks =
+      // distinct block_nums delivered, no undo signals on this stream
+      val snap = metrics.snapshot(spark).collect()
+      assert(snap.length === 1 && snap(0).getString(0) === "Event")
+      assert(snap(0).getLong(1) === subset.length.toLong + 2L) // + sentinels
+      assert(snap(0).getLong(3) === 100000L)
+      assert(snap(0).getLong(5) ===
+        subset.map(_._2).distinct.length.toLong + 2L)
+      assert(snap(0).getLong(7) === 0L)
 
       // 5. read-back through GraphCsvReader's typed parse reproduces
       // the decoded change rows (the loader's view of the store)
