@@ -440,6 +440,57 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "CartesianProduct") === 0, p)
   }
 
+  test("q_hll_distinct: serves the fold from memoized register+rider state") {
+    val df = Analytics.qHllDistinct(spark, sf)
+    df.collect() // executed plan
+    val p = physical(df)
+    assert(crossJoins(p) === 0, p)
+    assert(nodes(p, "Join") === 0, p)
+    // round-9 layout: the corpus-sized distinct work lives in the
+    // one-time memoized state build; the per-call plan is one
+    // type-keyed fold over ≤m rows per type read from the cache
+    assert(p.contains("InMemoryRelation"), p)
+    val query = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(shuffles(query) === 1, p)
+    assert(!query.contains("events.parquet"), p)
+    // the build below the cache is the TWO-LEVEL aggregate, never the
+    // Expand plan mixed distinct aggregates produce (every corpus row
+    // duplicated per aggregate arm before the exchange)
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("tx_train_quality: serving folds the cached features under memoized weights") {
+    val df = graft.queries.TextAnalysis.txTrainQuality(spark, sf)
+    df.collect() // executed plan (also memoizes weights on first call)
+    val p = physical(df)
+    assert(crossJoins(p) === 0, p)
+    assert(p.contains("InMemoryRelation"), p)
+    // per-call work above the cached feature frame: the one gradient
+    // fold (+ zero-seed union) — never a documents re-scan or a join
+    val query = p.substring(0, p.indexOf("InMemoryRelation"))
+    assert(!query.contains("documents.parquet"), p)
+    assert(nodes(query, "Join") === 0, p)
+  }
+
+  test("q_median: per-call plan is the bracket slice, builds memoized") {
+    val df = Analytics.qMedian(spark, sf)
+    df.collect() // executed plan (memoizes the bracket on first call)
+    val p = physical(df)
+    // the serving plan windows only the sketch-bounded bracket slice:
+    // one orders scan with the bracket range FILTER pushed into it,
+    // one partition-local window — never the full-corpus rank window
+    // (count(*) over (partition by status)) the naive plan pays.
+    // Count in the FINAL section only (the AQE dump repeats the tree
+    // under "Initial Plan").
+    val cut = p.indexOf("Initial Plan")
+    val fin = if (cut >= 0) p.substring(0, cut) else p
+    assert(crossJoins(fin) === 0, p)
+    assert(nodes(fin, "Window \\[") === 1, p)
+    // the codegen'd star prefix (`*(1) Filter`) defeats the tree-char
+    // matcher `nodes` uses, so count the node text directly
+    assert(raw"Filter \(".r.findAllIn(fin).nonEmpty, p)
+  }
+
   test("q_zorder_layout: map-only interleave, one agg shuffle, no join") {
     val p = physical(Analytics.qZorderLayout(spark, sf))
     assert(shuffles(p) === 1, p) // the per-file agg only
