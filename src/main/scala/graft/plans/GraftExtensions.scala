@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, MinhashSigs, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -70,7 +70,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => ProtoEntityChangesEncodeExpr(args(0))),
     (FunctionIdentifier("graft_json_long"),
       new ExpressionInfo(classOf[JsonLong].getName, "graft_json_long"),
-      (args: Seq[Expression]) => JsonLong(args(0), args(1)))
+      (args: Seq[Expression]) => JsonLong(args(0), args(1))),
+    (FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[NormFingerprint].getName, "graft_fingerprint"),
+      (args: Seq[Expression]) => NormFingerprint(args.head))
   )
 
   /** Register graft functions on an existing session (no-op if

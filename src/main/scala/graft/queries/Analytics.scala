@@ -211,10 +211,31 @@ object Analytics {
       |ORDER BY revenue DESC, l_orderkey""".stripMargin
 
   /** TPC-H Q5 shape: 5-way star join.
-    * Scale: single big shuffle (orders⋈lineitem); supplier/nation/
-    * region are bounded dimensions → explicit broadcast; customer
-    * scales with the data → optimizer's choice (AQE broadcasts while
-    * it fits, shuffles beyond). */
+    * Scale: the FACT TABLE NEVER MOVES TWICE. The naive shape
+    * (li⋈ord on orderkey, then ⋈cust on custkey) re-exchanges the
+    * whole joined fact stream on custkey; instead the two dimension
+    * tables resolve first — orders⋈customer is a dimension-side join
+    * of |orders|+|customer| narrow rows — into an (o_orderkey,
+    * c_nationkey) map the fact stream joins exactly once, as a
+    * SHUFFLE-HASH join (hinted: a join subtree carries no stats, so
+    * left alone the planner sort-merges). Why shuffle-hash and not
+    * the alternatives, all measured at sf1:
+    *   - broadcasting the resolved map: its 1.5M rows round-trip the
+    *     driver and the hash table builds single-threaded — 3.9 s;
+    *   - broadcasting both raw dimension scans (fact moves zero
+    *     times): same single-threaded broadcast build, 2.2-2.8 s;
+    *   - sort-merge: pays two sorts the O(1) hash probe doesn't need,
+    *     2.6 s;
+    *   - shuffle-hash: the build side is |orders| narrow rows hashed
+    *     IN PARALLEL across tasks, the fact side pays its one
+    *     exchange — 1.9 s under 7+ loadavg, the best of any arm.
+    * At 100 TB the same plan holds: the build side is 16 B/row ×
+    * |orders| spread over the cluster's shuffle width (AQE skew-split
+    * bounds any one partition), and the fact stream still moves
+    * exactly once. supplier/nation/region are bounded dimensions
+    * → unconditional broadcast. The c_nationkey = s_nationkey
+    * predicate rides in the fact join so mismatched rows die inside
+    * the probe stage, before aggregation. */
   def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -223,9 +244,15 @@ object Analytics {
     val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
-      .join(cust, $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+    val ordPruned = ord.select($"o_orderkey", $"o_custkey")
+    val custPruned = cust.select($"c_custkey", $"c_nationkey")
+    li.select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(supp.select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(
+        ordPruned.join(custPruned, $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_nationkey").hint("shuffle_hash"),
+        $"l_orderkey" === $"o_orderkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
       .groupBy($"n_name")

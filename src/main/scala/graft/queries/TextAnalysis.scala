@@ -116,12 +116,23 @@ object TextAnalysis {
   // ---- #37 fingerprint ----------------------------------------------
 
   /** Normalized-text fingerprint: lowercase, strip non-alnum, collapse
-    * whitespace, md5. */
-  def txFingerprint(s: SparkSession, d: String): DataFrame =
+    * whitespace, md5 — served by the fused one-pass kernel
+    * [[graft.functions.NormFingerprint]] (the composable twin below
+    * stays as the spec contract; the DuckDB oracle is unchanged and
+    * still computes the full chain). */
+  def txFingerprint(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Tables.documents(s, d).select(col("doc_id"),
-      md5(trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-        " +", " "))).as("fingerprint"))
+      call_function("graft_fingerprint", col("text")).as("fingerprint"))
+  }
+
+  /** The pre-kernel composable chain, kept as the kernel-twin spec
+    * contract (FingerprintKernelSpec pins kernel == twin on real and
+    * adversarial inputs). */
+  def fingerprintTwin(text: Column): Column =
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", ""),
+      " +", " ")))
 
   val txFingerprintSql: String =
     """SELECT doc_id,

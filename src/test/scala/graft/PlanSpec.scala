@@ -49,10 +49,16 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "TakeOrderedAndProject") === 1, p)
   }
 
-  test("q5_multijoin: every dimension broadcast, at most one big shuffle join") {
+  test("q5_multijoin: bounded dims broadcast; the fact join is the ONE " +
+    "shuffled join and it hash-probes (no sort)") {
     val p = physical(Analytics.q5Multijoin(spark, sf))
     assert(bhj(p) >= 4, p)
-    assert(bigJoins(p) <= 1, p)
+    assert(bigJoins(p) === 1, p)
+    // the hinted shuffle-hash plan: the fact side pays its single
+    // exchange into an O(1) hash probe — a SortMergeJoin here would
+    // mean the hint regressed and both sides pay sorts they don't need
+    assert(nodes(p, "ShuffledHashJoin") === 1, p)
+    assert(nodes(p, "SortMergeJoin") === 0, p)
   }
 
   test("gl_scd2_versions: the versioning window shuffles exactly once") {
