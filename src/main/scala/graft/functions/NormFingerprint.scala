@@ -92,23 +92,28 @@ object NormFingerprint {
         else if (b == ' ' && o > 0) pendingSpace = true
         i += 1
       } else {
-        // decode the UTF-8 sequence; malformed bytes just strip
+        // decode the UTF-8 sequence. Malformed bytes strip — but only
+        // THEMSELVES: a stray continuation/overlong lead advances one
+        // byte, and a truncated sequence consumes only its actual
+        // continuation bytes, so valid neighbors always survive (the
+        // composable twin decodes malformed bytes to U+FFFD, which the
+        // [^a-z0-9 ] strip then removes — same survivors)
         val first = b & 0xFF
-        val len =
-          if (first < 0xE0) 2 else if (first < 0xF0) 3 else 4
-        var cp = first & (if (len == 2) 0x1F else if (len == 3) 0x0F else 0x07)
-        var k = 1
-        var ok = true
-        while (k < len && i + k < n) {
-          val cb = s.getByte(i + k)
-          if ((cb & 0xC0) != 0x80) ok = false else cp = (cp << 6) | (cb & 0x3F)
-          k += 1
+        if (first < 0xC2 || first > 0xF4) i += 1 // not a valid lead
+        else {
+          val len = if (first < 0xE0) 2 else if (first < 0xF0) 3 else 4
+          var cp = first & (if (len == 2) 0x1F else if (len == 3) 0x0F else 0x07)
+          var k = 1
+          while (k < len && i + k < n && (s.getByte(i + k) & 0xC0) == 0x80) {
+            cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
+            k += 1
+          }
+          if (k == len) {
+            val lc = Character.toLowerCase(cp)
+            if (lc >= 'a' && lc <= 'z' || lc >= '0' && lc <= '9') emit(lc.toByte)
+          }
+          i += k
         }
-        if (ok && k == len) {
-          val lc = Character.toLowerCase(cp)
-          if (lc >= 'a' && lc <= 'z' || lc >= '0' && lc <= '9') emit(lc.toByte)
-        }
-        i += k
       }
     }
     val d = md5.get()

@@ -68,6 +68,23 @@ class FingerprintKernelSpec extends SparkSpec {
     assert(nr.isNullAt(0) && nr.isNullAt(1))
   }
 
+  test("malformed UTF-8 strips only itself — valid neighbors survive") {
+    import graft.functions.NormFingerprint.compute
+    import org.apache.spark.unsafe.types.UTF8String.{fromBytes, fromString}
+    def bytes(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    val ab = compute(fromString("ab"))
+    // stray continuation byte between letters
+    assert(compute(fromBytes(bytes('a', 0x80, 'b'))) === ab)
+    // 3-byte lead with no continuations: consumes only itself
+    assert(compute(fromBytes(bytes(0xE0, 'a', 'b'))) === ab)
+    // truncated trailing sequence
+    assert(compute(fromBytes(bytes('a', 'b', 0xE4))) === ab)
+    // overlong lead (0xC0/0xC1) and out-of-range lead (0xF5+)
+    assert(compute(fromBytes(bytes(0xC0, 'a', 0xF5, 'b'))) === ab)
+    // truncated 4-byte lead with one real continuation: both strip
+    assert(compute(fromBytes(bytes('a', 0xF0, 0x9F, 'b'))) === ab)
+  }
+
   test("spot-pinned digests (not just twin-relative)") {
     graft.plans.GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
