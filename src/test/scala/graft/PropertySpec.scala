@@ -512,4 +512,36 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: graft_fingerprint equals the composable md5 chain on random unicode") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // char pool weighted toward the kernel's decision boundaries:
+    // case-mapped ASCII, the two non-ASCII → ASCII lowercases (Kelvin
+    // sign, dotted İ), multi-byte strips, digits, punctuation, runs of
+    // spaces, other whitespace
+    val ch = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      4 -> Gen.const(' '),
+      2 -> Gen.oneOf('!', '.', '-', '_', '\t', '\n'),
+      2 -> Gen.oneOf('é', 'ß', '中', '€', 'Σ', 'ı', 'K', 'İ'),
+      1 -> Gen.oneOf('̇', 'Ａ', '\ud83d')) // bare high surrogate
+    val gen = Gen.listOf(ch).map(_.mkString)
+    val cases = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var id = 0L
+    forAll(gen, n = 60) { s =>
+      // a bare high surrogate (from the emoji's first char landing
+      // without its pair) is not valid UTF-16; String→UTF8String
+      // replaces it — keep those too, they exercise the malformed path
+      cases += ((id, s)); id += 1
+    }
+    val rows = cases.toSeq.toDF("id", "text")
+      .select(col("id"),
+        call_function("graft_fingerprint", col("text")).as("got"),
+        graft.queries.TextAnalysis.fingerprintTwin(col("text")).as("twin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"id=${r.getLong(0)} text=${cases(r.getLong(0).toInt)._2.take(60)}")
+    }
+  }
 }
