@@ -77,19 +77,24 @@ object NormFingerprint {
     // normalized output can only shrink: ASCII survivors are 1:1, the
     // two multibyte → ASCII cases shrink 2-3 bytes to 1
     val out = new Array[Byte](n)
+    // `emit` is inlined at each site (a local def capturing the two
+    // mutable locals would box them into runtime Refs on every call —
+    // measurable in a per-row loop): emit(b) =
+    //   if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+    //   out(o) = b; o += 1
     var o = 0
     var pendingSpace = false
-    def emit(b: Byte): Unit = {
-      if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
-      out(o) = b; o += 1
-    }
     var i = 0
     while (i < n) {
       val b = s.getByte(i)
       if (b >= 0) { // ASCII
-        if (b >= 'a' && b <= 'z' || b >= '0' && b <= '9') emit(b)
-        else if (b >= 'A' && b <= 'Z') emit((b + 32).toByte)
-        else if (b == ' ' && o > 0) pendingSpace = true
+        if (b >= 'a' && b <= 'z' || b >= '0' && b <= '9') {
+          if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+          out(o) = b; o += 1
+        } else if (b >= 'A' && b <= 'Z') {
+          if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+          out(o) = (b + 32).toByte; o += 1
+        } else if (b == ' ' && o > 0) pendingSpace = true
         i += 1
       } else {
         // decode the UTF-8 sequence. Malformed bytes strip — but only
@@ -110,7 +115,10 @@ object NormFingerprint {
           }
           if (k == len) {
             val lc = Character.toLowerCase(cp)
-            if (lc >= 'a' && lc <= 'z' || lc >= '0' && lc <= '9') emit(lc.toByte)
+            if (lc >= 'a' && lc <= 'z' || lc >= '0' && lc <= '9') {
+              if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+              out(o) = lc.toByte; o += 1
+            }
           }
           i += k
         }

@@ -232,10 +232,12 @@ object Analytics {
     * At 100 TB the same plan holds: the build side is 16 B/row ×
     * |orders| spread over the cluster's shuffle width (AQE skew-split
     * bounds any one partition), and the fact stream still moves
-    * exactly once. supplier/nation/region are bounded dimensions
-    * → unconditional broadcast. The c_nationkey = s_nationkey
-    * predicate rides in the fact join so mismatched rows die inside
-    * the probe stage, before aggregation. */
+    * exactly once. nation/region are bounded dimensions at ANY scale
+    * (25/5 rows) → unconditional broadcast; supplier scales with the
+    * data → left to the planner (broadcasts while its pruned scan
+    * fits, shuffles beyond). The c_nationkey = s_nationkey predicate
+    * rides in the fact join so mismatched rows die inside the probe
+    * stage, before aggregation. */
   def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
@@ -246,8 +248,12 @@ object Analytics {
     val reg = Tables.region(spark, dir)
     val ordPruned = ord.select($"o_orderkey", $"o_custkey")
     val custPruned = cust.select($"c_custkey", $"c_nationkey")
+    // supplier is NOT hinted: it scales with the data (a forced
+    // broadcast would eventually OOM), so the planner broadcasts its
+    // pruned 2-column scan while it fits — same plan at every tested
+    // SF — and degrades that join to a shuffle on its own beyond
     li.select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
-      .join(broadcast(supp.select($"s_suppkey", $"s_nationkey")),
+      .join(supp.select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(
         ordPruned.join(custPruned, $"o_custkey" === $"c_custkey")
