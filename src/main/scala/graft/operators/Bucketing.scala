@@ -14,9 +14,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed+sorted managed table. */
+  /** Persist `df` as a bucketed+sorted managed table — ONE file per
+    * bucket: the writer is repartitioned on the bucket key first, so
+    * each bucket is written by exactly one task. That is what lets the
+    * scan report the sortBy ORDER (FileSourceScanExec only propagates
+    * outputOrdering when every bucket is a single file — with multiple
+    * files per bucket the concatenated read is unordered and every
+    * downstream sort-merge join pays a full re-Sort of the fact
+    * table, silently forfeiting half the layout's benefit). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")

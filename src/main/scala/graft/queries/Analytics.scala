@@ -700,6 +700,20 @@ object Analytics {
   private val bucketTablesMemo =
     graft.SessionMemo.named[(String, String)]("q_bucket_join_tables")
 
+  /** Cloned session for the bucketed read path: Spark 4 only lets a
+    * bucketed scan report its sortBy ORDER under
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` (measured:
+    * without it the scan's outputOrdering is empty even with
+    * single-file buckets, and the sort-merge join re-Sorts the whole
+    * fact table at read time). The conf's assumption — each bucket's
+    * files concatenate sorted — is guaranteed HERE because
+    * [[graft.operators.Bucketing.writeBucketed]] writes exactly one
+    * file per bucket; it is scoped to this clone so graft never
+    * asserts sortedness for bucketed tables some other writer
+    * produced with multi-file buckets. */
+  private val bucketSessionMemo =
+    graft.SessionMemo.named[SparkSession]("q_bucket_join_session")
+
   /** #26g q_bucket_join — the storage-layout arm of the scale story as
     * a gated query: lineitem and orders are persisted BUCKETED by the
     * join key ([[graft.operators.Bucketing]], once per session+dir via
@@ -709,8 +723,28 @@ object Analytics {
     * 100 TB fact join is exactly this shuffle). The per-order rollup
     * after the join is the only exchange in the plan, and the oracle
     * is the PLAIN join+agg on the raw parquet, so the bucketed layout
-    * must be semantically invisible. */
-  def qBucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    * must be semantically invisible.
+    *
+    * Bucket count is sized to the DATA, not a constant: a bucketed
+    * scan's parallelism is capped at the bucket count (one task per
+    * bucket — there is no post-scan split that preserves the reported
+    * partitioning), so a fixed 8 starves a 32-core host at sf1+ and a
+    * cluster at any real scale. The fact table's on-disk bytes / 4 MB
+    * (≈250k fact rows per bucket here), clamped to
+    * [8, defaultParallelism], keeps ~bucket-sized IO at small SF and
+    * full-width scans beyond — on a real deployment the bucket count
+    * is chosen once at layout time by the same rule (cluster cores,
+    * not per-query). */
+  def qBucketJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = bucketSessionMemo.getOrBuild(spark0, "sorted-bucket-scan") {
+      val c = spark0.newSession() // shares the catalog: tables visible
+      c.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // broadcast off: this key IS the bucketed fact-to-fact join — at
+      // scale neither fact side broadcasts, and at toy SF a broadcast
+      // would silently bypass the layout under test
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    }
     val (liTable, ordTable) = bucketTablesMemo.getOrBuild(spark, dir) {
       // table names carry a dir digest (one pair per session+dir) AND
       // the pid: the warehouse dir is shared filesystem state, so two
@@ -732,14 +766,21 @@ object Analytics {
         loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(loc, true)
       }
-      graft.operators.Bucketing.writeBucketed(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"),
-          cents(col("l_extendedprice")).as("price_c")),
-        li, "l_orderkey", 8)
+      val liPruned = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+        col("l_quantity"), cents(col("l_extendedprice")).as("price_c"))
+      // the UNPRUNED scan estimate = the parquet footprint on disk
+      // (the pruned estimate scales by column fraction and would
+      // under-count the row count the buckets are really sized for)
+      val estBytes = Tables.lineitem(spark, dir)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      val buckets = math.max(8L, math.min(
+        spark.sparkContext.defaultParallelism.toLong,
+        estBytes.toLong / (4L * 1024 * 1024))).toInt
+      graft.operators.Bucketing.writeBucketed(liPruned, li, "l_orderkey", buckets)
       graft.operators.Bucketing.writeBucketed(
         Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
           col("o_orderpriority")),
-        ord, "l_orderkey", 8)
+        ord, "l_orderkey", buckets)
       (li, ord)
     }
     graft.operators.Bucketing.colocatedJoin(spark, liTable, ordTable, "l_orderkey")

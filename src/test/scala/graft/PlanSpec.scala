@@ -311,20 +311,21 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_bucket_join: the fact-to-fact join is shuffle-free — only the rollup exchanges") {
-    // disable broadcast so the join MUST rely on the bucketed layout —
-    // at test scale Catalyst would otherwise broadcast the tiny side
-    // and the gate would pass without exercising bucketing at all
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = graft.queries.Analytics.qBucketJoin(spark, sf)
-      val p = physical(df)
-      // bucketed scans satisfy the join's distribution: the single
-      // exchange in the plan belongs to the aggregation, not the join
-      assert(shuffles(p) === 1, p)
-      assert(bigJoins(p) >= 1, p)
-      assert(crossJoins(p) === 0, p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // the key's own session clone pins broadcast OFF (the join must
+    // rely on the bucketed layout at every SF) and sorted-bucket-scan
+    // ordering ON (safe: the writer guarantees single-file buckets)
+    val df = graft.queries.Analytics.qBucketJoin(spark, sf)
+    val p = physical(df)
+    // bucketed scans satisfy the join's distribution: the single
+    // exchange in the plan belongs to the aggregation, not the join
+    assert(shuffles(p) === 1, p)
+    assert(bigJoins(p) >= 1, p)
+    assert(crossJoins(p) === 0, p)
+    // ...and its ORDER: single-file-per-bucket writes let the scan
+    // report the sortBy ordering, so the sort-merge join inserts NO
+    // Sort — a Sort here means multi-file buckets re-sorting the
+    // whole fact table at read time
+    assert(nodes(p, "Sort \\[") === 0, p)
   }
 
   test("q_skew_agg: two-phase salted agg — two exchanges, four agg nodes") {
