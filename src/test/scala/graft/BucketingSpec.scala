@@ -61,4 +61,29 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_pr_edges")
     }
   }
+
+  test("writeBucketed produces exactly ONE file per bucket") {
+    // the safety premise of the sorted-bucket-scan conf q_bucket_join
+    // turns on: multi-file buckets concatenate UNSORTED at read time,
+    // so claiming the sortBy order would silently mis-merge the join.
+    // The writer's repartition-on-key makes one task own each bucket —
+    // pin that here against writer regressions (e.g. dropping the
+    // repartition, or AQE splitting the write stage).
+    import org.apache.spark.sql.functions._
+    // 16 shuffle-visible input partitions writing into 4 buckets:
+    // without the repartition this produces up to 16 files per bucket
+    val df = spark.range(0, 10000, 1, 16).select(
+      (col("id") % 97).as("k"), col("id").as("v"))
+    Bucketing.writeBucketed(df, "b_single_file", "k", 4)
+    try {
+      val loc = new java.net.URI(spark.sql("DESCRIBE TABLE EXTENDED b_single_file")
+        .filter(col("col_name") === "Location").head().getString(1))
+      val files = new java.io.File(loc).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      assert(files.length === 4,
+        s"expected 1 file x 4 buckets, got:\n${files.map(_.getName).mkString("\n")}")
+      // and every row is still present exactly once
+      assert(spark.table("b_single_file").count() === 10000L)
+    } finally spark.sql("DROP TABLE IF EXISTS b_single_file")
+  }
 }
