@@ -749,23 +749,36 @@ object Analytics {
       // table names carry a dir digest (one pair per session+dir) AND
       // the pid: the warehouse dir is shared filesystem state, so two
       // JVMs pointing at the same warehouse would otherwise DROP and
-      // delete each other's tables mid-query. Orphans from dead pids
-      // are scrubbed by the same drop-before-create on name reuse.
+      // delete each other's tables mid-query.
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val pid = ProcessHandle.current().pid()
       val li = s"b_lineitem_${tag}_p$pid"
       val ord = s"b_orders_${tag}_p$pid"
+      val warehouse = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // a managed table's LOCATION outlives the JVM while the
       // in-memory catalog does not — scrub both, or a fresh session
       // hits LOCATION_ALREADY_EXISTS on the orphaned directory
       Seq(li, ord).foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir"), t)
-        loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .delete(loc, true)
+        fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
       }
+      // pid-tagged names mean a NEW JVM never reuses a dead JVM's
+      // name, so drop-before-create alone would let orphaned bucket
+      // dirs accumulate forever: scrub any b_* dir whose owning pid
+      // is no longer alive on this host (liveness is host-local — so
+      // is the warehouse dir in every deployment graft writes it)
+      val orphan = "b_(?:lineitem|orders)_[0-9a-f]{8}_p(\\d+)".r
+      try fs.listStatus(warehouse).foreach { st =>
+        st.getPath.getName match {
+          case orphan(p) if p.toLong != pid &&
+            !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+            fs.delete(st.getPath, true): Unit
+          case _ =>
+        }
+      } catch { case _: java.io.FileNotFoundException => () } // no warehouse yet
       val liPruned = Tables.lineitem(spark, dir).select(col("l_orderkey"),
         col("l_quantity"), cents(col("l_extendedprice")).as("price_c"))
       // the UNPRUNED scan estimate = the parquet footprint on disk
