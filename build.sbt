@@ -35,6 +35,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default locale like the timezone: Spark's full-string
+  // lowercase (UTF8String.toLowerCaseSlow → String.toLowerCase()) is
+  // locale-sensitive, and on a tr/az JVM 'I' → 'ı' would diverge from
+  // the graft_fingerprint kernel's locale-free ASCII path.
+  "-Duser.language=en", "-Duser.country=US",
   // 24g default: the session-memoized standing artifacts (edge cache,
   // pair/vocabulary indexes, incremental prior states) total well past
   // the ~4.6GB storage pool an 8g heap leaves — eviction silently

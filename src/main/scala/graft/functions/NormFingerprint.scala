@@ -113,7 +113,18 @@ object NormFingerprint {
             cp = (cp << 6) | (s.getByte(i + k) & 0x3F)
             k += 1
           }
-          if (k == len) {
+          // reject overlong encodings (cp below the minimum for the
+          // sequence length) and beyond-plane values: the twin's
+          // decoder replaces them with U+FFFD (stripped), so a naive
+          // accept here would emit a survivor the twin never sees —
+          // e.g. E0 81 A1 is an overlong 'a'. len==2 can't be overlong
+          // (leads <0xC2 are already rejected above). Surrogate
+          // codepoints (0xD800-0xDFFF) need no special case: they
+          // lowercase to themselves, which is not in [a-z0-9].
+          val wellFormed = k == len &&
+            (len == 2 || (len == 3 && cp >= 0x800) ||
+              (len == 4 && cp >= 0x10000 && cp <= 0x10FFFF))
+          if (wellFormed) {
             val lc = Character.toLowerCase(cp)
             if (lc >= 'a' && lc <= 'z' || lc >= '0' && lc <= '9') {
               if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }

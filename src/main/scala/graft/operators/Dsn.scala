@@ -8,9 +8,11 @@ package graft.operators
   *
   * Semantics, matched to dsn.go:
   *   - `${VAR}` / `$VAR` environment expansion runs FIRST (dsn.go:19
-  *     via the public drone/envsubst shell grammar; the core forms the
-  *     reference's own test exercises are modeled — unset variables
-  *     expand to empty, `$$` escapes a literal dollar);
+  *     via the public drone/envsubst shell grammar; modeled: unset
+  *     variables expand to empty, `$$` escapes a literal dollar, and
+  *     the default forms `${VAR:-d}`/`${VAR:=d}`/`${VAR-d}`/`${VAR=d}`
+  *     — the remaining shell operators are refused loudly, never
+  *     silently expanded to empty);
   *   - the expanded string must be a `postgresql://` URL (dsn.go:29 —
   *     same error text);
   *   - port defaults to 5432 when the host carries none (dsn.go:35-38);
@@ -44,7 +46,19 @@ object Dsn {
   /** `${VAR}` / `$VAR` expansion with `$$` as the literal-dollar
     * escape; unset variables expand to "" (the drone/envsubst default
     * the reference relies on to splice `${PG_PASSWORD}` from the
-    * environment). */
+    * environment).
+    *
+    * The default-value forms of the grammar are implemented with
+    * drone/envsubst's semantics: `${VAR:-default}` / `${VAR:=default}`
+    * substitute the default when VAR is unset OR empty (envsubst can't
+    * assign the process env, so `:=` degenerates to `:-` there too);
+    * `${VAR-default}` / `${VAR=default}` only when unset. The default
+    * text is itself expanded, so `${A:-$B}` chains. The REST of the
+    * shell grammar (`:?`, `:+`, `#`/`##`, `%`/`%%`, `/`, `^`, `,`,
+    * `:offset:len`) is refused loudly rather than silently treating
+    * `VAR:-default` as a variable named `VAR:-default` and expanding
+    * the whole thing to "" — a production DSN must never silently lose
+    * its password default. */
   private[graft] def envsubst(s: String, env: String => Option[String]): String = {
     val out = new StringBuilder
     var i = 0
@@ -55,11 +69,42 @@ object Dsn {
         s.charAt(i + 1) match {
           case '$' => out += '$'; i += 2
           case '{' =>
-            val close = s.indexOf('}', i + 2)
-            if (close < 0)
+            // matching close brace, depth-aware so a nested default
+            // like ${A:-${B:-x}} scans to ITS OWN close
+            var close = i + 2
+            var depth = 1
+            while (close < s.length && depth > 0) {
+              if (s.charAt(close) == '}') depth -= 1
+              else if (s.charAt(close) == '$' && close + 1 < s.length &&
+                s.charAt(close + 1) == '{') { depth += 1; close += 1 }
+              if (depth > 0) close += 1
+            }
+            if (depth > 0)
               throw new IllegalArgumentException(
                 "variables expansion failed: unclosed ${ in DSN")
-            out ++= env(s.substring(i + 2, close)).getOrElse("")
+            val body = s.substring(i + 2, close)
+            var k = 0
+            while (k < body.length && isVarChar(body.charAt(k))) k += 1
+            val name = body.take(k)
+            val rest = body.drop(k)
+            if (name.isEmpty)
+              throw new IllegalArgumentException(
+                s"variables expansion failed: bad variable name in $${$body}")
+            out ++= (rest match {
+              case "" => env(name).getOrElse("")
+              case r if r.startsWith(":-") || r.startsWith(":=") =>
+                env(name).filter(_.nonEmpty)
+                  .getOrElse(envsubst(r.drop(2), env))
+              case r if r.startsWith("-") || r.startsWith("=") =>
+                env(name).getOrElse(envsubst(r.drop(1), env))
+              case r =>
+                val op = r.takeWhile(ch => !isVarChar(ch))
+                throw new IllegalArgumentException(
+                  s"variables expansion failed: unsupported expansion " +
+                    s"operator '$op' in $${$body} (only $${VAR}, " +
+                    s"$${VAR:-default}, $${VAR:=default}, $${VAR-default}, " +
+                    s"$${VAR=default} are supported)")
+            })
             i = close + 1
           case d if isVarChar(d) && !d.isDigit =>
             var j = i + 1

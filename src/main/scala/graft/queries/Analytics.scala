@@ -155,33 +155,47 @@ object Analytics {
   /** Oracle = the FULL recompute: incremental must be indistinguishable. */
   val qAggIncrementalSql: String = q1AggSql
 
-  /** TPC-H Q3 shape: 3-way join + agg + top-N.
-    * Scale: customer filter is pushed to the scan; orders⋈lineitem is
-    * the only big shuffle; top-N via sort-limit (partial limits).
-    * customer is NOT hinted broadcast — it scales with the fact data,
-    * so the choice is left to the optimizer/AQE (it still broadcasts
-    * at small SF, and degrades to a shuffle join at 100 TB instead of
-    * OOMing the driver). */
+  /** TPC-H Q3 shape: 3-way join + agg + top-N, SERVED from the
+    * standing bucketed fact layout (round 10; reference-shape history:
+    * the rounds-1-9 plan on raw parquet — selective-first join order,
+    * unhinted broadcasts, fact exchanged once for the final group-by —
+    * was correct and minimal-exchange but stayed >2× the fused
+    * single-process baseline at every SF; the remaining cost WAS the
+    * fact exchange + agg shuffle, which only a storage layout removes).
+    * Customer filter still pushes to its scan; top-N via
+    * TakeOrderedAndProject (per-partition partial limits). */
   def q3JoinTopn(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val cust = Tables.customer(spark, dir).filter($"c_mktsegment" === "BUILDING")
-    val ord = Tables.orders(spark, dir)
-    val li = Tables.lineitem(spark, dir)
+    // Served from the standing bucketed layout ([[bucketedFacts]]):
+    // both fact scans report hashpartitioning(orderkey), so the
+    // fact-to-fact join needs NO exchange — the exchange that dominated
+    // this key at every SF (and dominates it at 100 TB) is erased by
+    // storage layout, not query cleverness. The oracle stays the PLAIN
+    // join on raw parquet: the layout must be semantically invisible.
+    val (liT, ordT) = bucketedFacts(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
     // selective-first join order: the segment filter keeps ~1/5 of
     // customers, so customers⋈orders reduces the order set BEFORE the
-    // fact table sees it — at broadcast-friendly sizes lineitem never
-    // exchanges for a join, only for the final group-by (map-side-
-    // combined partials, not raw lines). Catalyst has no stats to
-    // reorder this itself; declaring the selective order is the plan
-    // a 100 TB run wants too. Both joins are left UNHINTED: the
-    // filtered customer set scales WITH the data (a forced broadcast
-    // would eventually OOM the driver), so Catalyst/AQE picks
-    // broadcast while either side fits and degrades each join to a
-    // shuffle independently beyond that — the worst case is exactly
-    // the old both-sides-shuffle shape.
-    val co = ord.join(cust, $"o_custkey" === $"c_custkey")
-    li.join(co, $"l_orderkey" === $"o_orderkey")
+    // fact table sees it. cust is left UNHINTED (it scales with the
+    // data — a forced broadcast would eventually OOM the driver); the
+    // planner broadcasts it while it fits, which PRESERVES the orders
+    // scan's bucket partitioning, and degrades to a shuffle of the
+    // filtered-orders side beyond — the FACT side never exchanges
+    // either way.
+    val co = spark.table(ordT).join(cust, $"o_custkey" === $"c_custkey")
+    // shuffle_hash on the build side: both sides already satisfy the
+    // join's distribution bucket-for-bucket, so the hint picks the
+    // in-place hash join (zero exchange, zero sort — no dependence on
+    // the sorted-scan legacy conf) over a sort-merge that would
+    // re-sort both scans; the per-bucket build is the FILTERED orders
+    // slice, bounded by the same rule that sizes the buckets.
+    spark.table(liT).join(co.hint("shuffle_hash"), $"l_orderkey" === $"o_orderkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      // grouping keys include the bucket key, so the agg reuses the
+      // join's partitioning: partial+final collapse in place, and the
+      // top-N is a per-partition TakeOrdered — the SERVE PLAN HAS ZERO
+      // EXCHANGES (plan-gated in BucketingSpec)
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
         .as("rev_units"))
       .orderBy($"rev_units".desc, $"l_orderkey")
@@ -210,49 +224,82 @@ object Analytics {
       |)
       |ORDER BY revenue DESC, l_orderkey""".stripMargin
 
-  /** TPC-H Q5 shape: 5-way star join.
-    * Scale: the FACT TABLE NEVER MOVES TWICE. The naive shape
-    * (li⋈ord on orderkey, then ⋈cust on custkey) re-exchanges the
-    * whole joined fact stream on custkey; instead the two dimension
-    * tables resolve first — orders⋈customer is a dimension-side join
-    * of |orders|+|customer| narrow rows — into an (o_orderkey,
-    * c_nationkey) map the fact stream joins exactly once, as a
-    * SHUFFLE-HASH join (hinted: a join subtree carries no stats, so
-    * left alone the planner sort-merges). Why shuffle-hash and not
-    * the alternatives, all measured at sf1:
+  /** TPC-H Q5 shape: 5-way star join, SERVED from the standing
+    * bucketed fact layout (round 10): the FACT TABLE NEVER MOVES.
+    * The naive shape (li⋈ord on orderkey, then ⋈cust on custkey)
+    * re-exchanges the whole joined fact stream on custkey; instead the
+    * two dimension tables resolve first — orders⋈customer is a
+    * dimension-side join of |orders|+|customer| narrow rows — into an
+    * (o_orderkey, c_nationkey) map the fact stream joins as a hinted
+    * SHUFFLE-HASH join (a join subtree carries no stats, so left
+    * alone the planner sort-merges). Round-9 measurements of the
+    * raw-parquet arms at sf1 (fact exchanged once):
     *   - broadcasting the resolved map: its 1.5M rows round-trip the
     *     driver and the hash table builds single-threaded — 3.9 s;
     *   - broadcasting both raw dimension scans (fact moves zero
     *     times): same single-threaded broadcast build, 2.2-2.8 s;
     *   - sort-merge: pays two sorts the O(1) hash probe doesn't need,
     *     2.6 s;
-    *   - shuffle-hash: the build side is |orders| narrow rows hashed
-    *     IN PARALLEL across tasks, the fact side pays its one
-    *     exchange — 1.9 s under 7+ loadavg, the best of any arm.
-    * At 100 TB the same plan holds: the build side is 16 B/row ×
-    * |orders| spread over the cluster's shuffle width (AQE skew-split
-    * bounds any one partition), and the fact stream still moves
-    * exactly once. nation/region are bounded dimensions at ANY scale
-    * (25/5 rows) → unconditional broadcast; supplier scales with the
-    * data → left to the planner (broadcasts while its pruned scan
-    * fits, shuffles beyond). The c_nationkey = s_nationkey predicate
-    * rides in the fact join so mismatched rows die inside the probe
-    * stage, before aggregation. */
-  def q5Multijoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    val ord = Tables.orders(spark, dir)
+    *   - shuffle-hash: build side hashed IN PARALLEL across tasks,
+    *     fact pays its one exchange — 1.9 s, the best raw arm.
+    * Round 10 removes that last fact exchange by LAYOUT: both fact
+    * scans report hashpartitioning(orderkey) bucket-for-bucket, the
+    * resolved map rides the orders scan's bucketing (its customer join
+    * broadcasts), and the hinted hash join binds in place — the only
+    * exchange left in the plan is the ≤|nations|-group final agg
+    * (plan-gated in BucketingSpec). At 100 TB the same layout holds:
+    * past broadcast budget only the resolved MAP re-shuffles to the
+    * fact's bucketing (16 B/row × |orders| over the cluster's width);
+    * the fact stream itself still never exchanges. nation/region are
+    * bounded dimensions at ANY scale (25/5 rows) → unconditional
+    * broadcast; supplier scales with the data → left to the planner
+    * (broadcasts while its pruned scan fits, shuffles beyond). The
+    * c_nationkey = s_nationkey predicate rides in the fact join so
+    * mismatched rows die inside the probe stage, before aggregation. */
+  private val q5SessionMemo =
+    graft.SessionMemo.named[SparkSession]("q5_multijoin_session")
+
+  def q5Multijoin(spark0: SparkSession, dir: String): DataFrame = {
+    import spark0.implicits._
+    // Served from the standing bucketed layout ([[bucketedFacts]]) —
+    // the round-9 plan already moved the fact exactly once (dimension-
+    // side resolve into an (o_orderkey, c_nationkey) map the fact
+    // joins as a hinted shuffle-hash); with both fact scans bucketed
+    // by orderkey that LAST exchange goes too: the fact now moves
+    // ZERO times. Oracle unchanged (plain joins on raw parquet).
+    // layout memoized under the CALLER's session (invalidateAll works);
+    // served through a clone because the fact join carries TWO equi
+    // keys (orderkey + the nationkey consistency predicate) and Spark's
+    // default `requireAllClusterKeysForCoPartition=true` refuses
+    // subset-key co-partitioning — but partitioning by orderkey alone
+    // IS sufficient co-location for a join keyed on (orderkey,
+    // nationkey): equal orderkeys land in one bucket, the nationkey
+    // equality resolves inside it. The conf exists for plans where a
+    // subset key is heavily skewed; orderkey is the fact's primary key,
+    // so the relaxation is safe here and scoped to this clone.
+    val (liT, ordT) = bucketedFacts(spark0, dir)
+    val spark = q5SessionMemo.getOrBuild(spark0, "subset-copartition") {
+      val c = spark0.newSession() // shares the catalog: tables visible
+      c.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      c
+    }
     val cust = Tables.customer(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    val ordPruned = ord.select($"o_orderkey", $"o_custkey")
+    val ordPruned = spark.table(ordT).select($"o_orderkey", $"o_custkey")
     val custPruned = cust.select($"c_custkey", $"c_nationkey")
     // supplier is NOT hinted: it scales with the data (a forced
     // broadcast would eventually OOM), so the planner broadcasts its
-    // pruned 2-column scan while it fits — same plan at every tested
-    // SF — and degrades that join to a shuffle on its own beyond
-    li.select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    // pruned 2-column scan while it fits — which PRESERVES the fact
+    // scan's bucket partitioning — and degrades that join to a shuffle
+    // on its own beyond. Same for customer on the resolve side: while
+    // it broadcasts, the resolved map keeps the orders scan's
+    // bucketing and the fact join is exchange-free bucket-for-bucket;
+    // beyond broadcast budget only the RESOLVED MAP re-shuffles to the
+    // fact's layout — the fact side never exchanges either way.
+    spark.table(liT)
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
       .join(supp.select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(
@@ -698,10 +745,10 @@ object Analytics {
       |GROUP BY category""".stripMargin
 
   private val bucketTablesMemo =
-    graft.SessionMemo.named[(String, String)]("q_bucket_join_tables")
+    graft.SessionMemo.named[(String, String)]("bucketed_facts")
 
-  /** Cloned session for the bucketed read path: Spark 4 only lets a
-    * bucketed scan report its sortBy ORDER under
+  /** Cloned session for the SORTED bucketed read path: Spark 4 only
+    * lets a bucketed scan report its sortBy ORDER under
     * `spark.sql.legacy.bucketedTableScan.outputOrdering` (measured:
     * without it the scan's outputOrdering is empty even with
     * single-file buckets, and the sort-merge join re-Sorts the whole
@@ -710,20 +757,31 @@ object Analytics {
     * [[graft.operators.Bucketing.writeBucketed]] writes exactly one
     * file per bucket; it is scoped to this clone so graft never
     * asserts sortedness for bucketed tables some other writer
-    * produced with multi-file buckets. */
+    * produced with multi-file buckets.
+    *
+    * The conf is LEGACY-namespaced, so a future Spark major may drop
+    * it: the build asserts it is still a registered SQL conf and fails
+    * with a useful message instead of setting a silently-ignored key
+    * (an unknown key would "set" fine and the join would quietly
+    * re-Sort the fact table — green plans turning slow, not red).
+    * The q3/q5 serve paths don't depend on it at all (their co-located
+    * joins are hash, not merge). */
   private val bucketSessionMemo =
     graft.SessionMemo.named[SparkSession]("q_bucket_join_session")
 
-  /** #26g q_bucket_join — the storage-layout arm of the scale story as
-    * a gated query: lineitem and orders are persisted BUCKETED by the
-    * join key ([[graft.operators.Bucketing]], once per session+dir via
-    * the memo registry), then joined — the bucketed scans report their
-    * hash partitioning, so EnsureRequirements inserts NO exchange and
-    * the fact-to-fact join runs scan-local (the dominant cost of a
-    * 100 TB fact join is exactly this shuffle). The per-order rollup
-    * after the join is the only exchange in the plan, and the oracle
-    * is the PLAIN join+agg on the raw parquet, so the bucketed layout
-    * must be semantically invisible.
+  private[graft] val SortedBucketScanConf =
+    "spark.sql.legacy.bucketedTableScan.outputOrdering"
+
+  /** The SHARED bucketed fact layout — lineitem and orders persisted
+    * bucketed+sorted by orderkey, once per (caller session, dir): the
+    * layout a 100 TB warehouse keeps standing for every orderkey-join
+    * shape. Three keys serve from it (q_bucket_join, q3_join_topn,
+    * q5_multijoin); the projections carry the union of their columns —
+    * parquet column pruning still reads only what each query touches.
+    * Memoized BY THE CALLER's session (not an internal clone) so the
+    * registry's documented escape hatch
+    * `SessionMemo.invalidateAll(spark, dir)` evicts it; build-once /
+    * serve-many like every other standing artifact.
     *
     * Bucket count is sized to the DATA, not a constant: a bucketed
     * scan's parallelism is capped at the bucket count (one task per
@@ -735,17 +793,8 @@ object Analytics {
     * full-width scans beyond — on a real deployment the bucket count
     * is chosen once at layout time by the same rule (cluster cores,
     * not per-query). */
-  def qBucketJoin(spark0: SparkSession, dir: String): DataFrame = {
-    val spark = bucketSessionMemo.getOrBuild(spark0, "sorted-bucket-scan") {
-      val c = spark0.newSession() // shares the catalog: tables visible
-      c.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      // broadcast off: this key IS the bucketed fact-to-fact join — at
-      // scale neither fact side broadcasts, and at toy SF a broadcast
-      // would silently bypass the layout under test
-      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      c
-    }
-    val (liTable, ordTable) = bucketTablesMemo.getOrBuild(spark, dir) {
+  private[graft] def bucketedFacts(spark: SparkSession, dir: String): (String, String) =
+    bucketTablesMemo.getOrBuild(spark, dir) {
       // table names carry a dir digest (one pair per session+dir) AND
       // the pid: the warehouse dir is shared filesystem state, so two
       // JVMs pointing at the same warehouse would otherwise DROP and
@@ -769,18 +818,21 @@ object Analytics {
       // name, so drop-before-create alone would let orphaned bucket
       // dirs accumulate forever: scrub any b_* dir whose owning pid
       // is no longer alive on this host (liveness is host-local — so
-      // is the warehouse dir in every deployment graft writes it)
+      // is the warehouse dir in every deployment graft writes it).
+      // Scrubbing is best-effort on SHARED dirty state: an entry that
+      // fails to parse or delete (pid overflowing Long, permissions,
+      // races with another scrubber) is skipped, never a query error.
       val orphan = "b_(?:lineitem|orders)_[0-9a-f]{8}_p(\\d+)".r
       try fs.listStatus(warehouse).foreach { st =>
-        st.getPath.getName match {
-          case orphan(p) if p.toLong != pid &&
-            !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
-            fs.delete(st.getPath, true): Unit
-          case _ =>
-        }
+        scala.util.Try {
+          st.getPath.getName match {
+            case orphan(p) if p.toLong != pid &&
+              !ProcessHandle.of(p.toLong).map[Boolean](_.isAlive).orElse(false) =>
+              fs.delete(st.getPath, true): Unit
+            case _ =>
+          }
+        }: Unit
       } catch { case _: java.io.FileNotFoundException => () } // no warehouse yet
-      val liPruned = Tables.lineitem(spark, dir).select(col("l_orderkey"),
-        col("l_quantity"), cents(col("l_extendedprice")).as("price_c"))
       // the UNPRUNED scan estimate = the parquet footprint on disk
       // (the pruned estimate scales by column fraction and would
       // under-count the row count the buckets are really sized for)
@@ -789,17 +841,59 @@ object Analytics {
       val buckets = math.max(8L, math.min(
         spark.sparkContext.defaultParallelism.toLong,
         estBytes.toLong / (4L * 1024 * 1024))).toInt
-      graft.operators.Bucketing.writeBucketed(liPruned, li, "l_orderkey", buckets)
       graft.operators.Bucketing.writeBucketed(
-        Tables.orders(spark, dir).select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderpriority")),
-        ord, "l_orderkey", buckets)
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        li, "l_orderkey", buckets)
+      graft.operators.Bucketing.writeBucketed(
+        Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+        ord, "o_orderkey", buckets)
       (li, ord)
     }
-    graft.operators.Bucketing.colocatedJoin(spark, liTable, ordTable, "l_orderkey")
+
+  /** #26g q_bucket_join — the storage-layout arm of the scale story as
+    * a gated query: the SORT-MERGE face of the shared layout. Both
+    * bucketed scans report their hash partitioning AND (under the
+    * sorted-scan conf, via the clone) their sort order, so
+    * EnsureRequirements inserts NO exchange and NO sort: the
+    * fact-to-fact join runs scan-local, merge-only (the dominant cost
+    * of a 100 TB fact join is exactly this shuffle). The per-priority
+    * rollup after the join is the only exchange in the plan, and the
+    * oracle is the PLAIN join+agg on the raw parquet, so the bucketed
+    * layout must be semantically invisible. (q3/q5 exercise the HASH
+    * face of the same layout — no sort-order dependence.) */
+  def qBucketJoin(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = bucketSessionMemo.getOrBuild(spark0, "sorted-bucket-scan") {
+      val c = spark0.newSession() // shares the catalog: tables visible
+      // isModifiable is true only for REGISTERED runtime confs (the
+      // session's getAllDefinedConfs hides internal/legacy entries,
+      // and conf.set would accept an unknown key silently) — so this
+      // detects a future Spark DROPPING the legacy conf. Degrade
+      // loudly, not red: the join stays CORRECT without the conf, it
+      // just pays a full fact re-Sort at read time. The plan gate
+      // (PlanSpec) flags the same fallback instead of failing.
+      if (c.conf.isModifiable(SortedBucketScanConf))
+        c.conf.set(SortedBucketScanConf, "true")
+      else
+        Console.err.println(s"graft: $SortedBucketScanConf is no longer a " +
+          "registered SQL conf in this Spark version — q_bucket_join's " +
+          "sort-merge join now re-Sorts the fact at read time (correct but " +
+          "slow); re-plan the key on a hash join over the bucketed scans.")
+      // broadcast off: this key IS the bucketed fact-to-fact join — at
+      // scale neither fact side broadcasts, and at toy SF a broadcast
+      // would silently bypass the layout under test
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      c
+    }
+    // layout memoized under the CALLER's session; read through the
+    // sorted-scan clone (shared catalog makes the tables visible)
+    val (liTable, ordTable) = bucketedFacts(spark0, dir)
+    spark.table(liTable)
+      .join(spark.table(ordTable), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),
-        fromUnits(sum(col("price_c")), 2).as("revenue"),
+        fromUnits(sum(cents(col("l_extendedprice"))), 2).as("revenue"),
         sum(col("l_quantity").cast("long")).as("sum_qty"))
   }
 

@@ -62,6 +62,22 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("the sorted-bucket-scan conf q_bucket_join relies on is still registered") {
+    // Pins the Spark-version assumption behind q_bucket_join's
+    // zero-sort contract. If this fails after a Spark upgrade: the
+    // key DEGRADES, not breaks — qBucketJoin warns and runs the same
+    // (correct) join with a read-time re-Sort, and PlanSpec's gate
+    // flags instead of failing. Fix by re-planning the key on a hash
+    // join over the bucketed scans (like q3/q5's serve path), which
+    // needs no sort order at all.
+    assert(spark.conf.isModifiable(graft.queries.Analytics.SortedBucketScanConf),
+      s"${graft.queries.Analytics.SortedBucketScanConf} was dropped by this " +
+        "Spark version — see this test's comment for the degrade path")
+    // ...and the unknown-key premise the detector rests on: RuntimeConf
+    // accepts arbitrary keys silently, so conf.set alone can't detect
+    assert(!spark.conf.isModifiable("spark.sql.graft.no.such.conf"))
+  }
+
   test("writeBucketed produces exactly ONE file per bucket") {
     // the safety premise of the sorted-bucket-scan conf q_bucket_join
     // turns on: multi-file buckets concatenate UNSORTED at read time,

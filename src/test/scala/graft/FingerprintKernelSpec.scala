@@ -83,6 +83,18 @@ class FingerprintKernelSpec extends SparkSpec {
     assert(compute(fromBytes(bytes(0xC0, 'a', 0xF5, 'b'))) === ab)
     // truncated 4-byte lead with one real continuation: both strip
     assert(compute(fromBytes(bytes('a', 0xF0, 0x9F, 'b'))) === ab)
+    // overlong sequences are structurally well-formed (valid lead +
+    // continuations) but encode a codepoint below the length's
+    // minimum — the twin's decoder replaces them with U+FFFD, so the
+    // kernel must strip, NOT decode: E0 81 A1 is an overlong 'a',
+    // F0 80 81 A1 an overlong-4 'a', F0 8F BF BF an overlong U+FFFF
+    assert(compute(fromBytes(bytes('a', 0xE0, 0x81, 0xA1, 'b'))) === ab)
+    assert(compute(fromBytes(bytes('a', 0xF0, 0x80, 0x81, 0xA1, 'b'))) === ab)
+    assert(compute(fromBytes(bytes('a', 0xF0, 0x8F, 0xBF, 0xBF, 'b'))) === ab)
+    // beyond-plane: F4 90 80 80 = U+110000 — malformed for the twin
+    assert(compute(fromBytes(bytes('a', 0xF4, 0x90, 0x80, 0x80, 'b'))) === ab)
+    // CESU-8 surrogate half ED A0 80 (U+D800): strips in both
+    assert(compute(fromBytes(bytes('a', 0xED, 0xA0, 0x80, 'b'))) === ab)
   }
 
   test("spot-pinned digests (not just twin-relative)") {

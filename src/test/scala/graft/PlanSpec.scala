@@ -40,25 +40,37 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("l_shipdate"), "scan reads columns the query never uses")
   }
 
-  test("q3_join_topn: customer filter pushed down and broadcast") {
+  test("q3_join_topn: served from bucketed facts with ZERO shuffle exchanges") {
     val df = Analytics.q3JoinTopn(spark, sf)
     val p = physical(df)
+    // both fact scans come off the standing bucketed layout...
+    assert(p.contains("b_lineitem_") && p.contains("b_orders_"), p)
+    // ...so the fact join binds bucket-for-bucket, the group-by reuses
+    // the join's partitioning (grouping keys include the bucket key),
+    // and the top-N is a TakeOrdered — NO shuffle exchange anywhere
+    // (the only exchange is the broadcast of the filtered customers)
+    assert(shuffles(p) === 0, p)
     assert(bhj(p) >= 1, p)
+    assert(nodes(p, "ShuffledHashJoin") === 1, p)
+    assert(nodes(p, "SortMergeJoin") === 0, p)
     assert(formatted(df).contains("IsNotNull(c_mktsegment)"), "mktsegment filter not pushed")
     // top-N is sort+limit (TakeOrderedAndProject), not a global sort
     assert(nodes(p, "TakeOrderedAndProject") === 1, p)
   }
 
-  test("q5_multijoin: bounded dims broadcast; the fact join is the ONE " +
-    "shuffled join and it hash-probes (no sort)") {
+  test("q5_multijoin: served from bucketed facts — the fact NEVER exchanges; " +
+    "the ≤|nations|-group agg is the plan's only shuffle") {
     val p = physical(Analytics.q5Multijoin(spark, sf))
+    assert(p.contains("b_lineitem_") && p.contains("b_orders_"), p)
     assert(bhj(p) >= 4, p)
     assert(bigJoins(p) === 1, p)
-    // the hinted shuffle-hash plan: the fact side pays its single
-    // exchange into an O(1) hash probe — a SortMergeJoin here would
-    // mean the hint regressed and both sides pay sorts they don't need
+    // the hinted shuffle-hash join binds the two bucketed sides in
+    // place (subset-co-partition conf on the serve clone): a
+    // SortMergeJoin here would mean the hint regressed; a second
+    // exchange would mean the bucketing stopped reaching the join
     assert(nodes(p, "ShuffledHashJoin") === 1, p)
     assert(nodes(p, "SortMergeJoin") === 0, p)
+    assert(shuffles(p) === 1, p)
   }
 
   test("gl_scd2_versions: the versioning window shuffles exactly once") {
@@ -324,8 +336,17 @@ class PlanSpec extends SparkSpec {
     // ...and its ORDER: single-file-per-bucket writes let the scan
     // report the sortBy ordering, so the sort-merge join inserts NO
     // Sort — a Sort here means multi-file buckets re-sorting the
-    // whole fact table at read time
-    assert(nodes(p, "Sort \\[") === 0, p)
+    // whole fact table at read time. The ordering contract rides the
+    // LEGACY sorted-bucket-scan conf: if a future Spark drops it, the
+    // plan degrades to a (correct, slower) re-Sort — flag that loudly
+    // here instead of failing the gate green→red mysteriously, and
+    // let qBucketJoin's own require() carry the hard message.
+    if (spark.conf.isModifiable(graft.queries.Analytics.SortedBucketScanConf))
+      assert(nodes(p, "Sort \\[") === 0, p)
+    else
+      alert(s"${graft.queries.Analytics.SortedBucketScanConf} is no longer a " +
+        "registered conf in this Spark: q_bucket_join now pays a fact re-Sort " +
+        "at read time (correct but slow) — re-plan the key on a hash join")
   }
 
   test("q_skew_agg: two-phase salted agg — two exchanges, four agg nodes") {
