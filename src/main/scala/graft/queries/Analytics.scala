@@ -298,6 +298,17 @@ object Analytics {
     // bucketing and the fact join is exchange-free bucket-for-bucket;
     // beyond broadcast budget only the RESOLVED MAP re-shuffles to the
     // fact's layout — the fact side never exchanges either way.
+    // nation⋈region resolves POST-AGG: both are bounded dimensions
+    // (25/5 rows at ANY scale) and the region join drops no fact rows
+    // beyond what the nation inner join already decides, so joining
+    // them onto the ≤|nations|-row aggregate is semantically identical
+    // to joining them onto 60M fact rows — and saves two hash probes
+    // PER FACT ROW (measured sf10: 2.63 → ~1.5 s). Same reasoning for
+    // the grouping key: the fact aggregates by the INTEGER s_nationkey
+    // (single-word hash on a 25-entry table) and the n_name string is
+    // attached to the 25 surviving rows.
+    val natReg = nat.join(reg, $"n_regionkey" === $"r_regionkey")
+      .select($"n_nationkey", $"n_name")
     spark.table(liT)
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
       .join(supp.select($"s_suppkey", $"s_nationkey"),
@@ -306,11 +317,11 @@ object Analytics {
         ordPruned.join(custPruned, $"o_custkey" === $"c_custkey")
           .select($"o_orderkey", $"c_nationkey").hint("shuffle_hash"),
         $"l_orderkey" === $"o_orderkey" && $"c_nationkey" === $"s_nationkey")
-      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
-      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
-      .groupBy($"n_name")
-      .agg(fromUnits(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4)
-        .as("revenue"))
+      .groupBy($"s_nationkey")
+      .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
+        .as("rev_units"))
+      .join(broadcast(natReg), $"s_nationkey" === $"n_nationkey")
+      .select($"n_name", fromUnits($"rev_units", 4).as("revenue"))
   }
 
   val q5MultijoinSql: String =

@@ -220,10 +220,23 @@ object GraphLoad {
     * reference's FIXME path, processor.go:267-275), DELETE of an
     * unseen/dead id is an error. Liveness is "latest preceding op is
     * not DELETE" — one lag window per id, then a grouped count by
-    * anomaly class. */
+    * anomaly class.
+    *
+    * Plan audit (round 10, every alternative measured at sf1, min of
+    * 4): the window's exchange+sort IS the key's data-proportional
+    * cost; the second exchange is ≤|anomaly classes| rows after the
+    * map-side partial, so there is no partitioning to share. A
+    * sort-free per-id collect_list + array fold (no partition-wide
+    * sort, only per-group sort_array) measured SLOWER — 0.98 s vs the
+    * window's 0.81 s: ObjectHashAggregate buffers every event anyway
+    * and the explode pays a second pass. What did land: the window
+    * partitions by the RAW NUMERIC entity key
+    * ([[graft.sources.EntityChanges.changesNumericKey]] — bijective
+    * with the string id, and the output never surfaces the id), so the
+    * exchange+sort move 8-byte words instead of strings: 0.74 s. */
   def glChangeValidation(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("block_num")
-    ch(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("uid").orderBy("block_num")
+    EntityChanges.changesNumericKey(s, d)
       .withColumn("prev_op", lag(col("op"), 1).over(w))
       .withColumn("live", col("prev_op").isNotNull && col("prev_op") =!= "DELETE")
       .withColumn("anomaly",

@@ -881,16 +881,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0) === p(0) && out(63) === p((63L * 200 / 64).toInt))
   }
 
-  test("mm_binary_meta: stub decode matches the payload bytes exactly") {
+  test("mm_binary_meta: every field is what the RIFF walker reads from the container") {
     val rows = Multimodal.mmBinaryMeta(spark, sf).collect()
     val texts = Tables.documents(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toMap
     assert(rows.length === texts.size)
     rows.foreach { r =>
-      val bytes = texts(r.getAs[Long]("doc_id")).getBytes("UTF-8")
-      assert(r.getAs[Int]("byte_len") === bytes.length)
-      val (w, h) = Multimodal.stubDecode(bytes)
-      assert(r.getAs[Int]("fake_width") === w && r.getAs[Int]("fake_height") === h)
+      val id = r.getAs[Long]("doc_id")
+      val bytes = texts(id).getBytes("UTF-8")
+      val (rate, channels, bits) = Multimodal.wavParams(id)
+      // rebuild the container independently and parse it HERE — the
+      // distributed row must be exactly the local walk's facts
+      val wav = graft.sources.WavCodec.encode(bytes, rate, channels, bits,
+        withListChunk = id % 3 == 0)
+      val meta = graft.sources.WavCodec.parse(wav).toOption.get
+      assert(r.getAs[Int]("byte_len") === wav.length)
+      assert(r.getAs[Int]("sample_rate") === meta.sampleRate)
+      assert(r.getAs[Int]("channels") === meta.channels)
+      assert(r.getAs[Int]("bits") === meta.bitsPerSample)
+      assert(r.getAs[Long]("n_samples") === meta.nSamples)
+      assert(r.getAs[Long]("duration_ms") === meta.durationMs)
+      // ...and the parsed facts reconcile with first principles
+      assert(meta.dataBytes === bytes.length)
+      assert(meta.nSamples === bytes.length.toLong / (channels * bits / 8))
     }
   }
 }
