@@ -340,8 +340,16 @@ object Bench {
         }.sum
         val duckPerKey = shared.map { case (n, _, dv) =>
           f""""$n":$dv%.4f""" }.mkString("{", ",", "}")
+        // honesty-of-protocol record: keys whose duck sampling was
+        // CAPPED by the slow-skip threshold carry fewer min-of-N
+        // samples (their min can only be ≥ a full-sample min — the cap
+        // can't flip a conclusion, but readers shouldn't re-derive
+        // which keys it touched)
+        val slowLimited = duckSamples.toSeq
+          .filter(_._2.min > duckSlowSkip).map(_._1).sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
         (f""","duck_total_sec_shared":$duckShared%.3f,"spark_total_sec_shared":$sparkShared%.3f,"ratio_shared":${sparkShared / math.max(duckShared, 1e-9)}%.3f,"spark_floor_adj_sec_shared":$adjShared%.3f,"ratio_shared_floor_adj":${adjShared / math.max(duckShared, 1e-9)}%.3f,"shared_keys":${shared.size},"duck_protocol":"$protocol"""",
-          s""","ratio_per_key":$perKey,"duck_queries":$duckPerKey""")
+          s""","ratio_per_key":$perKey,"duck_queries":$duckPerKey,"duck_slow_limited":$slowLimited""")
       }
     }
     val (duckCompact, duckPerKey) = duckJson

@@ -95,7 +95,9 @@ object WavCodec {
           val bits = b.getShort & 0xFFFF
           if (channels == 0 || bits == 0 || bits % 8 != 0)
             return Left(s"invalid PCM params: channels=$channels bits=$bits")
-          b.position(b.position() + (size - 16) + (size % 2)) // ext + pad
+          // skip any fmt extension + the odd-size pad; a FINAL chunk
+          // may legally lack its pad byte, so clamp to the envelope
+          b.position(math.min(b.position() + (size - 16) + (size % 2), end))
           fmt = Some((rate, channels, bits))
         case "data" =>
           fmt match {
@@ -107,7 +109,8 @@ object WavCodec {
               return Right(WavMeta(rate, channels, bits, size, n, durMs))
           }
         case _ =>
-          b.position(b.position() + size + (size % 2)) // skip + pad
+          // skip + pad, clamped: a final odd chunk may lack its pad
+          b.position(math.min(b.position() + size + (size % 2), end))
       }
     }
     Left(if (fmt.isEmpty) "no fmt chunk in RIFF envelope" else "no data chunk in RIFF envelope")

@@ -119,6 +119,48 @@ final class SinkMetrics(clock: () => Long = () => System.currentTimeMillis()) {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), frameSchema)
   }
+
+  /** The counters in Prometheus text exposition format (the public
+    * format dmetrics registers its set under — reference
+    * sinker/metrics.go:11 designs exactly one sink counter,
+    * `substreams_sink_graphcsv_flushed_e` "The number of flushed
+    * entries"; that name and help text are rendered verbatim, with the
+    * per-entity split as a labeled family plus the unlabeled total the
+    * Go counter would carry). The rest of the stats frame exports as
+    * gauges in the same `substreams_sink_graphcsv_*` namespace —
+    * `last_block` keeps stats.go:69's logged field name. Rendered the
+    * way [[graft.operators.CopyInjector]] renders psql scripts: a text
+    * artifact from driver-side bounded state, no jobs run. */
+  def prometheus: String = {
+    def esc(v: String): String = v
+      .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    val out = new StringBuilder
+    def family(name: String, help: String, typ: String)
+              (series: (String, String)*): Unit = {
+      out ++= s"# HELP $name $help\n# TYPE $name $typ\n"
+      series.foreach { case (labels, v) => out ++= s"$name$labels $v\n" }
+    }
+    val flushed = perEntity.toSeq.sortBy(_._1)
+    family("substreams_sink_graphcsv_flushed_e",
+      "The number of flushed entries", "counter")(
+      (("", flushed.map(_._2).sum.toString)) +:
+        flushed.map { case (e, n) => (s"""{entity="${esc(e)}"}""", n.toString) }: _*)
+    family("substreams_sink_graphcsv_last_block",
+      "Last block number handled by the sink", "gauge")(
+      "" -> (if (headBlock.get() == Long.MinValue) "0" else headBlock.get().toString))
+    if (headBlockTsUs.get() != Long.MinValue)
+      family("substreams_sink_graphcsv_head_block_timestamp_ms",
+        "Timestamp of the head block, unix milliseconds", "gauge")(
+        "" -> (headBlockTsUs.get() / 1000L).toString)
+    family("substreams_sink_graphcsv_undo_signals",
+      "Undo signals handled", "counter")("" -> nUndo.get().toString)
+    family("substreams_sink_graphcsv_blocks",
+      "Blocks handled", "counter")("" -> nBlocks.get().toString)
+    family("substreams_sink_graphcsv_batches",
+      "Micro-batches folded into the counters", "counter")(
+      "" -> nBatches.get().toString)
+    out.result()
+  }
 }
 
 /** The `StreamingQueryProgress` arm of the telemetry: the engine's own

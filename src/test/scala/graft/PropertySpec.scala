@@ -544,4 +544,47 @@ class PropertySpec extends SparkSpec {
         s"id=${r.getLong(0)} text=${cases(r.getLong(0).toInt)._2.take(60)}")
     }
   }
+
+  test("property: WavCodec round-trips all params; parse NEVER throws on garbage") {
+    import graft.sources.WavCodec
+    // round-trip: every parameter combination over random sample bytes
+    val params = for {
+      rate <- Gen.chooseNum(1, 192000)
+      channels <- Gen.chooseNum(1, 8)
+      bits <- Gen.oneOf(8, 16, 24, 32)
+      n <- Gen.chooseNum(0, 300)
+      bytes <- Gen.listOfN(n, Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
+      list <- Gen.oneOf(true, false)
+    } yield (rate, channels, bits, bytes.toArray, list)
+    forAll(params, n = 60) { case (rate, channels, bits, samples, list) =>
+      val meta = WavCodec.parse(WavCodec.encode(samples, rate, channels, bits, list))
+        .fold(e => fail(s"self-encoded refused: $e"), identity)
+      assert(meta.sampleRate === rate && meta.channels === channels &&
+        meta.bitsPerSample === bits && meta.dataBytes === samples.length)
+      assert(meta.nSamples === samples.length.toLong / (channels * bits / 8))
+    }
+    // total-function contract for 100 TB of dirty payloads: arbitrary
+    // garbage — including prefixes of VALID files, the nastiest class —
+    // parses to Left or Right, never an exception
+    val garbage = Gen.oneOf(
+      Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue)).map(_.toArray),
+      for {
+        n <- Gen.chooseNum(0, 80)
+        cut <- Gen.chooseNum(0, 44 + 80)
+      } yield WavCodec.encode(Array.fill(n)(7.toByte), 8000, 1, 8).take(cut),
+      // valid container with a few random bytes flipped
+      for {
+        n <- Gen.chooseNum(0, 40)
+        pos <- Gen.chooseNum(0, 43)
+        b <- Gen.chooseNum(Byte.MinValue, Byte.MaxValue)
+      } yield {
+        val f = WavCodec.encode(Array.fill(n)(3.toByte), 44100, 2, 16)
+        f(pos % f.length) = b; f
+      })
+    forAll(garbage, n = 120) { bytes =>
+      WavCodec.parse(bytes).fold(
+        err => assert(err.nonEmpty),
+        meta => assert(meta.channels > 0 && meta.bitsPerSample > 0))
+    }
+  }
 }

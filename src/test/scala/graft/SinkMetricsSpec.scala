@@ -108,4 +108,54 @@ class SinkMetricsSpec extends SparkSpec {
     assert(snap(0).isNullAt(4))
     assert(snap(0).getLong(8) === 2L) // both record calls counted
   }
+
+  test("prometheus exposition: exact text for a replayed composition") {
+    import spark.implicits._
+    val m = new SinkMetrics(clock = () => 42L)
+    // two deterministic "micro-batches" delivering whole blocks (the
+    // BlockScopedData contract): blocks 1-2 then block 3, with one
+    // UNDO signal riding block 3
+    m.record(Seq(
+      ("Event", 1L, "CREATE", 1700000001000L),
+      ("Event", 1L, "UPDATE", 1700000001000L),
+      ("Event", 2L, "CREATE", 1700000002000L)).toDF("entity", "block_num", "op", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"))
+    m.record(Seq(
+      ("Event", 3L, "UPDATE", 1700000003000L),
+      ("Transfer", 3L, "CREATE", 1700000003000L),
+      ("Transfer", 3L, "UNDO", 1700000003000L)).toDF("entity", "block_num", "op", "ts_ms")
+      .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"))
+    // the designed counter's name+help verbatim from sinker/metrics.go,
+    // entity split as a labeled family under the unlabeled Go total;
+    // last_block keeps stats.go's logged field name. Text format per
+    // the public Prometheus exposition spec (# HELP / # TYPE / series).
+    assert(m.prometheus ===
+      """# HELP substreams_sink_graphcsv_flushed_e The number of flushed entries
+        |# TYPE substreams_sink_graphcsv_flushed_e counter
+        |substreams_sink_graphcsv_flushed_e 5
+        |substreams_sink_graphcsv_flushed_e{entity="Event"} 4
+        |substreams_sink_graphcsv_flushed_e{entity="Transfer"} 1
+        |# HELP substreams_sink_graphcsv_last_block Last block number handled by the sink
+        |# TYPE substreams_sink_graphcsv_last_block gauge
+        |substreams_sink_graphcsv_last_block 3
+        |# HELP substreams_sink_graphcsv_head_block_timestamp_ms Timestamp of the head block, unix milliseconds
+        |# TYPE substreams_sink_graphcsv_head_block_timestamp_ms gauge
+        |substreams_sink_graphcsv_head_block_timestamp_ms 1700000003000
+        |# HELP substreams_sink_graphcsv_undo_signals Undo signals handled
+        |# TYPE substreams_sink_graphcsv_undo_signals counter
+        |substreams_sink_graphcsv_undo_signals 1
+        |# HELP substreams_sink_graphcsv_blocks Blocks handled
+        |# TYPE substreams_sink_graphcsv_blocks counter
+        |substreams_sink_graphcsv_blocks 3
+        |# HELP substreams_sink_graphcsv_batches Micro-batches folded into the counters
+        |# TYPE substreams_sink_graphcsv_batches counter
+        |substreams_sink_graphcsv_batches 2
+        |""".stripMargin)
+    // label values escape the exposition metacharacters
+    val weird = new SinkMetrics(clock = () => 1L)
+    weird.record(Seq(("""Na"me\n""", 1L, "CREATE"))
+      .toDF("entity", "block_num", "op"))
+    assert(weird.prometheus.contains(
+      """substreams_sink_graphcsv_flushed_e{entity="Na\"me\\n"} 1"""))
+  }
 }
