@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -73,7 +73,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => JsonLong(args(0), args(1))),
     (FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[NormFingerprint].getName, "graft_fingerprint"),
-      (args: Seq[Expression]) => NormFingerprint(args.head))
+      (args: Seq[Expression]) => NormFingerprint(args.head)),
+    (FunctionIdentifier("graft_md5"),
+      new ExpressionInfo(classOf[Md5Hex].getName, "graft_md5"),
+      (args: Seq[Expression]) => Md5Hex(args.head))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -47,10 +47,12 @@ object Dedup {
 
   /** Exact dedup: hash-groupBy on md5(text), keep the lowest doc_id.
     * One map-side-combined shuffle of |distinct texts| rows. */
-  def ddExact(s: SparkSession, d: String): DataFrame =
+  def ddExact(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Tables.documents(s, d)
-      .groupBy(md5(col("text")).as("text_hash"))
+      .groupBy(graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
 
   val ddExactSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
@@ -93,15 +95,16 @@ object Dedup {
     graft.SessionMemo.named[DataFrame]("dd_exact_prior")
 
   def ddExactIncremental(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     val docs = Tables.documents(s, d)
     val prior = exactPriorMemo.getOrBuild(s, d) {
       docs.filter(col("doc_id") % 5 =!= 0)
-        .groupBy(md5(col("text")).as("text_hash"))
+        .groupBy(graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     val batch = docs.filter(col("doc_id") % 5 === 0)
-      .groupBy(md5(col("text")).as("text_hash"))
+      .groupBy(graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
     mergeExactState(prior, batch)
   }
@@ -458,6 +461,7 @@ object Dedup {
   private val levDocCountMemo = graft.SessionMemo.named[Long]("dd_lev_doc_count")
 
   def ddLevVerify(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     // Levenshtein is O(len²) PER PAIR, and the candidate pair set is
     // quadratic in exact-twin count (pairs are dd_minhash_lsh's
     // declared output) — verifying each pair directly multiplies the
@@ -483,7 +487,7 @@ object Dedup {
     // broadcast ceiling — there the repartition below still gives the
     // reusable (doc_a, doc_b) exchange and AQE picks the strategy.
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"), md5(col("text")).as("h"))
+      .select(col("doc_id"), col("text"), graft.functions.Md5Hex.fastMd5(col("text")).as("h"))
     val fits = levDocCountMemo.getOrBuild(s, d) {
       Tables.documents(s, d).count()
     } <= LevBroadcastMaxDocs
@@ -774,7 +778,7 @@ object Dedup {
       val docs = Tables.documents(s, d)
       // one narrow (doc_id, text_hash) pass feeds both the group state
       // and the final re-expansion — text is scanned once here
-      val hashed = docs.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      val hashed = docs.select(col("doc_id"), graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"))
       val groups = hashed.groupBy(col("text_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .persist(StorageLevel.MEMORY_AND_DISK) // |distinct texts| rows, no payload
@@ -859,7 +863,7 @@ object Dedup {
   private[graft] def buildClusterState(prior: DataFrame): ClusterState = {
     import org.apache.spark.storage.StorageLevel
     graft.plans.GraftExtensions.ensureRegistered(prior.sparkSession)
-    val priorHashed = prior.select(col("doc_id"), md5(col("text")).as("text_hash"),
+    val priorHashed = prior.select(col("doc_id"), graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"),
         expr("graft_minhash_sigs(text) IS NOT NULL").as("signed"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val groupsBase = priorHashed.groupBy(col("text_hash"))
@@ -903,7 +907,7 @@ object Dedup {
     // (doc_id, text_hash) — column pruning drops the sig kernel there),
     // so recomputing one cheap md5 pass beats a persist's
     // materialization job
-    val batchHashed = batch.select(col("doc_id"), md5(col("text")).as("text_hash"),
+    val batchHashed = batch.select(col("doc_id"), graft.functions.Md5Hex.fastMd5(col("text")).as("text_hash"),
         expr("graft_minhash_sigs(text) IS NOT NULL").as("signed"))
     val batchGroups = batchHashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"),

@@ -545,6 +545,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: graft_md5 is bit-identical to Spark's md5 on strings and binary") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val gen = Gen.oneOf(
+      Gen.listOf(Gen.asciiPrintableChar).map(_.mkString),
+      Gen.listOf(Gen.oneOf("é", "中", "😀", "a", " ")).map(_.mkString),
+      Gen.const(""))
+    val cases = scala.collection.mutable.ListBuffer.empty[(Long, String)]
+    var id = 0L
+    forAll(gen, n = 50) { s => cases += ((id, s)); id += 1 }
+    val rows = cases.toSeq.toDF("id", "text")
+      .select(col("id"),
+        md5(col("text")).as("want"),
+        call_function("graft_md5", col("text")).as("got"),
+        md5(col("text").cast("binary")).as("want_bin"),
+        call_function("graft_md5", col("text").cast("binary")).as("got_bin"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"string arm, id=${r.getLong(0)}")
+      assert(r.getString(4) === r.getString(3), s"binary arm, id=${r.getLong(0)}")
+    }
+    // null propagates like the builtin
+    val nr = Seq[(Integer, String)]((1, null)).toDF("id", "text")
+      .select(call_function("graft_md5", col("text"))).collect()(0)
+    assert(nr.isNullAt(0))
+  }
+
   test("property: WavCodec round-trips all params; parse NEVER throws on garbage") {
     import graft.sources.WavCodec
     // round-trip: every parameter combination over random sample bytes
