@@ -26,7 +26,11 @@ object SessionStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
-        (sum(round(col("value") * 100).cast("long")).cast("double") / 100.0)
+        // BigDecimal-free HALF_UP cents (the batch cents() form —
+        // Analytics.scala:47); the spec pins stream == batch exactly
+        (sum((when(col("value") >= 0, floor(col("value") * 100 + 0.5d))
+          .otherwise(-floor(-col("value") * 100 + 0.5d))).cast("long"))
+          .cast("double") / 100.0)
           .as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
