@@ -62,7 +62,14 @@ object Dsn {
   private[graft] def envsubst(s: String, env: String => Option[String]): String = {
     val out = new StringBuilder
     var i = 0
-    def isVarChar(c: Char) = c.isLetterOrDigit || c == '_'
+    // drone/envsubst's name grammar is ASCII [A-Za-z_][A-Za-z0-9_]*;
+    // a Unicode-aware isLetterOrDigit would treat ${üVAR} or ${1FOO}
+    // as valid-but-unset names and silently expand them to empty —
+    // exactly the silent-empty failure the default-form handling
+    // refuses loudly elsewhere
+    def isVarChar(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '$' && i + 1 < s.length) {
@@ -87,7 +94,7 @@ object Dsn {
             while (k < body.length && isVarChar(body.charAt(k))) k += 1
             val name = body.take(k)
             val rest = body.drop(k)
-            if (name.isEmpty)
+            if (name.isEmpty || name.charAt(0).isDigit)
               throw new IllegalArgumentException(
                 s"variables expansion failed: bad variable name in $${$body}")
             out ++= (rest match {

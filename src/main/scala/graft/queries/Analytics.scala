@@ -44,23 +44,17 @@ object Analytics {
     * 19.99·100 = 1998.999… would lose a cent. Values are exact 2dp, so
     * the product is within 1e-10 of an integer and every rounding mode
     * agrees across engines. */
-  /** Exact cents from a 2-decimal double column — HALF_UP like
-    * `round()`, WITHOUT `round()`: Spark's Round on DoubleType
-    * allocates a `java.math.BigDecimal` per evaluation inside codegen
-    * (`BigDecimal.valueOf(d).setScale(...)`), and the money queries
-    * evaluate cents() up to 3× per row — at sf10 that BigDecimal was
-    * HALF of q1_agg's entire runtime (measured: 1.19 → 0.59 s swapping
-    * to this form, results bit-identical incl. the arbitrary-double
-    * events.value column). floor(|x|+0.5) with the sign re-applied is
-    * HALF_UP in pure primitive double math (away-from-zero on ties),
-    * which agrees with both Round and DuckDB's round() everywhere the
-    * inputs are 2-decimal money values (the +0.5-then-floor boundary
-    * anomalies live at ties the fixed-point data can't produce —
-    * and at those boundaries Round and DuckDB already disagree with
-    * EACH OTHER, so no oracle-green dataset can contain them). */
-  private def cents(c: Column): Column =
-    (when(c >= 0, floor(c * 100 + 0.5d))
-      .otherwise(-floor(-c * 100 + 0.5d))).cast("long")
+  /** Exact cents from a double column — HALF_UP like `round()`,
+    * WITHOUT `round()`'s per-row BigDecimal (measured: HALF of
+    * q1_agg's sf10 runtime). Round 11 hardened the form from
+    * money-columns-only to EVERY double: the bare floor(|x|·100+0.5)
+    * diverged from value-based HALF_UP at representational boundaries
+    * that the arbitrary-double events.value column could in principle
+    * hit; [[graft.functions.HalfUpCents]] carries the corrected
+    * primitive form (boundary cases documented + property-gated there
+    * against Spark's own round()). One shared definition serves batch
+    * and [[graft.streaming.SessionStream]] so the twins can't drift. */
+  private def cents(c: Column): Column = graft.functions.HalfUpCents.cents(c)
 
   /** Scaled-long sum → canonical double output: double(units)/10^scale
     * is exact-then-one-correctly-rounded-division in BOTH engines while

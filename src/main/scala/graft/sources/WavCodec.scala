@@ -80,7 +80,11 @@ object WavCodec {
     while (b.position() + 8 <= end) {
       val id = tag()
       val size = b.getInt
-      if (size < 0 || b.position() + size > end)
+      // compare in Long: a crafted size near Int.MaxValue would wrap
+      // `position + size` negative, pass an Int check, and then either
+      // fabricate a data chunk or throw from position(negative) —
+      // breaking the parse-never-throws Left contract
+      if (size < 0 || b.position().toLong + size > end)
         return Left(s"chunk '$id' size $size overruns RIFF envelope")
       id match {
         case "fmt " =>
@@ -97,7 +101,7 @@ object WavCodec {
             return Left(s"invalid PCM params: channels=$channels bits=$bits")
           // skip any fmt extension + the odd-size pad; a FINAL chunk
           // may legally lack its pad byte, so clamp to the envelope
-          b.position(math.min(b.position() + (size - 16) + (size % 2), end))
+          b.position(math.min(b.position().toLong + (size - 16) + (size % 2), end.toLong).toInt)
           fmt = Some((rate, channels, bits))
         case "data" =>
           fmt match {
@@ -110,7 +114,7 @@ object WavCodec {
           }
         case _ =>
           // skip + pad, clamped: a final odd chunk may lack its pad
-          b.position(math.min(b.position() + size + (size % 2), end))
+          b.position(math.min(b.position().toLong + size + (size % 2), end.toLong).toInt)
       }
     }
     Left(if (fmt.isEmpty) "no fmt chunk in RIFF envelope" else "no data chunk in RIFF envelope")

@@ -26,10 +26,10 @@ object SessionStream {
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"),
-        // BigDecimal-free HALF_UP cents (the batch cents() form —
-        // Analytics.scala:47); the spec pins stream == batch exactly
-        (sum((when(col("value") >= 0, floor(col("value") * 100 + 0.5d))
-          .otherwise(-floor(-col("value") * 100 + 0.5d))).cast("long"))
+        // BigDecimal-free HALF_UP cents — the SAME definition as the
+        // batch twin (one shared form, so they can't drift); the spec
+        // pins stream == batch exactly
+        (sum(graft.functions.HalfUpCents.cents(col("value")))
           .cast("double") / 100.0)
           .as("session_value"))
       .select(col("user_id"),

@@ -125,8 +125,14 @@ final class SinkMetrics(clock: () => Long = () => System.currentTimeMillis()) {
     * sinker/metrics.go:11 designs exactly one sink counter,
     * `substreams_sink_graphcsv_flushed_e` "The number of flushed
     * entries"; that name and help text are rendered verbatim, with the
-    * per-entity split as a labeled family plus the unlabeled total the
-    * Go counter would carry). The rest of the stats frame exports as
+    * per-entity split as a labeled family — LABELED ONLY, the way a Go
+    * client_golang CounterVec exposes it: mixing an unlabeled total
+    * into the same family is legal text but makes
+    * `sum(substreams_sink_graphcsv_flushed_e)` double-count, so the
+    * total is the consumer's `sum()` at query time. This deviates from
+    * the reference's single UNLABELED counter in shape, not in sum —
+    * the reference has no per-entity split to collide with). The rest
+    * of the stats frame exports as
     * gauges in the same `substreams_sink_graphcsv_*` namespace —
     * `last_block` keeps stats.go:69's logged field name. Rendered the
     * way [[graft.operators.CopyInjector]] renders psql scripts: a text
@@ -143,8 +149,7 @@ final class SinkMetrics(clock: () => Long = () => System.currentTimeMillis()) {
     val flushed = perEntity.toSeq.sortBy(_._1)
     family("substreams_sink_graphcsv_flushed_e",
       "The number of flushed entries", "counter")(
-      (("", flushed.map(_._2).sum.toString)) +:
-        flushed.map { case (e, n) => (s"""{entity="${esc(e)}"}""", n.toString) }: _*)
+      flushed.map { case (e, n) => (s"""{entity="${esc(e)}"}""", n.toString) }: _*)
     family("substreams_sink_graphcsv_last_block",
       "Last block number handled by the sink", "gauge")(
       "" -> (if (headBlock.get() == Long.MinValue) "0" else headBlock.get().toString))

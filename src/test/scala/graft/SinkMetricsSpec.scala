@@ -126,13 +126,14 @@ class SinkMetricsSpec extends SparkSpec {
       ("Transfer", 3L, "UNDO", 1700000003000L)).toDF("entity", "block_num", "op", "ts_ms")
       .withColumn("ts", timestamp_millis(col("ts_ms"))).drop("ts_ms"))
     // the designed counter's name+help verbatim from sinker/metrics.go,
-    // entity split as a labeled family under the unlabeled Go total;
-    // last_block keeps stats.go's logged field name. Text format per
-    // the public Prometheus exposition spec (# HELP / # TYPE / series).
+    // entity split as a LABELED-ONLY family (CounterVec shape — an
+    // unlabeled total in the same family would make sum() over the
+    // family double-count); last_block keeps stats.go's logged field
+    // name. Text format per the public Prometheus exposition spec
+    // (# HELP / # TYPE / series).
     assert(m.prometheus ===
       """# HELP substreams_sink_graphcsv_flushed_e The number of flushed entries
         |# TYPE substreams_sink_graphcsv_flushed_e counter
-        |substreams_sink_graphcsv_flushed_e 5
         |substreams_sink_graphcsv_flushed_e{entity="Event"} 4
         |substreams_sink_graphcsv_flushed_e{entity="Transfer"} 1
         |# HELP substreams_sink_graphcsv_last_block Last block number handled by the sink

@@ -117,4 +117,20 @@ class WavSpec extends AnyFunSuite {
     le16(0).copyToArray(zeroCh, ok.indexOfSlice(ascii("fmt ")) + 10)
     assert(err(zeroCh).contains("invalid PCM params"))
   }
+
+  test("parse: chunk size near Int.MaxValue cannot wrap the overrun check") {
+    // a crafted size like 0x7FFFFFF0 overflows `position + size` in
+    // Int arithmetic (negative → passes a naive check, then either
+    // fabricates a data read or throws from position(negative)); the
+    // walker compares in Long and must refuse with the Left contract
+    def craft(id: String): Array[Byte] = {
+      val chunk = ascii(id) ++ le32(0x7FFFFFF0)
+      val body = ascii("WAVE") ++ chunk
+      ascii("RIFF") ++ le32(body.length) ++ body
+    }
+    for (id <- Seq("junk", "data", "fmt ")) {
+      val got = WavCodec.parse(craft(id))
+      assert(got.isLeft && got.swap.toOption.get.contains("overruns RIFF envelope"), id)
+    }
+  }
 }
