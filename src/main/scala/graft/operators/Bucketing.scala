@@ -23,12 +23,28 @@ object Bucketing {
     * downstream sort-merge join pays a full re-Sort of the fact
     * table, silently forfeiting half the layout's benefit). */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    writeBucketedSorted(df, table, key, Seq(key), buckets)
+
+  /** [[writeBucketed]] with an explicit in-bucket sort order beyond the
+    * bucket key — the layout for per-key WINDOW consumers: bucketed by
+    * the partition key and sorted by (key, time, tiebreak), so a
+    * window like `partitionBy(key).orderBy(time, tiebreak)` needs
+    * neither exchange NOR sort at read time (under the sorted-scan
+    * conf; unordered whole-frame windows need only the key prefix).
+    * `sortCols` must lead with `key` — the scan's reported ordering is
+    * exactly the sortBy list, and a window's required ordering always
+    * leads with its partition keys. */
+  def writeBucketedSorted(df: DataFrame, table: String, key: String,
+                          sortCols: Seq[String], buckets: Int): Unit = {
+    require(sortCols.headOption.contains(key),
+      s"sortCols must lead with the bucket key '$key' (got $sortCols)")
     df.repartition(buckets, df(key))
       .write
       .bucketBy(buckets, key)
-      .sortBy(key)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .mode("overwrite")
       .saveAsTable(table) // managed: under spark.sql.warehouse.dir
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans with
     * zero shuffle when bucket specs line up. */

@@ -241,7 +241,14 @@ object GraphLoad {
     * exchange+sort move 8-byte words instead of strings: 0.74 s. */
   def glChangeValidation(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("uid").orderBy("block_num")
-    EntityChanges.changesNumericKey(s, d)
+    // round 11: served from the standing user-bucketed events layout —
+    // the per-entity window's EXCHANGE elides (the projection's alias
+    // keeps the scan's hashpartitioning(user_id) visible as uid); the
+    // per-partition sort stays, because the layout's (user_id, ts,
+    // event_id) order doesn't imply (uid, block_num) and the engine
+    // may not assume ts is monotone in event_id
+    EntityChanges.changesNumericKeyFrom(
+      Analytics.sortedScanSession(s).table(Analytics.bucketedEvents(s, d)))
       .withColumn("prev_op", lag(col("op"), 1).over(w))
       .withColumn("live", col("prev_op").isNotNull && col("prev_op") =!= "DELETE")
       .withColumn("anomaly",

@@ -45,17 +45,23 @@ object EntityChanges {
     * string-id window 0.81 s → numeric 0.74 s. Consumers that emit
     * the id must use [[changes]] — the string form IS the reference's
     * entity key. */
-  def changesNumericKey(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.events(spark, dir).select(
-      $"user_id".as("uid"),
-      $"event_id".as("block_num"),
-      when($"event_type" === "signup", "CREATE")
-        .when($"event_type" === "error", "DELETE")
+  def changesNumericKey(spark: SparkSession, dir: String): DataFrame =
+    changesNumericKeyFrom(Tables.events(spark, dir))
+
+  /** [[changesNumericKey]] over an explicit events frame — the hook
+    * that lets per-entity window consumers substitute the standing
+    * user-bucketed layout (a plain projection preserves the scan's
+    * reported partitioning through the `user_id`→`uid` alias, so the
+    * entity window's exchange elides). */
+  def changesNumericKeyFrom(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").as("uid"),
+      col("event_id").as("block_num"),
+      when(col("event_type") === "signup", "CREATE")
+        .when(col("event_type") === "error", "DELETE")
         .otherwise("UPDATE").as("op"),
-      $"value"
+      col("value")
     )
-  }
 
   /** DuckDB twin of [[changes]], used as a WITH-clause prefix by every
     * gl_* oracle so both engines derive from the identical stream. */

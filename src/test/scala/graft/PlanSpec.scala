@@ -79,12 +79,50 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") === 1, p)
   }
 
-  test("q_sessionize: both windows and the session agg share one partitioning") {
+  test("q_sessionize: served from bucketed events — ZERO exchange, ZERO sort") {
     val p = physical(Analytics.qSessionize(spark, sf))
-    // ONE exchange on user_id feeds lag, the cumulative sum AND the
-    // final aggregate (ordered output dropped: no range exchange)
-    assert(shuffles(p) === 1, p)
+    // the standing layout is bucketed by user_id and sorted
+    // (user_id, ts, event_id) — exactly both windows' requirement, and
+    // the session agg's grouping (user_id, session_id) is satisfied by
+    // the scan's hashpartitioning(user_id) subset rule
+    assert(p.contains("b_events_"), p)
+    assert(shuffles(p) === 0, p)
     assert(nodes(p, "Window") === 2, p)
+    assert(nodes(p, "Sort") === 0, p)
+  }
+
+  test("q_retention: served from bucketed events — cohort window is exchange- and sort-free") {
+    val p = physical(Analytics.qRetention(spark, sf))
+    assert(p.contains("b_events_"), p)
+    // the per-user cohort window and the (user,cohort,offset) dedup
+    // ride the scan partitioning; the ONLY exchange moves the deduped
+    // |users|·|weeks|-bounded grid to its (cohort, offset) grouping
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "Window") === 1, p)
+    assert(nodes(p, "Sort") === 0, p)
+  }
+
+  test("q_window_funnel: served from bucketed events — step windows are exchange- and sort-free") {
+    val p = physical(Analytics.qWindowFunnel(spark, sf))
+    assert(p.contains("b_events_"), p)
+    // three chained whole-frame windows + the per-user reduce all ride
+    // the scan's hashpartitioning(user_id); the only exchange is the
+    // single-partition gather of the final 1-row funnel reduce
+    assert(nodes(p, "Exchange hashpartitioning") === 0, p)
+    assert(nodes(p, "Window") === 3, p)
+    assert(nodes(p, "Sort") === 0, p)
+  }
+
+  test("gl_change_validation: served from bucketed events — entity window exchange elides") {
+    val p = physical(GraphLoad.glChangeValidation(spark, sf))
+    assert(p.contains("b_events_"), p)
+    // the uid alias keeps the scan's hashpartitioning(user_id) visible,
+    // so the per-entity window needs no exchange; its (uid, block_num)
+    // sort stays local (the layout's ts order doesn't imply block_num
+    // order); the only exchange moves ≤|anomaly classes| agg rows
+    assert(shuffles(p) === 1, p)
+    assert(nodes(p, "Window") === 1, p)
+    assert(nodes(p, "Sort") === 1, p)
   }
 
   test("gl_squash_latest: max_by is a two-phase agg, not a window") {
@@ -539,17 +577,13 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window \\[") === 1, p)
   }
 
-  test("q_window_funnel: one data shuffle — step windows and user reduce share it") {
+  test("q_window_funnel: no cross join; the only exchange is the 1-row funnel gather") {
     val df = Analytics.qWindowFunnel(spark, sf)
     val p = physical(df)
-    // three chained whole-frame windows over the SAME user partitioning
-    // plus the per-user reduce = ONE hash exchange; the only other
-    // exchange is the 1-row final funnel's single partition
-    assert(nodes(p, "Exchange hashpartitioning") === 1, p)
-    assert(shuffles(p) <= 2, p)
-    // WindowExec sorts on its partition key even for whole-frame
-    // windows — but all three step windows must REUSE one sort
-    assert(nodes(p, "Sort \\[") <= 1, p)
+    // served from the standing bucketed events layout (round 11): the
+    // step windows and per-user reduce ride the scan partitioning —
+    // the zero-exchange/zero-sort shape is gated above
+    assert(shuffles(p) <= 1, p)
     assert(crossJoins(p) === 0, p)
   }
 
@@ -558,7 +592,7 @@ class PlanSpec extends SparkSpec {
     val p = physical(df)
     // window(user) + dedup + grid agg — no join back to events at all
     assert(bigJoins(p) === 0 && bhj(p) === 0, p)
-    assert(nodes(p, "Exchange hashpartitioning") <= 3, p)
+    assert(nodes(p, "Exchange hashpartitioning") <= 1, p)
   }
 
   test("mm_phash / tx_bpe_apply: map-only — fingerprint and tokenizer shuffle nothing") {
