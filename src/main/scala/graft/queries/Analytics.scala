@@ -1624,7 +1624,7 @@ object Analytics {
     * (round 10 paid one exchange + sort of the event stream here,
     * 4.5× vs baseline at sf10 — the weak set's top key). */
   def qRetention(spark: SparkSession, dir: String): DataFrame =
-    retention(sortedScanSession(spark).table(bucketedEvents(spark, dir)))
+    retentionSortedFold(sortedScanSession(spark).table(bucketedEvents(spark, dir)))
 
   /** #26o q_retention — the cohort retention grid: users bucketed by
     * their FIRST-ever active week (the cohort), then counted distinct
@@ -1652,6 +1652,64 @@ object Analytics {
       .select(col("user_id"), col("cohort_week"),
         (col("wk") - col("cohort_week")).as("week_offset"))
       .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
+
+  /** [[retention]] as a sorted-fold over the standing layout: each
+    * bucket of [[bucketedEvents]] is ONE file written sorted
+    * (user_id, ts, event_id), a bucketed scan never splits or
+    * coalesces bucket files, and `wk = ts DIV week` is monotone in
+    * ts — so within a scan partition every user's rows are contiguous
+    * and their weeks non-decreasing. The cohort is then the user's
+    * FIRST row's week and the distinct (user, week) pairs are exactly
+    * the group boundaries: one O(1)-state pass replaces the 10M-row
+    * whole-frame window AND the hash distinct. mapPartitions is the
+    * documented last resort — used here because no Catalyst operator
+    * exposes "consecutive dedup under a physical sort guarantee"
+    * (lag+filter was measured SLOWER: the WindowExec it needs costs
+    * more than the hash distinct it saves).
+    *
+    * CONTRACT: input must be clustered by user_id per partition and
+    * ts-sorted within user — TRUE for the layout scan independent of
+    * the sorted-scan conf (the conf changes what the PLANNER knows,
+    * not the file order). Generic inputs must use [[retention]];
+    * RetentionFoldSpec pins fold == window equality on the layout. */
+  private[graft] def retentionSortedFold(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val pairs = events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var haveUser = false
+        var curUser = 0L
+        var curWk = 0L
+        var cohort = 0L
+        new scala.collection.AbstractIterator[(Long, Long)] {
+          private var out: (Long, Long) = _
+          private var ready = false
+          @annotation.tailrec private def fetch(): Boolean =
+            if (!it.hasNext) false
+            else {
+              val (u, wk) = it.next()
+              if (!haveUser || u != curUser) {
+                haveUser = true; curUser = u; curWk = wk; cohort = wk
+                out = (cohort, 0L); true
+              } else if (wk != curWk) {
+                curWk = wk
+                out = (cohort, wk - cohort); true
+              } else fetch()
+            }
+          def hasNext: Boolean = ready || { ready = fetch(); ready }
+          def next(): (Long, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            ready = false; out
+          }
+        }
+      }
+      .toDF("cohort_week", "week_offset")
+    pairs
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("active_users"))
   }

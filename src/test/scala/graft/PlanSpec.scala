@@ -91,15 +91,17 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Sort") === 0, p)
   }
 
-  test("q_retention: served from bucketed events — cohort window is exchange- and sort-free") {
+  test("q_retention: served from bucketed events — sorted fold, no window, no hash distinct") {
     val p = physical(Analytics.qRetention(spark, sf))
     assert(p.contains("b_events_"), p)
-    // the per-user cohort window and the (user,cohort,offset) dedup
-    // ride the scan partitioning; the ONLY exchange moves the deduped
-    // |users|·|weeks|-bounded grid to its (cohort, offset) grouping
+    // the O(1)-state sorted fold replaces the whole-frame window AND
+    // the 10M-row hash distinct (both measured slower at sf10); the
+    // ONLY exchange moves the |users|·|weeks|-bounded grid to its
+    // (cohort, offset) grouping
     assert(shuffles(p) === 1, p)
-    assert(nodes(p, "Window") === 1, p)
+    assert(nodes(p, "Window") === 0, p)
     assert(nodes(p, "Sort") === 0, p)
+    assert(nodes(p, "MapPartitions") === 1, p)
   }
 
   test("q_window_funnel: served from bucketed events — step windows are exchange- and sort-free") {
