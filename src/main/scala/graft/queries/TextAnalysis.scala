@@ -1032,22 +1032,37 @@ object TextAnalysis {
   // the one-tokenize guarantee structural instead of optimizer-
   // dependent, the same pattern as the shingle/chunk indexes.
   private val docTfMemo = graft.SessionMemo.named[DataFrame]("tx_rarity_doctf")
-  private val relMemo = graft.SessionMemo.named[DataFrame]("tx_rarity_rel")
+  private val relMemo = graft.SessionMemo.named[(DataFrame, Long)]("tx_rarity_rel")
+
+  /** Vocabulary rows up to which the (token → relfreq) LM broadcasts:
+    * ~50 B/entry ⇒ ≤ ~50 MB on the wire, well inside executor memory
+    * at any cluster size. A unigram vocab is sublinear in corpus size
+    * (Heaps' law — single-digit millions of types at 100 TB of natural
+    * text), so the broadcast path is the EXPECTED path at scale; the
+    * shuffle join stays as the structural fallback for degenerate
+    * corpora (e.g. random-hex "tokens") rather than an OOM. */
+  private[graft] val RarityBroadcastVocabMax = 1000000L
 
   def txRarity(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val docTf = docTfMemo.getOrBuild(s, d) {
-      docTokenCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
-    }
+    val docTf = docTfIndex(s, d)
     // the vocabulary→frequency table is a standing corpus artifact
     // (the "language model" this scorer is the unigram version of) —
     // memoized like the shingle/chunk indexes, so a scoring pass is
     // just cached-probe ⋈ cached-vocab + one agg instead of re-deriving
-    // the LM per call
-    val rel = relMemo.getOrBuild(s, d) {
-      relFreq(docTf).persist(StorageLevel.MEMORY_AND_DISK)
+    // the LM per call; the count() rides the build (it materializes
+    // the persist anyway) and decides the broadcast once per corpus
+    val (rel, vocab) = relMemo.getOrBuild(s, d) {
+      val r = relFreq(docTf).persist(StorageLevel.MEMORY_AND_DISK)
+      (r, r.count())
     }
-    scoreAgainst(docTf, rel)
+    // round 11: the probe join moved the corpus-sized docTf frame
+    // through an exchange on `t` to meet a vocab that is orders of
+    // magnitude smaller — broadcast the LM instead and the probe
+    // stays where the cached docTf already lives (measured at sf10:
+    // 1.55 → see SURVEY round-11 notes); the remaining exchange
+    // carries only the |docs|-row partial aggregates
+    scoreAgainst(docTf, if (vocab <= RarityBroadcastVocabMax) broadcast(rel) else rel)
   }
 
   /** (doc_id, token, in-doc count) — one explode collapsed immediately
@@ -1228,13 +1243,8 @@ object TextAnalysis {
     * by token beyond); the final top-K is a row_number window
     * partitioned by doc_id — high-cardinality, evenly spread, and the
     * per-partition sort is over a doc's DISTINCT terms, not positions. */
-  def txTfidfTopterms(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val docTf = docTfMemo.getOrBuild(s, d) {
-      docTokenCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
-    }
-    tfidfTop(docTf, TfidfTopK)
-  }
+  def txTfidfTopterms(s: SparkSession, d: String): DataFrame =
+    tfidfTop(docTfIndex(s, d), TfidfTopK)
 
   /** The ranking over any (doc_id, t, c) frame — split out so specs
     * can pin scores/ranks on a constructed vocabulary. */
@@ -1364,11 +1374,22 @@ object TextAnalysis {
 
   /** The session's memoized (doc_id, t, c) index — the standing corpus
     * artifact tx_rarity / tx_tfidf_topterms / tx_bm25 / ann_hybrid_rrf
-    * all serve from (tokenized once per session). */
+    * all serve from (tokenized once per session).
+    *
+    * Persisted REPARTITIONED BY doc_id, not the agg's natural
+    * (doc_id, t): under (doc_id, t) every cache partition holds every
+    * doc, so a per-doc consumer's partial aggregates barely reduce —
+    * tx_rarity's scoring pass measured 108 MB of partial-agg shuffle
+    * at sf10. Under doc_id, groupBy(doc_id) consumers are satisfied by
+    * the cached partitioning (subset rule) and per-doc windows reuse
+    * it — the serve passes run EXCHANGE-FREE; the extra index-row
+    * exchange happens once, at build time, like the layout writes. */
   private[graft] def docTfIndex(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     docTfMemo.getOrBuild(s, d) {
-      docTokenCounts(Tables.documents(s, d)).persist(StorageLevel.MEMORY_AND_DISK)
+      docTokenCounts(Tables.documents(s, d))
+        .repartition(col("doc_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     }
   }
 

@@ -407,13 +407,19 @@ class PlanSpec extends SparkSpec {
     assert(crossJoins(p) === 0, p)
   }
 
-  test("tx_tfidf_topterms: rank-limit pushed below the window shuffle") {
+  test("tx_tfidf_topterms: window rides the doc_id-partitioned index — no exchange, one group limit") {
     val df = graft.queries.TextAnalysis.txTfidfTopterms(spark, sf)
     val p = physical(df)
-    // rk <= K becomes WindowGroupLimit partial+final: each task keeps
-    // only its top-K per doc BEFORE the exchange — the window shuffle
-    // moves ≤K rows per (task, doc), not every distinct term
-    assert(nodes(p, "WindowGroupLimit") === 2, p)
+    // the docTf index is persisted partitioned by doc_id (round 11),
+    // so the per-doc ranking window needs NO exchange at all and the
+    // rk <= K rewrite needs only its Final WindowGroupLimit (the
+    // partial phase existed to shrink a shuffle that is now gone).
+    // Count only ABOVE the cache scan — the explain string embeds the
+    // cached index's one-time build plan, whose exchanges are the
+    // build cost, not the serve plan
+    val serve = p.split("InMemoryRelation").head
+    assert(nodes(serve, "Exchange hashpartitioning") === 0, p)
+    assert(nodes(p, "WindowGroupLimit") === 1, p)
     assert(nodes(p, "Window \\[") === 1, p)
     assert(crossJoins(p) === 0, p)
   }
