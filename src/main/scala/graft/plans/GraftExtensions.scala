@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, Int128SumProduct, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -76,7 +76,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => NormFingerprint(args.head)),
     (FunctionIdentifier("graft_md5"),
       new ExpressionInfo(classOf[Md5Hex].getName, "graft_md5"),
-      (args: Seq[Expression]) => Md5Hex(args.head))
+      (args: Seq[Expression]) => Md5Hex(args.head)),
+    (FunctionIdentifier("graft_sum128_product"),
+      new ExpressionInfo(classOf[Int128SumProduct].getName, "graft_sum128_product"),
+      (args: Seq[Expression]) => Int128SumProduct(args(0), args(1)))
   )
 
   /** Register graft functions on an existing session (no-op if

@@ -199,15 +199,25 @@ object GraphLoad {
   // (str(Decimal) vs repr(float) diverge on trailing zeros; a single
   // correctly-rounded int64/10^scale division doesn't).
 
-  def glTypedBigint(s: SparkSession, d: String): DataFrame =
+  def glTypedBigint(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     Tables.lineitem(s, d).groupBy(col("l_returnflag"))
       // BigInt OUTPUT is a STRING, the reference's own serialization
       // (writer.go:268-276 emits BigInt as decimal text): exact at any
       // magnitude — the previous decimal(18)->double canonicalization
       // overflowed once the sf1-scale key remap pushed the sum past
-      // 10^18 — and digit strings hash identically in both engines
-      .agg(sum(col("l_orderkey").cast("decimal(19,0)") * col("l_partkey").cast("decimal(19,0)"))
-        .cast("decimal(38,0)").cast("string").as("big_product_sum"))
+      // 10^18 — and digit strings hash identically in both engines.
+      // Round 11: the exact multiply-sum runs in the native int128
+      // aggregate ([[graft.functions.Int128SumProduct]]) — the
+      // declarative decimal(19)x(19) form pays a per-row BigDecimal
+      // (precision 38 never fits compact Decimal) and the long fast
+      // path is semantically impossible (sf10 keys ~1e10, products
+      // ~1e20 > Long.Max — ANSI throws; measured, on record). sf10
+      // paired: 1.44 -> 0.70 s, outputs bit-identical (Int128Spec +
+      // this key's oracle)
+      .agg(expr("graft_sum128_product(CAST(l_orderkey AS BIGINT), CAST(l_partkey AS BIGINT))")
+        .cast("string").as("big_product_sum"))
+  }
 
   def glTypedBigdecimal(s: SparkSession, d: String): DataFrame =
     ch(s, d).groupBy(col("op"))
