@@ -269,6 +269,16 @@ object Analytics {
   private val q5SessionMemo =
     graft.SessionMemo.named[SparkSession]("q5_multijoin_session")
 
+  /** The subset-key co-partition relaxation q5's serve clone scopes:
+    * the fact join carries (orderkey, nationkey) while the bucketing
+    * is orderkey-only — sufficient co-location because orderkey is
+    * the fact's PRIMARY KEY (BucketingSpec pins both the registration
+    * and that premise). Like [[SortedBucketScanConf]], a future Spark
+    * dropping the conf must degrade LOUDLY-but-correct (one extra
+    * exchange), not silently set an ignored key. */
+  private[graft] val SubsetCoPartitionConf =
+    "spark.sql.requireAllClusterKeysForCoPartition"
+
   def q5Multijoin(spark0: SparkSession, dir: String): DataFrame = {
     import spark0.implicits._
     // Served from the standing bucketed layout ([[bucketedFacts]]) —
@@ -290,7 +300,20 @@ object Analytics {
     val (liT, ordT) = bucketedFacts(spark0, dir)
     val spark = q5SessionMemo.getOrBuild(spark0, "subset-copartition") {
       val c = spark0.newSession() // shares the catalog: tables visible
-      c.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      // registered-assert + warn-and-degrade (the q_bucket_join
+      // treatment): RuntimeConf accepts unknown keys silently, so a
+      // future Spark dropping this conf would otherwise "set" a no-op
+      // and the fact join would quietly re-exchange — green plans
+      // turning slow, not red. isModifiable is true only for
+      // REGISTERED runtime confs.
+      if (c.conf.isModifiable(SubsetCoPartitionConf))
+        c.conf.set(SubsetCoPartitionConf, "false")
+      else
+        Console.err.println(s"graft: $SubsetCoPartitionConf is no longer a " +
+          "registered SQL conf in this Spark version — q5_multijoin's " +
+          "fact-side join now re-exchanges the resolved map (correct but " +
+          "one extra shuffle); re-check whether subset-key co-partition " +
+          "became the default or needs a new conf.")
       c
     }
     val cust = Tables.customer(spark, dir)
@@ -910,10 +933,8 @@ object Analytics {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
     }
-    val scheme = warehouse.toUri.getScheme
-    val hostLocal = scheme == null || scheme == "file"
     val orphan = "b_(?:lineitem|orders|events)_[0-9a-f]{8}_p(\\d+)".r
-    if (hostLocal)
+    if (scrubAllowed(warehouse.toUri))
       try fs.listStatus(warehouse).foreach { st =>
         scala.util.Try {
           st.getPath.getName match {
@@ -924,6 +945,16 @@ object Analytics {
           }
         }: Unit
       } catch { case _: java.io.FileNotFoundException => () } // no warehouse yet
+  }
+
+  /** Pid-liveness is only meaningful on THIS host, so the orphan scrub
+    * must never run against a warehouse another host can reach: only
+    * scheme-less and `file:` URIs qualify (hdfs/s3a/gs/abfs/... are
+    * shared by construction; a second host's live pid would look dead
+    * here and its standing tables would be scrubbed mid-query). */
+  private[graft] def scrubAllowed(warehouse: java.net.URI): Boolean = {
+    val scheme = warehouse.getScheme
+    scheme == null || scheme == "file"
   }
 
   /** Bucket count sized to the DATA from the UNPRUNED scan estimate

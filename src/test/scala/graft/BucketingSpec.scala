@@ -78,6 +78,35 @@ class BucketingSpec extends SparkSpec {
     assert(!spark.conf.isModifiable("spark.sql.graft.no.such.conf"))
   }
 
+  test("the subset-co-partition conf q5 relies on is still registered, and its premise holds") {
+    // Same treatment as the sorted-scan conf: q5's serve clone relaxes
+    // requireAllClusterKeysForCoPartition because the fact join carries
+    // (orderkey, nationkey) over orderkey-only bucketing. If this
+    // fails after a Spark upgrade the key DEGRADES (one extra exchange
+    // of the resolved map), not breaks — q5Multijoin warns.
+    assert(spark.conf.isModifiable(graft.queries.Analytics.SubsetCoPartitionConf),
+      s"${graft.queries.Analytics.SubsetCoPartitionConf} was dropped by " +
+        "this Spark version — see this test's comment for the degrade path")
+    // ...and the SEMANTIC premise that makes subset-key co-location
+    // safe here: orderkey is the fact's primary key in the orders
+    // table (one row per orderkey), so bucketing by it alone cannot
+    // split a join group across buckets
+    val ord = graft.Tables.orders(spark, sf)
+    assert(ord.groupBy("o_orderkey").count().where("count > 1").isEmpty)
+  }
+
+  test("orphan scrub is enforced host-local: only file/scheme-less warehouses qualify") {
+    import graft.queries.Analytics.scrubAllowed
+    assert(scrubAllowed(new java.net.URI("file:/root/repo/spark-warehouse")))
+    assert(scrubAllowed(new java.net.URI("/plain/path")))
+    // every shared scheme refuses — a second host's live pid would
+    // look dead to this host's liveness probe
+    for (u <- Seq("hdfs://nn:8020/warehouse", "s3a://bucket/warehouse",
+        "gs://bucket/warehouse", "abfs://c@a.dfs.core.windows.net/w",
+        "viewfs://cluster/warehouse"))
+      assert(!scrubAllowed(new java.net.URI(u)), u)
+  }
+
   test("writeBucketed produces exactly ONE file per bucket") {
     // the safety premise of the sorted-bucket-scan conf q_bucket_join
     // turns on: multi-file buckets concatenate UNSORTED at read time,
