@@ -280,6 +280,16 @@ class PlanSpec extends SparkSpec {
     // pass itself must not have one
     assert(nodes(p, "BroadcastNestedLoopJoin") <= 2, p)
     assert(nodes(p, "CartesianProduct") === 0, p)
+    // round 11: the scoring pass is ZERO-shuffle — the LM broadcasts
+    // (vocab under the cap) and the per-doc agg rides the cache's
+    // doc_id partitioning; count only ABOVE the first cache scan (the
+    // embedded cached-build plans carry their own one-time exchanges)
+    // (plain substring counts: the EXECUTED plan prints whole-stage
+    // codegen stars `*(1) ` between the tree edge and the node name,
+    // which the line-anchored nodes() regex doesn't cross)
+    val serve = p.split("InMemoryTableScan|TableCacheQueryStage").head
+    assert("Exchange ".r.findAllIn(serve).isEmpty, p)
+    assert("BroadcastHashJoin".r.findAllIn(serve).size === 1, p)
   }
 
   test("tx_repetition: map-only — native moments, no shuffle, no lambda") {
