@@ -219,15 +219,29 @@ object GraphLoad {
         .cast("string").as("big_product_sum"))
   }
 
-  def glTypedBigdecimal(s: SparkSession, d: String): DataFrame =
-    ch(s, d).groupBy(col("op"))
+  /** Exact decimal aggregation WITHOUT per-row BigDecimal (round 11):
+    * `cast(value AS decimal(20,2))` is value-per-value equal to
+    * `HalfUpCents.cents(value) / 100` (both are shortest-repr HALF_UP
+    * at 2 dp — CentsSpec pins the kernel against Spark's own
+    * rounding), so the scale-2 aggregation runs on primitive longs —
+    * the sum through the int128 aggregate (unbounded-exact to 2^127,
+    * the BigDecimal appears once per group), min/max as plain long
+    * min/max (order-isomorphic) — and the result is rescaled in ONE
+    * exact decimal division per group. The oracle twin keeps the
+    * textbook decimal form: two different algebras must agree
+    * bit-for-bit. */
+  def glTypedBigdecimal(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    val c = graft.functions.HalfUpCents.cents(col("value"))
+    def rescale(units: org.apache.spark.sql.Column) =
+      (units.cast("decimal(38,0)") / 100).cast("decimal(18,6)").cast("double")
+    ch(s, d).select(col("op"), c.as("c"))
+      .groupBy(col("op"))
       .agg(
-        sum(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
-          .cast("decimal(18,6)").cast("double").as("sum_val"),
-        min(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
-          .cast("decimal(18,6)").cast("double").as("min_val"),
-        max(col("value").cast("decimal(20,2)").cast("decimal(26,12)"))
-          .cast("decimal(18,6)").cast("double").as("max_val"))
+        rescale(expr("graft_sum128_product(c, CAST(1 AS BIGINT))")).as("sum_val"),
+        rescale(min(col("c"))).as("min_val"),
+        rescale(max(col("c"))).as("max_val"))
+  }
 
   /** #4b gl_change_validation — the reference's stream-sanity checks as
     * data (processor.go:238-296): CREATE on a live id is an error,
