@@ -822,6 +822,11 @@ object Analytics {
   private[graft] val SortedBucketScanConf =
     "spark.sql.legacy.bucketedTableScan.outputOrdering"
 
+  /** DisableUnnecessaryBucketedScan's switch — must be FORCED OFF in
+    * the sorted-scan serve clone: see [[sortedScanSession]]. */
+  private[graft] val AutoBucketedScanConf =
+    "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+
   /** The SHARED bucketed fact layout — lineitem and orders persisted
     * bucketed+sorted by orderkey, once per (caller session, dir): the
     * layout a 100 TB warehouse keeps standing for every orderkey-join
@@ -1009,6 +1014,24 @@ object Analytics {
           "registered SQL conf in this Spark version — sorted-bucket serve " +
           "plans now re-Sort at read time (correct but slow); re-plan " +
           "q_bucket_join on a hash join over the bucketed scans.")
+      // DisableUnnecessaryBucketedScan (on by default) un-buckets any
+      // scan whose consumers don't REQUIRE ClusteredDistribution — and
+      // retentionSortedFold's MapPartitions is exactly such a consumer.
+      // A plain file scan may SPLIT a multi-row-group bucket file
+      // mid-user across partitions, silently violating the fold's
+      // contiguity contract (invisible at small SF where bucket files
+      // are single-row-group and unsplittable; wrong results at the
+      // 100 TB scale the layout targets). Pin the rule OFF in the serve
+      // clone; PlanSpec's q_retention gate asserts `Bucketed: true` in
+      // the formatted scan so a future-Spark regression fails red.
+      if (c.conf.isModifiable(AutoBucketedScanConf))
+        c.conf.set(AutoBucketedScanConf, "false")
+      else
+        Console.err.println(s"graft: $AutoBucketedScanConf is no longer a " +
+          "registered SQL conf in this Spark version — the planner may " +
+          "un-bucket the events scan and SPLIT bucket files, breaking the " +
+          "retention fold's per-partition user-contiguity contract; " +
+          "q_retention must be re-pointed at the window-based retention().")
       // broadcast off: this key IS the bucketed fact-to-fact join — at
       // scale neither fact side broadcasts, and at toy SF a broadcast
       // would silently bypass the layout under test
@@ -1702,10 +1725,17 @@ object Analytics {
     * more than the hash distinct it saves).
     *
     * CONTRACT: input must be clustered by user_id per partition and
-    * ts-sorted within user — TRUE for the layout scan independent of
-    * the sorted-scan conf (the conf changes what the PLANNER knows,
-    * not the file order). Generic inputs must use [[retention]];
-    * RetentionFoldSpec pins fold == window equality on the layout. */
+    * ts-sorted within user — TRUE for a BUCKETED scan of the layout
+    * independent of the sorted-scan conf (the conf changes what the
+    * PLANNER knows, not the file order), but NOT for a plain file
+    * scan, which may split a multi-row-group bucket file mid-user.
+    * The serve clone therefore pins DisableUnnecessaryBucketedScan
+    * off ([[AutoBucketedScanConf]] — the rule would otherwise
+    * un-bucket this very plan shape, since MapPartitions requires no
+    * distribution), and PlanSpec asserts the scan stays `Bucketed:
+    * true` so a regression fails red. Generic inputs must use
+    * [[retention]]; RetentionFoldSpec pins fold == window equality on
+    * the layout. */
   private[graft] def retentionSortedFold(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._

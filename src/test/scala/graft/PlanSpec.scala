@@ -92,7 +92,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_retention: served from bucketed events — sorted fold, no window, no hash distinct") {
-    val p = physical(Analytics.qRetention(spark, sf))
+    val df = Analytics.qRetention(spark, sf)
+    val p = physical(df)
     assert(p.contains("b_events_"), p)
     // the O(1)-state sorted fold replaces the whole-frame window AND
     // the 10M-row hash distinct (both measured slower at sf10); the
@@ -102,6 +103,18 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Window") === 0, p)
     assert(nodes(p, "Sort") === 0, p)
     assert(nodes(p, "MapPartitions") === 1, p)
+    // CORRECTNESS gate, not a perf gate: the fold's per-partition
+    // user-contiguity contract holds ONLY under a bucketed scan (a
+    // plain file scan can split a multi-row-group bucket file mid-user
+    // at 100 TB file sizes). DisableUnnecessaryBucketedScan would
+    // un-bucket exactly this plan shape — the serve clone pins it off
+    // (AutoBucketedScanConf); if a Spark upgrade drops that conf or the
+    // rule stops honoring it, THIS fails red instead of going latent.
+    val f = formatted(df)
+    assert(f.contains("Bucketed: true"),
+      "events scan is no longer bucketed — the retention fold's " +
+        "contiguity contract is void; re-point q_retention at the " +
+        "window-based retention():\n" + f)
   }
 
   test("q_window_funnel: served from bucketed events — step windows are exchange- and sort-free") {
