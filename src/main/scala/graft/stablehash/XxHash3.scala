@@ -11,11 +11,15 @@ package graft.stablehash
   * arithmetic is wrapping two's-complement, which Java longs give
   * natively; unsigned comparisons/multiplies use the explicit helpers.
   *
-  * Verified end-to-end by the reference's FastHasher/POI test vectors
-  * (StableHashSpec): those exercise the 0, 1-3, 4-8, 9-16, 17-128
-  * byte paths with varied seeds. The 129-240 and long (>240) paths
-  * follow the same specification but are only invariance-tested —
-  * entity values longer than 240 bytes are rare in POI streams.
+  * Verified two ways (StableHashSpec): end-to-end by the reference's
+  * FastHasher/POI test vectors (0, 1-3, 4-8, 9-16, 17-128 byte paths
+  * with varied seeds), and directly against the official xxHash
+  * sanity vectors (cli/xsum_sanity_check.c's XXH128 table over its
+  * PRNG-filled buffer) at lengths 0..2367 with seeds 0/PRIME32/PRIME64
+  * — the latter pins the 129-240 midsize path (len 222) and the >240
+  * block path (403 partial-block, 512, 2048 two-block boundary, 2240
+  * block+full-stripe boundary, 2367), so long entity values hash
+  * bit-identically to graph-node too.
   */
 object XxHash3 {
 

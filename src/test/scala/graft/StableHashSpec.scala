@@ -239,7 +239,65 @@ class StableHashSpec extends AnyFunSuite {
       === "993dd21dad9750a531331324bb07e2bcd9501521e1b1c7110800000000000000")
   }
 
-  // ---- xxh3 long-path invariants (no reference vectors reach >240B) ---------
+  // ---- xxh3 official sanity vectors (all size paths, incl. >240B) -----------
+
+  /** The xxHash repository's own sanity harness (cli/xsum_sanity_check.c,
+    * BSD-2) fills a test buffer with a 64-bit multiplicative PRNG and
+    * pins XXH128 at a ladder of lengths crossing every size-class
+    * boundary. Reproduced here so the 129–240 B midsize path (len 222)
+    * and the >240 B block path (403 = one partial block, 512, 2048 = an
+    * exact two-block boundary, 2240 = block + full-stripe boundary,
+    * 2367) are VECTOR-pinned, not just invariance-tested — closing the
+    * round-11 risk that a long-path constant error would corrupt POIs
+    * for entity values >240 B (reference stablehash/fast_hasher.go:
+    * xxh3_128_with_seed is the digest under every field hash). The
+    * ≤128 B entries overlap the paths already pinned by the FastHasher
+    * vectors above, cross-validating the transcription. */
+  test("xxh3_128 matches the official xsum_sanity_check vectors on every size path") {
+    import graft.stablehash.XxHash3
+    val Prime32 = 2654435761L            // 0x9E3779B1
+    val Prime64 = 0x9E3779B185EBCA8DL    // 11400714785074694797
+    val buf = new Array[Byte](2367)
+    var gen = Prime32
+    var i = 0
+    while (i < buf.length) { buf(i) = (gen >>> 56).toByte; gen *= Prime64; i += 1 }
+    // (len, seed, lo64, hi64) — the XSUM_XXH128_testdata table
+    val vectors: Seq[(Int, Long, Long, Long)] = Seq(
+      (   0,      0L, 0x6001C324468D497FL, 0x99AA06D3014798D8L),
+      (   0, Prime32, 0x5444F7869C671AB0L, 0x92220AE55E14AB50L),
+      (   1,      0L, 0xC44BDFF4074EECDBL, 0xA6CD5E9392000F6AL),
+      (   1, Prime32, 0xB53D5557E7F76F8DL, 0x89B99554BA22467CL),
+      (   6,      0L, 0x3E7039BDDA43CFC6L, 0x082AFE0B8162D12AL),
+      (   6, Prime32, 0x269D8F70BE98856EL, 0x5A865B5389ABD2B1L),
+      (  12,      0L, 0x061A192713F69AD9L, 0x6E3EFD8FC7802B18L),
+      (  12, Prime32, 0x9BE9F9A67F3C7DFBL, 0xD7E09D518A3405D3L),
+      (  24,      0L, 0x1E7044D28B1B901DL, 0x0CE966E4678D3761L),
+      (  24, Prime32, 0xD7304C54EBAD40A9L, 0x3162026714A6A243L),
+      (  48,      0L, 0xF942219AED80F67BL, 0xA002AC4E5478227EL),
+      (  48, Prime32, 0x7BA3C3E453A1934EL, 0x163ADDE36C072295L),
+      (  81,      0L, 0x5E8BAFB9F95FB803L, 0x4952F58181AB0042L),
+      (  81, Prime32, 0x703FBB3D7A5F755CL, 0x2724EC7ADC750FB6L),
+      ( 222,      0L, 0xF1AEBD597CEC6B3AL, 0x337E09641B948717L),
+      ( 222, Prime32, 0xAE995BB8AF917A8DL, 0x91820016621E97F1L),
+      ( 403,      0L, 0xCDEB804D65C6DEA4L, 0x1B6DE21E332DD73DL),
+      ( 403, Prime64, 0x6259F6ECFD6443FDL, 0xBED311971E0BE8F2L),
+      ( 512,      0L, 0x617E49599013CB6BL, 0x18D2D110DCC9BCA1L),
+      ( 512, Prime64, 0x3CE457DE14C27708L, 0x925D06B8EC5B8040L),
+      (2048,      0L, 0xDD59E2C3A5F038E0L, 0xF736557FD47073A5L),
+      (2048, Prime32, 0x230D43F30206260BL, 0x7FB03F7E7186C3EAL),
+      (2240,      0L, 0x6E73A90539CF2948L, 0xCCB134FBFA7CE49DL),
+      (2240, Prime32, 0xED385111126FBA6FL, 0x50A1FE17B338995FL),
+      (2367,      0L, 0xCB37AEB9E5D361EDL, 0xE89C0F6FF369B427L),
+      (2367, Prime32, 0x6F5360AE69C2F406L, 0xD23AAE4B76C31ECBL))
+    for ((len, seed, lo, hi) <- vectors) {
+      val h = XxHash3.hash128(buf.take(len), seed)
+      assert(h.lo === lo && h.hi === hi,
+        f"len=$len seed=$seed: got (0x${h.lo}%016X, 0x${h.hi}%016X), " +
+          f"want (0x$lo%016X, 0x$hi%016X)")
+    }
+  }
+
+  // ---- xxh3 long-path invariants -------------------------------------------
 
   test("xxh3 length/seed sensitivity across all size paths") {
     import graft.stablehash.XxHash3
