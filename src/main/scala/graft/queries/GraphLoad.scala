@@ -220,16 +220,21 @@ object GraphLoad {
   }
 
   /** Exact decimal aggregation WITHOUT per-row BigDecimal (round 11):
-    * `cast(value AS decimal(20,2))` is value-per-value equal to
-    * `HalfUpCents.cents(value) / 100` (both are shortest-repr HALF_UP
-    * at 2 dp — CentsSpec pins the kernel against Spark's own
-    * rounding), so the scale-2 aggregation runs on primitive longs —
-    * the sum through the int128 aggregate (unbounded-exact to 2^127,
-    * the BigDecimal appears once per group), min/max as plain long
-    * min/max (order-isomorphic) — and the result is rescaled in ONE
-    * exact decimal division per group. The oracle twin keeps the
-    * textbook decimal form: two different algebras must agree
-    * bit-for-bit. */
+    * the per-row quantization is `HalfUpCents.cents(value)` =
+    * `round(value*100)` on the double product (CentsSpec pins the
+    * kernel against Spark's own round()), so the scale-2 aggregation
+    * runs on primitive longs — the sum through the int128 aggregate
+    * (unbounded-exact to 2^127, the BigDecimal appears once per
+    * group), min/max as plain long min/max (order-isomorphic) — and
+    * the result is rescaled in ONE exact decimal division per group.
+    * NOTE (round 12): cents() is NOT value-per-value equal to
+    * `cast(value AS decimal(20,2))` — the cast rounds the double's
+    * SHORTEST DECIMAL REPR at 2 dp while cents() rounds the double
+    * PRODUCT value·100, and these diverge at representational ties
+    * (1.005 stores as 1.00499…989, shortest repr "1.005" → cast 1.01,
+    * but 1.005·100 = 100.499…99 → cents 100). The oracle twin
+    * therefore computes the same round(value*100) cents algebra, and
+    * CentsSpec pins the divergence class explicitly. */
   def glTypedBigdecimal(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(s)
     val c = graft.functions.HalfUpCents.cents(col("value"))
@@ -590,11 +595,21 @@ object GraphLoad {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "gl_typed_bigdecimal" ->
+      // per-row term is the SAME function both sides — round(value*100)
+      // on the double product (DuckDB round == Spark round == cents()
+      // for every double: integer-rounding of the binary value and of
+      // its shortest repr can only differ across a .5 boundary, and a
+      // shortest repr ending exactly in .5 round-trips to a DIFFERENT
+      // double, so no non-tie value crosses; CentsSpec pins the Spark
+      // pair). The earlier CAST(value AS DECIMAL(20,2)) twin was a
+      // DIFFERENT function (HALF_UP on the shortest repr at 2 dp):
+      // equal on this corpus but divergent at representational ties
+      // like 1.005 — see CentsSpec's divergence-class test.
       s"""$W
          |SELECT op,
-         |  CAST(CAST(SUM(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_val,
-         |  CAST(CAST(MIN(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS min_val,
-         |  CAST(CAST(MAX(CAST(CAST(value AS DECIMAL(20,2)) AS DECIMAL(26,12))) AS DECIMAL(18,6)) AS DOUBLE) AS max_val
+         |  CAST(CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE) AS sum_val,
+         |  CAST(CAST(MIN(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE) AS min_val,
+         |  CAST(CAST(MAX(CAST(round(value*100) AS BIGINT)) AS DOUBLE) / 100.0 AS DOUBLE) AS max_val
          |FROM changes GROUP BY op""".stripMargin,
 
     "gl_jsonl_encode" ->

@@ -1035,13 +1035,16 @@ object TextAnalysis {
   private val relMemo = graft.SessionMemo.named[(DataFrame, Long)]("tx_rarity_rel")
 
   /** Vocabulary rows up to which the (token → relfreq) LM broadcasts:
-    * ~50 B/entry ⇒ ≤ ~50 MB on the wire, well inside executor memory
-    * at any cluster size. A unigram vocab is sublinear in corpus size
-    * (Heaps' law — single-digit millions of types at 100 TB of natural
-    * text), so the broadcast path is the EXPECTED path at scale; the
-    * shuffle join stays as the structural fallback for degenerate
-    * corpora (e.g. random-hex "tokens") rather than an OOM. */
-  private[graft] val RarityBroadcastVocabMax = 1000000L
+    * ~50 B/entry ⇒ ≤ ~200 MB on the wire at the cap — an explicit
+    * executor-memory budget. Heaps' law keeps a natural-text unigram
+    * vocab in the low millions of types well into the multi-TB range,
+    * so the broadcast path covers small-through-large corpora; at
+    * extreme scale (a 100 TB web crawl's long tail of typos/IDs can
+    * push types past this budget) or on degenerate corpora (random-hex
+    * "tokens") the vocab exceeds the cap and the shuffle join is the
+    * EXPECTED path — a structural fallback sized by memory, not an
+    * OOM. */
+  private[graft] val RarityBroadcastVocabMax = 4000000L
 
   def txRarity(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel

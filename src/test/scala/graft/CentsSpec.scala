@@ -76,6 +76,41 @@ class CentsSpec extends SparkSpec {
     assert(df.where(col("fast") =!= col("ref")).count() === 0L)
   }
 
+  /** Documents the KNOWN divergence class between the cents algebra
+    * and `cast(x AS decimal(20,2))`: the cast rounds the double's
+    * shortest decimal repr at 2 dp, cents rounds the double PRODUCT
+    * x·100 — different functions wherever the stored double sits just
+    * below a representational tie whose shortest repr IS the tie.
+    * Both graft and the DuckDB oracle compute the cents form (round ==
+    * cents on every double in both engines: an integer-rounding of the
+    * binary value and of its shortest repr can only disagree across a
+    * .5 boundary, and a shortest repr ending exactly in .5 round-trips
+    * to a different double), so this divergence never reaches the
+    * correctness gate — this test pins that it EXISTS, so nobody
+    * reintroduces the decimal-cast form on one side only. */
+  test("cents(x) vs cast(x as decimal(20,2)): known divergence at representational ties") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(1.005, 1.015, 1.025, 0.125, 2.675, -1.005)
+      .toDF("x")
+      .select(
+        HalfUpCents.cents(col("x")).as("cents"),
+        (col("x").cast("decimal(20,2)") * 100).cast("long").as("cast100"))
+      .collect()
+    // 1.005 → cents 100 (product 100.4999…) vs cast 101 ("1.005" HALF_UP)
+    assert(rows(0).getLong(0) === 100L && rows(0).getLong(1) === 101L)
+    assert(rows(1).getLong(0) === 101L && rows(1).getLong(1) === 102L)
+    assert(rows(2).getLong(0) === 102L && rows(2).getLong(1) === 103L)
+    // 0.125 stores exactly: both 13 (no divergence off the tie class)
+    assert(rows(3).getLong(0) === 13L && rows(3).getLong(1) === 13L)
+    // 2.675's PRODUCT re-rounds UP to the representational tie 267.5
+    // (within half an ulp), so the two forms agree there — the
+    // divergence class is "product stays below the tie", not "x has a
+    // 3-decimal repr"
+    assert(rows(4).getLong(0) === 268L && rows(4).getLong(1) === 268L)
+    assert(rows(5).getLong(0) === -100L && rows(5).getLong(1) === -101L)
+  }
+
   test("null propagates") {
     val s = spark
     import s.implicits._
