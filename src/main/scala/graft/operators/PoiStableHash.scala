@@ -204,12 +204,26 @@ object PoiStableHash {
       }.collect { case (b, o) if o != null => b -> o }.toMap
     }
 
-    prefixes.map { r =>
+    val chain = prefixes.map { r =>
       val (mixer, cnt) = offsets.get(r.bundle) match {
         case Some((om, oc)) => (StableHash.mix(om, U192(r.v0, r.v1, r.v2)), oc + r.cnt)
         case None => (U192(r.v0, r.v1, r.v2), r.cnt)
       }
       (r.block_num, hex(StableHash.FastHasher.from(mixer, cnt).toBytes))
     }.toDF("block_num", "poi")
+
+    // digest-of-digests: an order-free XOR set-digest over every
+    // (block_num, poi) row, stamped onto each output row. The driver's
+    // gate for this key is rows-only (no SQL engine computes
+    // xxh3/FldMix), so the dumped parquet itself now carries a single
+    // value that certifies ALL rows: StableHashSpec pins it against
+    // the sequential Pause(prev) reference chain at sf0.01, and
+    // SURVEY records the literal. XOR (not SUM) because block_num is
+    // unique per row — any single wrong row flips the digest — and
+    // ANSI-mode sum(long) would throw on wrap. Cost: one extra pass
+    // over the PERSISTED |blocks|-row mixer frame, never the data.
+    val digest = chain.agg(
+      bit_xor(xxhash64(col("block_num"), col("poi"))).as("chain_digest"))
+    chain.crossJoin(broadcast(digest))
   }
 }

@@ -349,15 +349,11 @@ class StableHashSpec extends AnyFunSuite {
   * reference's sequential Pause(prev) chain on the real change stream. */
 class PoiStableHashSparkSpec extends SparkSpec {
 
-  test("gl_poi_stablehash: distributed chain == sequential reference chain") {
-    val changes = graft.sources.EntityChanges.changes(spark, sf)
-    val got = graft.queries.GraphLoad.glPoiStablehash(spark, sf)
-      .collect().map(r => r.getAs[Long]("block_num") -> r.getAs[String]("poi")).toMap
-
-    // rebuild the exact same event stream locally and run the
-    // reference-faithful sequential fold
+  /** Reference-faithful sequential reconstruction of the chain from
+    * the same change stream the query reads. */
+  private def sequentialChain(dir: String): Map[Long, String] = {
     import org.apache.spark.sql.functions._
-    val rows = changes
+    val rows = graft.sources.EntityChanges.changes(spark, dir)
       .select(col("block_num"), col("id"), col("op"),
         PoiStableHash.valueText(col("value")).as("v"))
       .collect()
@@ -371,8 +367,44 @@ class PoiStableHashSparkSpec extends SparkSpec {
           "value" -> PoiStableHash.EBigDecimal(v))): PoiStableHash.PoiEvent
       }.toSeq
     }
-    val want = PoiStableHash.chainSequential(blocks).toMap
+    PoiStableHash.chainSequential(blocks).toMap
+  }
+
+  test("gl_poi_stablehash: distributed chain == sequential reference chain") {
+    val got = graft.queries.GraphLoad.glPoiStablehash(spark, sf)
+      .collect().map(r => r.getAs[Long]("block_num") -> r.getAs[String]("poi")).toMap
+    val want = sequentialChain(sf)
     assert(got.size === want.size)
     assert(got === want)
+  }
+
+  /** The driver's gate for this key is rows-only (no SQL engine can
+    * compute xxh3/FldMix), so the correctness of the CONTENT is pinned
+    * here at the driver's own scale factor: every one of the 10000
+    * blocks must match the sequential Pause(prev) reference chain, and
+    * the digest-of-digests column stamped on every output row — the
+    * value a reader of the driver's CORRECTNESS dump can check against
+    * SURVEY §2's pinned literal — must equal the value this data
+    * derives. A wrong row ANYWHERE flips chain_digest (XOR set-digest
+    * over xxhash64(block_num, poi); block_num is unique per row). */
+  test("gl_poi_stablehash at sf0.01: all 10000 rows match the reference chain; " +
+    "chain_digest pinned") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.GraphLoad.glPoiStablehash(spark, dir).collect()
+      .map(r => (r.getAs[Long]("block_num"), r.getAs[String]("poi"),
+        r.getAs[Long]("chain_digest")))
+    assert(out.length === 10000)
+    // pinned in SURVEY §2 (round 12) — recompute and compare on any
+    // testdata regeneration
+    assert(out.map(_._3).distinct.toSeq === Seq(-2076809536934128530L))
+    val want = sequentialChain(dir)
+    assert(want.size === out.length)
+    out.foreach { case (bn, poi, _) =>
+      assert(want(bn) === poi, s"block $bn diverges from the reference chain")
+    }
+    // the terminal digest summarizes the whole history (running mix):
+    // pin it too, as the single human-checkable constant
+    assert(out.maxBy(_._1)._2 ===
+      "b4ef5008ffbea07c0aaa9859f43314312481f2d486d96c9ba4da000000000000")
   }
 }
