@@ -297,7 +297,7 @@ object Analytics {
     // equality resolves inside it. The conf exists for plans where a
     // subset key is heavily skewed; orderkey is the fact's primary key,
     // so the relaxation is safe here and scoped to this clone.
-    val (liT, ordT) = bucketedFacts(spark0, dir)
+    val (liT, _) = bucketedFacts(spark0, dir)
     val spark = q5SessionMemo.getOrBuild(spark0, "subset-copartition") {
       val c = spark0.newSession() // shares the catalog: tables visible
       // registered-assert + warn-and-degrade (the q_bucket_join
@@ -316,21 +316,22 @@ object Analytics {
           "became the default or needs a new conf.")
       c
     }
-    val cust = Tables.customer(spark, dir)
     val supp = Tables.supplier(spark, dir)
     val nat = Tables.nation(spark, dir)
     val reg = Tables.region(spark, dir)
-    val ordPruned = spark.table(ordT).select($"o_orderkey", $"o_custkey")
-    val custPruned = cust.select($"c_custkey", $"c_nationkey")
+    // round 12: the (o_orderkey, c_nationkey) resolve is NOT run per
+    // serve anymore — it is part of the standing layout
+    // ([[bucketedResolvedMap]]: orders⋈customer materialized bucketed
+    // by o_orderkey beside the facts), so the serve plan's build side
+    // is a bucket-local scan of the 12 B/row map: no per-serve
+    // dimension join, no |orders|-row broadcast-hash probes — just the
+    // parallel per-bucket hash build the SHJ hint asks for.
+    val resolvedT = bucketedResolvedMap(spark0, dir)
     // supplier is NOT hinted: it scales with the data (a forced
     // broadcast would eventually OOM), so the planner broadcasts its
     // pruned 2-column scan while it fits — which PRESERVES the fact
     // scan's bucket partitioning — and degrades that join to a shuffle
-    // on its own beyond. Same for customer on the resolve side: while
-    // it broadcasts, the resolved map keeps the orders scan's
-    // bucketing and the fact join is exchange-free bucket-for-bucket;
-    // beyond broadcast budget only the RESOLVED MAP re-shuffles to the
-    // fact's layout — the fact side never exchanges either way.
+    // on its own beyond.
     // nation⋈region resolves POST-AGG: both are bounded dimensions
     // (25/5 rows at ANY scale) and the region join drops no fact rows
     // beyond what the nation inner join already decides, so joining
@@ -347,8 +348,7 @@ object Analytics {
       .join(supp.select($"s_suppkey", $"s_nationkey"),
         $"l_suppkey" === $"s_suppkey")
       .join(
-        ordPruned.join(custPruned, $"o_custkey" === $"c_custkey")
-          .select($"o_orderkey", $"c_nationkey").hint("shuffle_hash"),
+        spark.table(resolvedT).hint("shuffle_hash"),
         $"l_orderkey" === $"o_orderkey" && $"c_nationkey" === $"s_nationkey")
       .groupBy($"s_nationkey")
       .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
@@ -865,6 +865,40 @@ object Analytics {
       (li, ord)
     }
 
+  private val q5ResolvedMemo =
+    graft.SessionMemo.named[String]("q5_resolved_map")
+
+  /** The orderkey→nationkey RESOLVED map as part of the standing
+    * layout (round 12): orders⋈customer collapses to an
+    * (o_orderkey, c_nationkey) table persisted bucketed by o_orderkey
+    * with the SAME bucket count as [[bucketedFacts]] — so a q5 serve
+    * joins it against the fact scan bucket-for-bucket with NO resolve
+    * join at all. Before this, every serve re-ran the dimension-side
+    * resolve (orders scan ⋈ broadcast customer, ~|orders| probes) just
+    * to rebuild a map that is a pure function of the standing data —
+    * the last multi-second >2× residual at sf10. The map is 12 B/row
+    * narrow; at 100 TB it is the materialized-view form of the same
+    * resolve the serve plan used to compute, maintained alongside the
+    * fact layout (an UPDATE to customer nationality — rare — rebuilds
+    * it, exactly like any warehouse MV). */
+  private[graft] def bucketedResolvedMap(spark: SparkSession, dir: String): String =
+    q5ResolvedMemo.getOrBuild(spark, dir) {
+      import spark.implicits._
+      val (_, ordT) = bucketedFacts(spark, dir)
+      val tbl = standingName("ordnat", dir)
+      prepareStandingTables(spark, Seq(tbl))
+      // same sizing rule as the facts: bucketCountFor is deterministic
+      // per (spark, dir), so the counts agree and the join co-locates
+      val buckets = bucketCountFor(spark, Tables.lineitem(spark, dir))
+      graft.operators.Bucketing.writeBucketed(
+        spark.table(ordT).select($"o_orderkey", $"o_custkey")
+          .join(Tables.customer(spark, dir).select($"c_custkey", $"c_nationkey"),
+            $"o_custkey" === $"c_custkey")
+          .select($"o_orderkey", $"c_nationkey"),
+        tbl, "o_orderkey", buckets)
+      tbl
+    }
+
   private val bucketEventsMemo =
     graft.SessionMemo.named[String]("bucketed_events")
 
@@ -938,7 +972,7 @@ object Analytics {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
     }
-    val orphan = "b_(?:lineitem|orders|events)_[0-9a-f]{8}_p(\\d+)".r
+    val orphan = "b_(?:lineitem|orders|events|ordnat)_[0-9a-f]{8}_p(\\d+)".r
     if (scrubAllowed(warehouse.toUri))
       try fs.listStatus(warehouse).foreach { st =>
         scala.util.Try {

@@ -61,8 +61,15 @@ class PlanSpec extends SparkSpec {
   test("q5_multijoin: served from bucketed facts — the fact NEVER exchanges; " +
     "the ≤|nations|-group agg is the plan's only shuffle") {
     val p = physical(Analytics.q5Multijoin(spark, sf))
-    assert(p.contains("b_lineitem_") && p.contains("b_orders_"), p)
-    assert(bhj(p) >= 4, p)
+    // round 12: the orders⋈customer resolve is a standing layout
+    // artifact (b_ordnat_, bucketed by o_orderkey beside the facts) —
+    // the serve plan must scan the MAP, not re-run the resolve: no
+    // b_orders_/customer scan, no resolve BHJ
+    assert(p.contains("b_lineitem_") && p.contains("b_ordnat_"), p)
+    assert(!p.contains("b_orders_") && !p.contains("customer"), p)
+    // remaining broadcasts: supplier, nation⋈region, and the post-agg
+    // name attach
+    assert(bhj(p) >= 3, p)
     assert(bigJoins(p) === 1, p)
     // the hinted shuffle-hash join binds the two bucketed sides in
     // place (subset-co-partition conf on the serve clone): a
