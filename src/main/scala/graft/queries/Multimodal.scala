@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * Pattern for image/audio/video at 100 TB: the payload is an opaque
   * `binary` column with a typed metadata struct; decode/feature-extract
   * runs per-partition so decoder state is initialized once per
-  * partition, not per row. The decode itself is STUBBED (no media libs
-  * in this environment) with a deterministic fake that reads "features"
-  * from the payload bytes — the Spark-side plumbing (schema, binary
-  * columns, partition-wise batching, output schema) is real and tested.
+  * partition, not per row. TWO real container decodes anchor the
+  * family: mm_binary_meta walks genuine RIFF/WAVE chunks
+  * ([[graft.sources.WavCodec]], round 10) and mm_resize / mm_phash /
+  * mm_phash_dedup operate on pixels decoded by a strict BMP parser
+  * ([[graft.sources.BmpCodec]], round 12). Only the VIDEO keys
+  * (mm_frame_sample / mm_scene_cut) still read features from raw
+  * payload bytes — a real video codec is out of scope for this
+  * environment and their value is the fan-out/segmentation plumbing,
+  * which is real and plan-gated.
   */
 object Multimodal {
 
@@ -120,40 +125,74 @@ object Multimodal {
     }(enc)
   }
 
-  /** Stub resize "resolution": output payloads carry this many bytes. */
+  /** Resize "resolution": output planes carry this many samples. */
   val ResizeTarget = 64
 
-  /** Output schema of the resizer — binary in, binary out. */
+  /** Container width rule for wrapping a flat payload as a BMP: a
+    * function of the byte length alone (content-deterministic, so the
+    * SQL oracles can reproduce it), varied across {36..48} so the
+    * 24-bit row stride exercises every 4-byte pad value (3w mod 4 ∈
+    * {0,1,2,3} over the range). */
+  def imageWidth(len: Int): Int = 36 + (len % 5) * 3
+
+  /** Every third payload (by length) gets a header→pixel gap — real
+    * files carry palettes/profiles there; keeps the parser honest. */
+  def imageGap(len: Int): Boolean = len % 3 == 0
+
+  /** Decode a payload through the REAL container path: wrap as a
+    * canonical 24-bit BMP ([[graft.sources.BmpCodec.encode]] — width
+    * by [[imageWidth]], letterboxed last row), then strictly parse it
+    * back ([[graft.sources.BmpCodec.parse]]: magic/header/bounds
+    * validation, bottom-up row un-flip, stride-pad skip, gray
+    * recovery). The round trip is NOT an identity: the decoded plane
+    * is the rectangular image (w·h ≥ len samples, ' '-letterboxed),
+    * which is what the downstream pixel ops consume. */
+  def decodeGray(payload: Array[Byte]): graft.sources.BmpCodec.BmpImage = {
+    val bmp = graft.sources.BmpCodec.encode(
+      payload, imageWidth(payload.length), withGap = imageGap(payload.length))
+    graft.sources.BmpCodec.parse(bmp).fold(
+      err => throw new IllegalStateException(s"self-encoded BMP failed to parse: $err"),
+      identity)
+  }
+
+  /** Nearest-neighbor downsample of a flat sample plane to `target`
+    * samples — the 1-D resample kernel [[mmResize]] applies to the
+    * DECODED gray plane. (Pre-round-12 this ran directly on payload
+    * bytes as the declared `stubResize`.) */
+  def resamplePlane(plane: Array[Byte], target: Int): Array[Byte] =
+    if (plane.length <= target) plane
+    else Array.tabulate(target)(i => plane((i.toLong * plane.length / target).toInt))
+
+  /** Output schema of the resizer — binary in, binary out, plus the
+    * container geometry the decode READ from the header bytes. */
   val ResizeSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("orig_len", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
     StructField("resized", BinaryType, nullable = false)
   ))
 
-  /** STUB resize: evenly-spaced byte subsample down to `target`. A real
-    * deployment decodes, rescales, re-encodes; the sampling keeps the
-    * output deterministic so specs assert exact bytes. */
-  def stubResize(payload: Array[Byte], target: Int): Array[Byte] =
-    if (payload.length <= target) payload
-    else Array.tabulate(target)(i => payload((i.toLong * payload.length / target).toInt))
-
   /** #38c mm_resize — the payload-IN / payload-OUT transform shape
-    * (image resize, audio resample, re-encode): a binary column maps to
-    * a smaller binary column with codec init amortized per partition.
-    * What's real: the binary-to-binary schema, the bounded output size
-    * (shuffle/write planning can rely on ≤ `ResizeTarget` bytes/row),
-    * and the per-partition batching. */
+    * (image resize, audio resample, re-encode), operating on REAL
+    * decoded pixel data since round 12: each payload round-trips
+    * through the strict BMP codec ([[decodeGray]]) and the resample
+    * runs on the DECODED gray plane — geometry (width/height) comes
+    * from the parsed header bytes, not from metadata columns. Codec
+    * init amortized per partition; output stays bounded
+    * (≤ `ResizeTarget` samples/row) so shuffle/write planning can
+    * rely on it. */
   def mmResize(s: SparkSession, d: String): DataFrame = {
     val in = Tables.documents(s, d).filter(col("text").isNotNull).select(
       col("doc_id"), col("text").cast("binary").as("payload"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(ResizeSchema)
     in.mapPartitions { rows =>
-      // per-partition codec init would go here (once, not per row)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        Row(r.getAs[Long]("doc_id"), payload.length,
-          stubResize(payload, ResizeTarget))
+        val img = decodeGray(payload)
+        Row(r.getAs[Long]("doc_id"), payload.length, img.width, img.height,
+          resamplePlane(img.gray, ResizeTarget))
       }
     }(enc)
   }
@@ -226,12 +265,12 @@ object Multimodal {
     StructField("b2", IntegerType, nullable = false),
     StructField("b3", IntegerType, nullable = false)))
 
-  /** STUB perceptual hash (dHash): 64 evenly-spaced payload samples,
-    * bit i = sample(i) > sample((i+1) mod 64). A real deployment
-    * decodes the image, rescales to a 9×8 grid, and compares adjacent
-    * luminances — the sampling stub keeps the exact same bit-geometry
-    * (64 gradient-sign bits) deterministic over raw payload bytes so
-    * the fingerprint is spec- and oracle-checkable without a codec. */
+  /** BYTE-STUB perceptual hash (pre-round-12 kernel): 64 evenly-spaced
+    * payload samples, bit i = sample(i) > sample((i+1) mod 64).
+    * Retained as the hasher-agnostic input source for the
+    * [[phashPairs]] miner specs (the miner's correctness doesn't
+    * depend on WHICH 4×16-bit fingerprint feeds it); the production
+    * fingerprint is [[phashOfPayload]], the real decoded-pixel dHash. */
   def stubPhash(payload: Array[Byte]): Array[Int] = {
     val n = payload.length
     val smp = Array.tabulate(PhashSamples)(i => payload(((i.toLong * n) / PhashSamples).toInt) & 0xff)
@@ -247,10 +286,43 @@ object Multimodal {
     }
   }
 
+  /** dHash grid: 9 columns × 8 rows of nearest-neighbor samples over
+    * the decoded image; bit (r,c) = grid(r,c) > grid(r,c+1) — 8
+    * gradient signs per row × 8 rows = 64 bits, packed into the same
+    * 4×16-bit bands as always (bit i = r·8 + c, band i/16, offset
+    * i%16). This is the REAL dHash geometry (difference hash over a
+    * downscaled luminance grid), not a byte stub. */
+  def dhash(img: graft.sources.BmpCodec.BmpImage): Array[Int] = {
+    val sy = Array.tabulate(8)(r => r * img.height / 8)
+    val sx = Array.tabulate(9)(c => c * img.width / 9)
+    Array.tabulate(PhashBands) { b =>
+      var acc = 0
+      var j = 0
+      while (j < PhashBandBits) {
+        val i = b * PhashBandBits + j
+        val r = i / 8
+        val c = i % 8
+        val a = img.gray(sy(r) * img.width + sx(c)) & 0xff
+        val d = img.gray(sy(r) * img.width + sx(c + 1)) & 0xff
+        if (a > d) acc |= 1 << j
+        j += 1
+      }
+      acc
+    }
+  }
+
+  /** Production fingerprint: strict container decode, then the real
+    * grid dHash on the decoded pixels. Shared by the batch [[mmPhash]]
+    * and the streaming [[graft.streaming.PhashDedupStream]] so stream
+    * and batch indexes stay bit-compatible. */
+  def phashOfPayload(payload: Array[Byte]): Array[Int] = dhash(decodeGray(payload))
+
   /** #38e mm_phash — per-payload perceptual fingerprint, the kernel an
-    * image-dedup pipeline computes at ingest and stores in its index
-    * (decode → fixed-grid dHash, here the deterministic byte stub, per
-    * partition like the rest of the mm family). The dump IS the
+    * image-dedup pipeline computes at ingest and stores in its index:
+    * since round 12 a REAL decode → fixed-grid dHash chain
+    * ([[phashOfPayload]]: strict BMP parse, 9×8 nearest-neighbor
+    * luminance grid, adjacent-column gradient signs), run per
+    * partition like the rest of the mm family. The dump IS the
     * per-doc hash table: map-only, hash-gated for every payload; the
     * Hamming pair-mining step over it is [[phashPairs]] (spec-gated
     * with planted near-identical payloads — the synthetic corpus has
@@ -264,7 +336,7 @@ object Multimodal {
       .encoderFor(PhashSchema)
     in.mapPartitions { rows =>
       rows.map { r =>
-        val h = stubPhash(r.getAs[Array[Byte]]("payload"))
+        val h = phashOfPayload(r.getAs[Array[Byte]]("payload"))
         Row(r.getAs[Long]("doc_id"), h(0), h(1), h(2), h(3))
       }
     }(enc)
@@ -367,14 +439,16 @@ object Multimodal {
   }
 
   /** #38c dumped form: the binary-out transform (`mmResize`) projected
-    * to hash-gated metadata + an md5 digest OF the real payload bytes.
-    * The digest rides through the actual `mapPartitions` resize path,
-    * so the oracle verifies the byte-level stub cross-engine without
-    * shipping a blob column through the stringified compare. */
+    * to hash-gated metadata + an md5 digest OF the resampled pixel
+    * bytes. The digest rides through the actual decode→resample path,
+    * so the oracle verifies the decoded-pixel math cross-engine
+    * without shipping a blob column through the stringified compare. */
   def mmResizeDigest(s: SparkSession, d: String): DataFrame =
     mmResize(s, d).select(
       col("doc_id"),
       col("orig_len"),
+      col("width"),
+      col("height"),
       length(col("resized")).as("resized_len"),
       md5(col("resized")).as("resized_md5"))
 
@@ -388,14 +462,17 @@ object Multimodal {
     "mm_scene_cut" -> (mmSceneCut _)
   )
 
-  /** Every mm decode is deterministic byte math — the remaining stubs
-    * by construction, mm_binary_meta's REAL RIFF walk because the
-    * container is built from the doc bytes by a documented rule — so
-    * the outputs ARE SQL-expressible: the oracles recompute header
-    * fields/offsets/features/digests from the same UTF-8 payload bytes
+  /** Every mm decode is deterministic — the video stubs by
+    * construction, the WAV/BMP paths because the containers are built
+    * from the doc bytes by documented rules (so the decoded facts are
+    * pure functions of the payload) — and therefore the outputs ARE
+    * SQL-expressible: the oracles recompute header fields / decoded
+    * planes / grid samples / digests from the same UTF-8 payload bytes
     * in DuckDB (documents.text is ASCII in the testdata, so character
-    * position == byte offset and md5(VARCHAR) == md5 of the payload).
-    * This keeps all mm keys at rows+schema+hash. */
+    * position == byte offset, md5(VARCHAR) == md5 of the payload, and
+    * the BMP gray plane is rpad(text, w·h, ' ')). This keeps all mm
+    * keys at rows+schema+hash EVEN THOUGH the Spark side runs real
+    * container walks. */
   val oracles: Map[String, String] = Map(
     // recomputes what the RIFF walker READ from the container bytes:
     // byte_len = 12 RIFF hdr + 24 fmt + (12 LIST on every 3rd doc) +
@@ -457,33 +534,36 @@ object Multimodal {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames,
         |  CAST(MIN(f) AS INT) AS f_min, CAST(MAX(f) AS INT) AS f_max
         |FROM scenes GROUP BY doc_id, scene_id""".stripMargin,
+    // the decoded gray plane of the self-encoded BMP is the payload
+    // letterboxed to the w×h rectangle: rpad(text, w·h, ' ') — the
+    // oracle recomputes geometry from the SAME width rule the encoder
+    // uses and resamples the PLANE, verifying the whole
+    // encode→parse→resample chain cross-engine
     "mm_resize" ->
-      """SELECT doc_id,
-        |       length(text) AS orig_len,
-        |       least(length(text), 64) AS resized_len,
-        |       md5(CASE WHEN length(text) <= 64 THEN text
+      """WITH g AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         CAST(36 + (length(text) % 5) * 3 AS INT) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |i AS (
+        |  SELECT doc_id, text, len, w,
+        |         CAST(greatest((len + w - 1) // w, 1) AS INT) AS h
+        |  FROM g),
+        |p AS (
+        |  SELECT doc_id, len, w, h, w * h AS n,
+        |         rpad(text, CAST(w * h AS INT), ' ') AS px
+        |  FROM i)
+        |SELECT doc_id,
+        |       CAST(len AS INT) AS orig_len,
+        |       w AS width, h AS height,
+        |       CAST(least(n, 64) AS INT) AS resized_len,
+        |       md5(CASE WHEN n <= 64 THEN px
         |           ELSE list_aggregate(list_transform(range(0, 64), i ->
-        |                  substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1)),
+        |                  substr(px, CAST(i * n // 64 AS INT) + 1, 1)),
         |                'string_agg', '')
         |           END) AS resized_md5
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+        |FROM p""".stripMargin,
     "mm_phash_dedup" ->
-      s"""WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 64), i ->
-        |           ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1))) AS smp
-        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN smp[j + 1]  > smp[(j + 1)  % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b0,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN smp[j + 17] > smp[(j + 17) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b1,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN smp[j + 33] > smp[(j + 33) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b2,
-        |    CAST(list_sum(list_transform(range(0, 16), j ->
-        |      CASE WHEN smp[j + 49] > smp[(j + 49) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b3
-        |  FROM s),
+      s"""$phashHashSql,
         |bands AS (
         |  SELECT doc_id, b0, b1, b2, b3, t.bi,
         |    CASE t.bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
@@ -496,20 +576,46 @@ object Multimodal {
         |WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
         |    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= $PhashMaxHamming""".stripMargin,
     "mm_phash" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |         list_transform(range(0, 64), i ->
-        |           ascii(substr(text, CAST(i * length(text) // 64 AS INT) + 1, 1))) AS smp
-        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
-        |SELECT doc_id,
-        |  CAST(list_sum(list_transform(range(0, 16), j ->
-        |    CASE WHEN smp[j + 1]  > smp[(j + 1)  % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b0,
-        |  CAST(list_sum(list_transform(range(0, 16), j ->
-        |    CASE WHEN smp[j + 17] > smp[(j + 17) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b1,
-        |  CAST(list_sum(list_transform(range(0, 16), j ->
-        |    CASE WHEN smp[j + 33] > smp[(j + 33) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b2,
-        |  CAST(list_sum(list_transform(range(0, 16), j ->
-        |    CASE WHEN smp[j + 49] > smp[(j + 49) % 64 + 1] THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b3
-        |FROM s""".stripMargin
+      s"""$phashHashSql
+        |SELECT doc_id, b0, b1, b2, b3 FROM h""".stripMargin
   )
+
+  /** One dHash band as DuckDB SQL over the decoded plane `px` (w×h):
+    * bit j of band `b` is grid sample (r,c) > (r,c+1) for global bit
+    * index i = b·16+j, r = i/8, c = i%8, with nearest-neighbor grid
+    * coords sy(r) = r·h/8, sx(c) = c·w/9 — the EXACT integer math of
+    * [[dhash]]. Generated, not hand-typed: 8 substr positions per
+    * band invite transcription bugs. */
+  private def phashBandSql(b: Int): String = {
+    val i = s"($b*16+j)"
+    def pos(cExpr: String) =
+      s"CAST((($i//8) * h) // 8 AS INT) * w + CAST(($cExpr * w) // 9 AS INT) + 1"
+    s"""CAST(list_sum(list_transform(range(0, 16), j ->
+       |    CASE WHEN ascii(substr(px, ${pos(s"($i%8)")}, 1))
+       |          > ascii(substr(px, ${pos(s"($i%8 + 1)")}, 1))
+       |    THEN 1 << CAST(j AS INT) ELSE 0 END)) AS INT) AS b$b""".stripMargin
+  }
+
+  /** Shared WITH-chain for the phash oracles: geometry from the same
+    * width rule the encoder uses, decoded plane = rpad(text, w·h, ' ')
+    * (the BMP round trip's letterboxed gray plane), then the 4 bands
+    * of the real grid dHash. */
+  private lazy val phashHashSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, text, length(text) AS len,
+       |         CAST(36 + (length(text) % 5) * 3 AS INT) AS w
+       |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       |geo AS (
+       |  SELECT doc_id, text, len, w,
+       |         CAST(greatest((len + w - 1) // w, 1) AS INT) AS h
+       |  FROM g),
+       |p AS (
+       |  SELECT doc_id, w, h, rpad(text, CAST(w * h AS INT), ' ') AS px FROM geo),
+       |h AS (
+       |  SELECT doc_id,
+       |  ${phashBandSql(0)},
+       |  ${phashBandSql(1)},
+       |  ${phashBandSql(2)},
+       |  ${phashBandSql(3)}
+       |  FROM p)""".stripMargin
 }

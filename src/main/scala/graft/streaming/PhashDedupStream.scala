@@ -13,8 +13,9 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   *
   * Spark-first: a stream-static INNER equi-join, natively supported in
   * append mode with NO state store at all. The stream side
-  * fingerprints its own micro-batch (the same `stubPhash` byte kernel
-  * the batch key runs, in the sanctioned mapPartitions codec shape),
+  * fingerprints its own micro-batch (the same `phashOfPayload`
+  * decode→grid-dHash kernel the batch key runs — strict BMP parse,
+  * real pixel grid — in the sanctioned mapPartitions codec shape),
   * explodes into 4 per-band rows, and probes the static band index on
   * the (band, value) key; the exact popcount budget rides as a
   * residual join predicate. One output row per (payload, reference,
@@ -46,7 +47,7 @@ object PhashDedupStream {
       .encoderFor(HashedSchema)
     payloads.mapPartitions { rows =>
       rows.map { r =>
-        val h = Multimodal.stubPhash(r.getAs[Array[Byte]]("payload"))
+        val h = Multimodal.phashOfPayload(r.getAs[Array[Byte]]("payload"))
         Row(r.getAs[Long]("doc_id"), h(0), h(1), h(2), h(3))
       }
     }(enc)

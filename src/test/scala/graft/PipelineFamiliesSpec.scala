@@ -866,19 +866,30 @@ class AnnSpec extends SparkSpec {
 
 class MultimodalSpec extends SparkSpec {
 
-  test("mm_resize: output payloads are bounded, deterministic byte subsamples") {
+  test("mm_resize: resamples the DECODED gray plane; geometry from the parsed header") {
     val rows = Multimodal.mmResize(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val resized = r.getAs[Array[Byte]]("resized")
       val origLen = r.getAs[Int]("orig_len")
-      assert(resized.length === math.min(origLen, Multimodal.ResizeTarget))
+      val w = r.getAs[Int]("width")
+      val h = r.getAs[Int]("height")
+      // geometry must be what the PARSER read back from the container
+      assert(w === Multimodal.imageWidth(origLen))
+      assert(h === math.max((origLen + w - 1) / w, 1))
+      // the plane is w·h samples (letterboxed), not the raw payload
+      assert(resized.length === math.min(w * h, Multimodal.ResizeTarget))
     }
-    // exact bytes for one known payload
+    // exact bytes for one known payload through the real decode chain
     val p = Array.tabulate(200)(_.toByte)
-    val out = Multimodal.stubResize(p, 64)
+    val img = Multimodal.decodeGray(p)
+    assert(img.width === Multimodal.imageWidth(200))
+    assert(img.gray.length === img.width * img.height)
+    assert(img.gray.take(200).toSeq === p.toSeq)
+    val out = Multimodal.resamplePlane(img.gray, 64)
     assert(out.length === 64)
-    assert(out(0) === p(0) && out(63) === p((63L * 200 / 64).toInt))
+    assert(out(0) === img.gray(0) &&
+      out(63) === img.gray((63L * img.gray.length / 64).toInt))
   }
 
   test("mm_binary_meta: every field is what the RIFF walker reads from the container") {
@@ -1167,12 +1178,19 @@ class PhashSpec extends SparkSpec {
       .toMap
     assert(got.keySet === texts.keySet)
     texts.foreach { case (id, t) =>
-      // independent path: 64-bit hash assembled MSB-first, then split
+      // independent path: rebuild the letterboxed plane and the 9×8
+      // grid dHash from scratch (no codec), 64-bit hash assembled
+      // MSB-first, then split into bands
       val p = t.getBytes("UTF-8")
+      val w = 36 + (p.length % 5) * 3
+      val h = math.max((p.length + w - 1) / w, 1)
+      val px = Array.tabulate(w * h)(k => if (k < p.length) p(k) else ' '.toByte)
       var hash = BigInt(0)
       for (i <- 63 to 0 by -1) {
-        val a = p(((i.toLong * p.length) / 64).toInt) & 0xff
-        val b = p((((i + 1) % 64).toLong * p.length / 64).toInt) & 0xff
+        val r = i / 8
+        val c = i % 8
+        val a = px((r * h / 8) * w + (c * w / 9)) & 0xff
+        val b = px((r * h / 8) * w + ((c + 1) * w / 9)) & 0xff
         hash = (hash << 1) | (if (a > b) 1 else 0)
       }
       val want = Tuple4(

@@ -536,7 +536,9 @@ class StreamingSpec extends SparkSpec {
   test("phash near-dup alerting: banded stream-static collisions match the batch pair miner") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
-    val base = Array.tabulate(256)(i => ((i * 37 + 11) % 251).toByte)
+    // 400 bytes → w=36, h=12: all 8 dHash grid rows distinct (BmpSpec
+    // pins the single-band ≤2-bit property of the planted flip)
+    val base = Array.tabulate(400)(i => ((i * 37 + 11) % 251).toByte)
     val far = base.reverse
     val ref = Seq(100L -> base, 101L -> far).toDF("doc_id", "payload")
     val refIndex = graft.streaming.PhashDedupStream.referenceIndex(ref)
@@ -548,10 +550,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("phash_alerts")
       .outputMode("append").start()
     try {
-      // 1 = one flipped sample vs ref 100 (≤2 differing bits → ≥2 of
+      // 1 = one flipped GRID-SAMPLED pixel vs ref 100 (position 116 =
+      // grid (r=2, c=2): ≤2 differing bits, confined to band 1 → 3 of
       // 4 bands still collide); 2 = random-ish, far from both refs
-      val near = base.clone(); near(8) = 250.toByte
-      val novel = Array.tabulate(256)(i => ((i * 101 + 7) % 249).toByte)
+      val near = base.clone(); near(116) = 250.toByte
+      val novel = Array.tabulate(400)(i => ((i * 101 + 7) % 249).toByte)
       input.addData(Seq((1L, near), (2L, novel)))
       q.processAllAvailable()
       // stateless: an exact copy arriving in a LATER batch still
@@ -576,7 +579,7 @@ class StreamingSpec extends SparkSpec {
       val arrivals = Seq(1L -> near, 2L -> novel, 3L -> base.clone())
       val hashedUnion = (Seq(100L -> base, 101L -> far) ++ arrivals)
         .map { case (id, p) =>
-          val h = graft.queries.Multimodal.stubPhash(p)
+          val h = graft.queries.Multimodal.phashOfPayload(p)
           (id, h(0), h(1), h(2), h(3))
         }.toDF("doc_id", "b0", "b1", "b2", "b3")
       val batchCross = graft.queries.Multimodal.phashPairs(hashedUnion, 3)
