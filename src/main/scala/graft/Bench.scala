@@ -71,20 +71,36 @@ object Bench {
     * the formula returns ~29 ≈ full width, preserving the measured
     * sf1 crossovers, and sf10 clamps to every core. A cluster
     * deployment replaces this with its bucket/partition layout. */
-  private def dataSizedShuffle(sfDir: String, cpus: Int): Int = {
+  private def factBytes(sfDir: String): Long = {
     import java.nio.file.{Files, Paths}
     val p = Paths.get(sfDir, "lineitem.parquet")
-    val bytes =
-      try {
-        if (Files.isDirectory(p)) {
-          val s = Files.walk(p)
-          try s.filter(Files.isRegularFile(_))
-            .mapToLong(Files.size(_)).sum
-          finally s.close()
-        } else Files.size(p)
-      } catch { case _: Exception => Long.MaxValue } // unknown → full width
-    math.max(8, math.min(cpus.toLong, bytes >> 22).toInt)
+    try {
+      if (Files.isDirectory(p)) {
+        val s = Files.walk(p)
+        try s.filter(Files.isRegularFile(_))
+          .mapToLong(Files.size(_)).sum
+        finally s.close()
+      } else Files.size(p)
+    } catch { case _: Exception => Long.MaxValue } // unknown → assume big
   }
+
+  private def dataSizedShuffle(sfDir: String, cpus: Int): Int =
+    math.max(8, math.min(cpus.toLong, factBytes(sfDir) >> 22).toInt)
+
+  /** AQE sized to the corpus, the same rule shape as
+    * [[dataSizedShuffle]]: AQE's value is RUNTIME re-planning of big
+    * shuffles (coalescing mis-guessed widths, splitting skewed
+    * partitions, local-reading small sides) — all data-proportional
+    * wins — while its cost is a fixed per-shuffle stage-materialization
+    * turnaround (~30 ms measured here: each exchange becomes its own
+    * job submission + stats round trip). Below ~64 MB of fact data the
+    * wins cannot exceed the turnarounds (round 12 measured the full
+    * 110-key sf0.1 suite at 20.6 s AQE-on vs 18.1 s AQE-off, worst
+    * per-key regression +0.03 s), so tiny corpora run the static plan;
+    * at sf1+ (≥125 MB) AQE stays on, preserving every measured sf1/sf10
+    * crossover and the 100 TB posture. Env-overridable for A/B runs. */
+  private def dataSizedAqe(sfDir: String): String =
+    if (factBytes(sfDir) >= (64L << 20)) "true" else "false"
 
   def main(args: Array[String]): Unit = {
     val loadStart = loadAvg()
@@ -98,7 +114,7 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", shuffleParts)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", dataSizedAqe(sfDir)))
       // the live status store runs even with the UI off, and its
       // bookkeeping grows with every job — a 114-key × 4-pass suite
       // schedules thousands of jobs, so late queries pay listener-bus
