@@ -999,18 +999,35 @@ object Analytics {
   /** Bucket count sized to the DATA from the UNPRUNED scan estimate
     * (= the parquet footprint on disk; the pruned estimate scales by
     * column fraction and would under-count the row count the buckets
-    * are really sized for): bytes / 4 MB, clamped to
-    * [8, defaultParallelism]. A bucketed scan's parallelism is capped
-    * at the bucket count (one task per bucket — no post-scan split
-    * preserves the reported partitioning), so a fixed 8 starves a
-    * 32-core host at sf1+ and a cluster at any real scale; on a real
-    * deployment the count is chosen once at layout time by the same
-    * rule (cluster cores, not per-query). */
+    * are really sized for): bytes / 4 MB, clamped to [8, cap] where
+    * cap = max(defaultParallelism, bytes / 256 MB).
+    *
+    * TWO constraints meet in the cap, and round 12 learned the second
+    * one the hard way:
+    *   - PARALLELISM: a bucketed scan's parallelism is capped at the
+    *     bucket count (one task per bucket — no post-scan split
+    *     preserves the reported partitioning), so the count must reach
+    *     the core count once data allows (a fixed 8 starves a 32-core
+    *     host at sf1+);
+    *   - BUILD MEMORY: a serve-side ShuffledHashJoin builds ONE
+    *     UnsafeHashedRelation per bucket, and that build CANNOT SPILL
+    *     — with the cap stuck at core count, per-bucket size grows
+    *     linearly with data until the build hits
+    *     SparkOutOfMemoryError (measured: sf100's 150M-row resolved
+    *     map over 32 buckets kills q5_multijoin; 56 buckets at
+    *     ~256 MB of fact bytes each runs it comfortably). Letting the
+    *     cap grow past the core count costs only extra task waves —
+    *     spillable, schedulable — while keeping it pinned costs
+    *     correctness of the serve plan's memory envelope.
+    * On a real deployment the count is chosen once at layout time by
+    * the same rule (cluster cores AND per-bucket memory budget, never
+    * per-query). */
   private def bucketCountFor(spark: SparkSession, df: DataFrame): Int = {
-    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    math.max(8L, math.min(
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val cap = math.max(
       spark.sparkContext.defaultParallelism.toLong,
-      estBytes.toLong / (4L * 1024 * 1024))).toInt
+      estBytes / (256L * 1024 * 1024))
+    math.max(8L, math.min(cap, estBytes / (4L * 1024 * 1024))).toInt
   }
 
   /** #26g q_bucket_join — the storage-layout arm of the scale story as
