@@ -32,7 +32,16 @@ import org.apache.spark.sql.functions._
   */
 object ScaleUp {
 
-  val Off = 100000000L
+  /** Per-copy key-band width. MUST exceed the SOURCE's key span or
+    * copies collide and every key-equality join silently degenerates
+    * into a many-to-many explosion (round 12: scaling sf10 — itself
+    * 1e8-banded from sf0.1 — by another 1e8 made orders⋈customer a
+    * 9.7×-fanout join and ordnat 1.45B rows). Override with
+    * SPARK_GRAFT_SCALEUP_OFF when the source is already banded
+    * (sf10 → sf100 wants 1e10); the guard below refuses to write
+    * colliding copies either way. */
+  val Off: Long = sys.env.get("SPARK_GRAFT_SCALEUP_OFF").map(_.toLong)
+    .getOrElse(100000000L)
   /** 400 days in microseconds — one "era" per copy for ts columns. */
   val TsShiftMicros: Long = 400L * 24 * 3600 * 1000000L
 
@@ -45,8 +54,18 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame =
+    def shiftKeys(df: DataFrame, i: Int, keys: String*): DataFrame = {
+      // collision guard: a source key reaching the next band would
+      // alias another copy's keys — refuse loudly instead of writing
+      // a degenerate corpus (checked once, on the i=0 pass)
+      if (i == 0) keys.foreach { k =>
+        val mx = df.agg(max(col(k)).cast("long")).head.getLong(0)
+        require(mx < Off,
+          s"$k max $mx >= band width $Off — copies would collide; " +
+            "set SPARK_GRAFT_SCALEUP_OFF above the source key span")
+      }
       keys.foldLeft(df)((d, k) => d.withColumn(k, col(k) + lit(i * Off)))
+    }
 
     def union(name: String, remap: (DataFrame, Int) => DataFrame,
               base: DataFrame): Unit =
