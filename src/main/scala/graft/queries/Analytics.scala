@@ -1723,13 +1723,39 @@ object Analytics {
     * monotone, which is all a cohort grid needs. */
   val WeekUs: Long = 7L * 86400L * 1000000L
 
-  /** Served from the standing [[bucketedEvents]] layout: the cohort
-    * window requires only clustering+sort by user_id — prefix of the
-    * scan's (user_id, ts, event_id) order, zero exchange, zero sort
-    * (round 10 paid one exchange + sort of the event stream here,
-    * 4.5× vs baseline at sf10 — the weak set's top key). */
+  /** Served from the standing [[bucketedEvents]] layout via
+    * [[retentionDistinctAgg]] (round 12; rounds 10-11 served the
+    * mapPartitions sorted fold). The round-12 single-JVM alternating
+    * A/B at sf10 (min-of-10 each, same session, both warmed): agg
+    * min 0.521 / median 0.583 s vs fold min 0.526 / median 0.654 s —
+    * agg never worse, and it retires the fold's physical-file-order
+    * contract entirely (see [[retentionSortedFold]]'s CONTRACT note):
+    * if a future Spark un-buckets the scan, the agg plan DEGRADES
+    * (gains an exchange) instead of silently emitting wrong cohorts. */
   def qRetention(spark: SparkSession, dir: String): DataFrame =
-    retentionSortedFold(sortedScanSession(spark).table(bucketedEvents(spark, dir)))
+    retentionDistinctAgg(sortedScanSession(spark).table(bucketedEvents(spark, dir)))
+
+  /** The serving retention form (round 12): distinct-first over the
+    * standing layout. hashpartitioning(user_id) satisfies
+    * ClusteredDistribution(user_id, wk) — a subset-hash co-locates
+    * equal pairs — so the |events|→|user·week| dedup runs as a
+    * ZERO-exchange codegen'd HashAggregate (partial+final fused on
+    * the scan, no encoder boundary, no mapPartitions); the cohort min
+    * window then sorts only the deduped pairs in-partition (same
+    * clustering, no exchange), and the grid agg's exchange stays
+    * byte-tiny. Depends only on the layout's BUCKETING, not on
+    * physical file order: every way this plan can degrade is a
+    * perf regression (an extra exchange), never silent corruption —
+    * which is why it replaced the sorted fold as the serve path. */
+  private[graft] def retentionDistinctAgg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .distinct()
+      .select(col("user_id"), col("wk"), min(col("wk")).over(w).as("cohort_week"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("active_users"))
+  }
 
   /** #26o q_retention — the cohort retention grid: users bucketed by
     * their FIRST-ever active week (the cohort), then counted distinct
@@ -1761,7 +1787,12 @@ object Analytics {
       .agg(count(lit(1)).as("active_users"))
   }
 
-  /** [[retention]] as a sorted-fold over the standing layout: each
+  /** [[retention]] as a sorted-fold over the standing layout — the
+    * rounds-10/11 serve path, RETIRED from serving in round 12 in
+    * favor of [[retentionDistinctAgg]] (measured no faster and
+    * carrying a silent-corruption failure mode the agg form cannot
+    * have); kept as the recorded alternative and as
+    * RetentionFoldSpec's cross-implementation oracle. Each
     * bucket of [[bucketedEvents]] is ONE file written sorted
     * (user_id, ts, event_id), a bucketed scan never splits or
     * coalesces bucket files, and `wk = ts DIV week` is monotone in
@@ -1790,40 +1821,43 @@ object Analytics {
   private[graft] def retentionSortedFold(events: DataFrame): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
+    // The fold pre-aggregates the grid INSIDE the pass (round 12): the
+    // grid is bounded O(weeks²) — one LongMap cell per (cohort, offset),
+    // key-packed cohort<<20|offset (epoch weeks ≈ 3·10³ ≪ 2^20, offsets
+    // strictly smaller by construction) — so each partition emits |grid|
+    // rows, not one row per distinct (user, week). The downstream
+    // partial HashAggregate previously re-hashed millions of encoder
+    // tuples only to collapse them onto the same few thousand cells;
+    // folding the count into the pass moves that collapse to where the
+    // data already is. The final groupBy then sums |partitions|·|grid|
+    // rows — the exchange stays byte-tiny.
     val pairs = events
       .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        val grid = new scala.collection.mutable.LongMap[Long](1024)
         var haveUser = false
         var curUser = 0L
         var curWk = 0L
         var cohort = 0L
-        new scala.collection.AbstractIterator[(Long, Long)] {
-          private var out: (Long, Long) = _
-          private var ready = false
-          @annotation.tailrec private def fetch(): Boolean =
-            if (!it.hasNext) false
-            else {
-              val (u, wk) = it.next()
-              if (!haveUser || u != curUser) {
-                haveUser = true; curUser = u; curWk = wk; cohort = wk
-                out = (cohort, 0L); true
-              } else if (wk != curWk) {
-                curWk = wk
-                out = (cohort, wk - cohort); true
-              } else fetch()
-            }
-          def hasNext: Boolean = ready || { ready = fetch(); ready }
-          def next(): (Long, Long) = {
-            if (!hasNext) throw new NoSuchElementException
-            ready = false; out
+        while (it.hasNext) {
+          val (u, wk) = it.next()
+          if (!haveUser || u != curUser) {
+            haveUser = true; curUser = u; curWk = wk; cohort = wk
+            val k = cohort << 20
+            grid.update(k, grid.getOrElse(k, 0L) + 1L)
+          } else if (wk != curWk) {
+            curWk = wk
+            val k = (cohort << 20) | (wk - cohort)
+            grid.update(k, grid.getOrElse(k, 0L) + 1L)
           }
         }
+        grid.iterator.map { case (k, n) => (k >>> 20, k & 0xfffffL, n) }
       }
-      .toDF("cohort_week", "week_offset")
+      .toDF("cohort_week", "week_offset", "n")
     pairs
       .groupBy(col("cohort_week"), col("week_offset"))
-      .agg(count(lit(1)).as("active_users"))
+      .agg(sum(col("n")).as("active_users"))
   }
 
   val qRetentionSql: String =

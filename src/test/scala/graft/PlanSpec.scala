@@ -98,30 +98,30 @@ class PlanSpec extends SparkSpec {
     assert(nodes(p, "Sort") === 0, p)
   }
 
-  test("q_retention: served from bucketed events — sorted fold, no window, no hash distinct") {
+  test("q_retention: served from bucketed events — zero-exchange dedup, in-partition cohort window") {
     val df = Analytics.qRetention(spark, sf)
     val p = physical(df)
     assert(p.contains("b_events_"), p)
-    // the O(1)-state sorted fold replaces the whole-frame window AND
-    // the 10M-row hash distinct (both measured slower at sf10); the
+    // distinct-first serve (round 12): the |events|→|user·week| dedup
+    // is a HashAggregate riding the scan's hashpartitioning(user_id)
+    // (subset-hash satisfies ClusteredDistribution(user_id, wk)), the
+    // cohort min window sorts only deduped pairs in-partition, and the
     // ONLY exchange moves the |users|·|weeks|-bounded grid to its
-    // (cohort, offset) grouping
+    // (cohort, offset) grouping. No mapPartitions, no encoder boundary
+    // — a future plan regression here can only ADD an exchange, never
+    // silently corrupt (the round-10/11 fold's failure mode).
     assert(shuffles(p) === 1, p)
-    assert(nodes(p, "Window") === 0, p)
-    assert(nodes(p, "Sort") === 0, p)
-    assert(nodes(p, "MapPartitions") === 1, p)
-    // CORRECTNESS gate, not a perf gate: the fold's per-partition
-    // user-contiguity contract holds ONLY under a bucketed scan (a
-    // plain file scan can split a multi-row-group bucket file mid-user
-    // at 100 TB file sizes). DisableUnnecessaryBucketedScan would
-    // un-bucket exactly this plan shape — the serve clone pins it off
-    // (AutoBucketedScanConf); if a Spark upgrade drops that conf or the
-    // rule stops honoring it, THIS fails red instead of going latent.
+    assert(nodes(p, "Window") === 1, p)
+    assert(nodes(p, "Sort") === 1, p)
+    assert(nodes(p, "MapPartitions") === 0, p)
+    // PERF gate: the zero-exchange dedup exists only while the scan
+    // stays bucketed (DisableUnnecessaryBucketedScan keeps it — the
+    // aggregate above REQUIRES the distribution — and the serve clone
+    // pins the rule off anyway, AutoBucketedScanConf).
     val f = formatted(df)
     assert(f.contains("Bucketed: true"),
-      "events scan is no longer bucketed — the retention fold's " +
-        "contiguity contract is void; re-point q_retention at the " +
-        "window-based retention():\n" + f)
+      "events scan is no longer bucketed — the retention dedup now " +
+        "pays a full exchange of the event stream:\n" + f)
   }
 
   test("q_window_funnel: served from bucketed events — step windows are exchange- and sort-free") {
