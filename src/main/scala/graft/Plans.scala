@@ -20,23 +20,41 @@ object Plans {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outFile = if (args.length > 1) args(1) else "target/plans.txt"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_ONLY=k1,k2 limits the dump (the Bench convention);
+    // SPARK_GRAFT_PLAN_DIR writes one <dir>/<key><suffix>.txt per key
+    // (SPARK_GRAFT_PLAN_SUFFIX, e.g. "_before") instead of the single
+    // concatenated file — the per-key before/after artifact layout.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val planDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val sb = new StringBuilder
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      sb.append(s"\n${"=" * 72}\n== $name\n${"=" * 72}\n")
-      try sb.append(fn(spark, sfDir).queryExecution
-        .explainString(ExplainMode.fromString("formatted")))
-      catch { case e: Exception =>
-        sb.append(s"PLAN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\n")
+    picked.foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
+        catch { case e: Exception =>
+          s"PLAN FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}\n"
+        }
+      planDir match {
+        case Some(dir) =>
+          Files.createDirectories(Paths.get(dir))
+          Files.writeString(Paths.get(dir, s"$name$suffix.txt"), plan)
+        case None =>
+          sb.append(s"\n${"=" * 72}\n== $name\n${"=" * 72}\n").append(plan)
       }
     }
-    Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
-    Files.writeString(Paths.get(outFile), sb.toString)
-    println(s"[plans] wrote ${SparkEntry.queries.size} plans to $outFile")
+    if (planDir.isEmpty) {
+      Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
+      Files.writeString(Paths.get(outFile), sb.toString)
+    }
+    println(s"[plans] wrote ${picked.size} plans to ${planDir.getOrElse(outFile)}")
     spark.stop()
   }
 }

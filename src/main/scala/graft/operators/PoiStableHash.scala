@@ -204,13 +204,30 @@ object PoiStableHash {
       }.collect { case (b, o) if o != null => b -> o }.toMap
     }
 
-    val chain = prefixes.map { r =>
-      val (mixer, cnt) = offsets.get(r.bundle) match {
-        case Some((om, oc)) => (StableHash.mix(om, U192(r.v0, r.v1, r.v2)), oc + r.cnt)
-        case None => (U192(r.v0, r.v1, r.v2), r.cnt)
+    // serve readoff as a codegen'd expression over the CACHED columnar
+    // prefix rows: the per-bundle offsets (|bundles| rows, zeros +
+    // has_off=0 where a bundle has no predecessor) broadcast-join in,
+    // and `graft_poi_hex` computes mix+finalize+hex inside Tungsten —
+    // the previous Dataset.map closure deserialized every prefix row
+    // to a case class and re-serialized the result on EVERY pass of
+    // both per-serve jobs (the digest agg and the output scan); the
+    // expression form keeps the whole readoff in whole-stage codegen
+    // (round 12, guide §1.2 per-task work). Same math, same
+    // sequential-chain spec gate (PoiStableHashSparkSpec).
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val offsetRows = totals.map { t =>
+      offsets.get(t.bundle) match {
+        case Some((m, c)) => (t.bundle, m.v0, m.v1, m.v2, c, 1L)
+        case None => (t.bundle, 0L, 0L, 0L, 0L, 0L)
       }
-      (r.block_num, hex(StableHash.FastHasher.from(mixer, cnt).toBytes))
-    }.toDF("block_num", "poi")
+    }.toSeq.toDF("bundle", "ov0", "ov1", "ov2", "ocnt", "has_off")
+    val chain = prefixes.toDF()
+      .join(broadcast(offsetRows), Seq("bundle"))
+      .select(col("block_num"),
+        call_function("graft_poi_hex",
+          col("v0"), col("v1"), col("v2"), col("cnt"),
+          col("ov0"), col("ov1"), col("ov2"), col("ocnt"),
+          col("has_off")).as("poi"))
 
     // digest-of-digests: an order-free XOR set-digest over every
     // (block_num, poi) row, stamped onto each output row. The driver's

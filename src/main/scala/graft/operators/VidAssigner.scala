@@ -36,6 +36,12 @@ object VidAssigner {
 
     // (1)+(2): per-bundle counts -> driver prefix sum. The collect is
     // |bundles| rows — bounded by block height, not data volume.
+    // (Round 12 tried folding the prefix sum into the plan as an
+    // unpartitioned window over the counts aggregate — one job instead
+    // of two, no driver barrier — but it was wall-neutral at sf0.1 AND
+    // PlanSpec's zero-single-partition-stage gate for this key rightly
+    // refuses the SinglePartition exchange the window needs; the
+    // driver fold stays.)
     val counts = rows.groupBy(col("bundle")).count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     // offset of bundle b = sum of counts of all bundles < b

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, Int128SumProduct, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PiiScrub, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, Int128SumProduct, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PairCounts, PiiScrub, PoiHex, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,6 +47,12 @@ object GraftExtensions {
     (FunctionIdentifier("graft_bigram_stats"),
       new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),
       (args: Seq[Expression]) => BigramStats(args(0))),
+    (FunctionIdentifier("graft_pair_counts"),
+      new ExpressionInfo(classOf[PairCounts].getName, "graft_pair_counts"),
+      (args: Seq[Expression]) => PairCounts(args(0))),
+    (FunctionIdentifier("graft_poi_hex"),
+      new ExpressionInfo(classOf[PoiHex].getName, "graft_poi_hex"),
+      (args: Seq[Expression]) => PoiHex(args)),
     (FunctionIdentifier("graft_minhash_sigs"),
       new ExpressionInfo(classOf[MinhashSigs].getName, "graft_minhash_sigs"),
       (args: Seq[Expression]) => MinhashSigs(args(0))),

@@ -2178,7 +2178,13 @@ object Analytics {
   def gapFill(ev: DataFrame): DataFrame = {
     val counts = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    // spine bounds and the type list both derive from `counts`, not
+    // from a second scan of `ev`: every day/type present in ev is
+    // present in counts, so min/max/distinct agree by construction —
+    // and all three consumers then hang off ONE (type, day) exchange
+    // (ReuseExchange collapses the identical subtrees; guide §2.4),
+    // where aggregating raw `ev` re-scanned the corpus per consumer.
+    val days = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = counts.select(col("event_type")).distinct()
     types.crossJoin(days) // bounded: |types| × |days| grid cells

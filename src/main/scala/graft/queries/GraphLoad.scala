@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.{GraphCsv, Normalize}
 import graft.operators.{Bundler, EntityVersioner, Poi, UndoCanonicalizer, VidAssigner}
 import graft.sources.EntityChanges
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Core graph-load pipeline surface (SURVEY.md §2 #1-20).
@@ -379,22 +379,54 @@ object GraphLoad {
     * changes-per-block, never corpus-sized); encode and decode both
     * run map-only inside whole-stage codegen. A 100 TB payload stream
     * round-trips at scan speed. */
+  private def protoChangeStruct: Column = struct(
+    lit("user_state").as("entity"),
+    col("id"),
+    col("block_num").cast("long").as("ordinal"),
+    concat(lit("OPERATION_"), col("op")).as("op"),
+    filter(array(
+      struct(lit("value").as("name"), lit("Bigdecimal").as("vtype"),
+        col("value").cast("decimal(20,2)").cast("string").as("value")),
+      struct(lit("props").as("name"), lit("String").as("vtype"),
+        col("props").as("value"))
+    ), f => f("value").isNotNull).as("fields"))
+
   def glProtoParse(s: SparkSession, d: String): DataFrame = {
+    // MAP-ONLY since round 12: each change row round-trips through the
+    // wire format as its own one-change EntityChanges message, inside
+    // the scan's codegen span — the flattened field rows are identical
+    // to block-framed encoding by construction (exploding one
+    // N-change message ≡ exploding N one-change messages), so the
+    // groupBy(block_num)+collect_list exchange the block framing paid
+    // — the ENTIRE change stream shuffled once, corpus-sized at scale
+    // — bought nothing the output ever showed (guide §2.4: remove
+    // shuffles outright). [[glProtoParseBlockFramed]] keeps the
+    // reference's wire framing as the spec twin; ProtoSpec continues
+    // to pin multi-change messages (arrays included) byte-for-byte at
+    // the codec level.
     graft.plans.GraftExtensions.ensureRegistered(s)
-    val changeStruct = struct(
-      lit("user_state").as("entity"),
-      col("id"),
-      col("block_num").cast("long").as("ordinal"),
-      concat(lit("OPERATION_"), col("op")).as("op"),
-      filter(array(
-        struct(lit("value").as("name"), lit("Bigdecimal").as("vtype"),
-          col("value").cast("decimal(20,2)").cast("string").as("value")),
-        struct(lit("props").as("name"), lit("String").as("vtype"),
-          col("props").as("value"))
-      ), f => f("value").isNotNull).as("fields"))
+    ch(s, d)
+      .select(col("block_num"),
+        call_function("graft_entity_changes_encode",
+          array(protoChangeStruct)).as("payload"))
+      .select(col("block_num"),
+        explode(call_function("graft_entity_changes", col("payload"))).as("c"))
+      .select(col("block_num"), col("c.entity").as("entity"), col("c.id").as("id"),
+        col("c.ordinal").as("ordinal"), col("c.op").as("op"),
+        explode(col("c.fields")).as("f"))
+      .select(col("block_num"), col("entity"), col("id"), col("ordinal"), col("op"),
+        col("f.name").as("field_name"), col("f.vtype").as("vtype"),
+        col("f.value").as("field_value"))
+  }
+
+  /** The block-framed form (one EntityChanges message per block — the
+    * reference's wire unit): retained as the served key's equality
+    * twin (ProtoParseFramingSpec pins both flattened outputs equal). */
+  private[graft] def glProtoParseBlockFramed(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     ch(s, d)
       .groupBy("block_num")
-      .agg(collect_list(changeStruct).as("changes"))
+      .agg(collect_list(protoChangeStruct).as("changes"))
       .select(col("block_num"),
         call_function("graft_entity_changes_encode", col("changes")).as("payload"))
       .select(col("block_num"),

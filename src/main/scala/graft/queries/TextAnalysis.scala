@@ -451,7 +451,27 @@ object TextAnalysis {
     * that lets a tokenizer train on the full 100 TB corpus instead of
     * a sample. Ties break on the pair's binary order — identical in
     * both engines. */
-  def txBpePairs(s: SparkSession, d: String): DataFrame =
+  def txBpePairs(s: SparkSession, d: String): DataFrame = {
+    // served by the one-pass kernel: `graft_pair_counts` emits each
+    // document's pair→count map row-locally, so the generator feeds
+    // the partial aggregate |distinct pairs per doc| rows (bounded by
+    // charset², ~100× fewer) instead of one row per pair POSITION,
+    // and the per-word array/substring allocations vanish. sum(cnt)
+    // over per-doc counts ≡ count(1) over positions by construction —
+    // PairCountsSpec pins the kernel against [[txBpePairsComposable]]
+    // on the corpus and adversarial inputs (multibyte, empty words).
+    graft.plans.GraftExtensions.ensureRegistered(s)
+    Tables.documents(s, d)
+      .select(explode(call_function("graft_pair_counts", col("text")))
+        .as(Seq("pair", "n")))
+      .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
+  /** The positional explode+explode form — retained as the kernel's
+    * cross-check contract (PairCountsSpec pins served == composable). */
+  private[graft] def txBpePairsComposable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("word"))
       // guarded explicitly: Spark's sequence(1, 0) would DESCEND
