@@ -2178,13 +2178,20 @@ object Analytics {
   def gapFill(ev: DataFrame): DataFrame = {
     val counts = ev.groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    // spine bounds and the type list both derive from `counts`, not
-    // from a second scan of `ev`: every day/type present in ev is
-    // present in counts, so min/max/distinct agree by construction —
-    // and all three consumers then hang off ONE (type, day) exchange
-    // (ReuseExchange collapses the identical subtrees; guide §2.4),
-    // where aggregating raw `ev` re-scanned the corpus per consumer.
-    val days = counts.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    // Round-12 optimization attempts, both measured and REJECTED
+    // (guide §1.1: the "ideal" plan lost to gotchas both times):
+    //   1. deriving days/types from `counts` to share its exchange —
+    //      Catalyst rewrites the derived aggregates back into direct
+    //      corpus aggregations (RemoveRedundantAggregates-family), so
+    //      the plan ran THREE full scan+hash-agg passes: sf10 0.68 s
+    //      vs 0.46 s for this form;
+    //   2. fusing bounds+types into one min/max/collect_set reduce —
+    //      two corpus passes, but collect_set forces a non-codegen
+    //      ObjectHashAggregate over every row, costing what the pass
+    //      it removed cost (sf10 same-window controls: no win).
+    // The original shape stays: a codegen min/max reduce and a
+    // codegen distinct are each cheaper than what replaced them.
+    val days = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("day"))
     val types = counts.select(col("event_type")).distinct()
     types.crossJoin(days) // bounded: |types| × |days| grid cells
