@@ -131,4 +131,92 @@ object EntityVersioner {
       .filter(col("start_block") <= atBlock &&
         (col("end_block").isNull || col("end_block") > atBlock))
       .select(col("id"), col("start_block"), col("value"))
+
+  // ---- all-numeric serving twins (round 12 optimization) -------------
+  //
+  // Same operators over [[graft.sources.EntityChanges.changesOpcode]]:
+  // the per-entity exchange/sort keys are the raw 8-byte `uid` (the
+  // string id is its bijective cast, reattached on the post-exchange
+  // rows) and the op travels as an int opcode, so
+  //   - the squash aggregation's buffer is all fixed-width →
+  //     HashAggregate with genuine map-side partials, where the string
+  //     form demoted to SortAggregate (two corpus sorts by string id);
+  //   - the SCD2 windows hash-partition and sort 8-byte longs instead
+  //     of UTF8Strings.
+  // Results are IDENTICAL by construction (VersionerNumericSpec pins
+  // every pair equal on the corpus); outputs emit the same string id.
+
+  private val byUid = Window.partitionBy("uid").orderBy("block_num")
+  private val DeleteOpc = graft.sources.EntityChanges.DeleteOpc
+  private val UpdateOpc = graft.sources.EntityChanges.UpdateOpc
+
+  /** [[scd2Versions]] in state form: keyed by the raw numeric uid —
+    * the shape the incremental memo persists (merging stays numeric). */
+  private[graft] def scd2VersionsNumericState(changesOpc: DataFrame): DataFrame =
+    changesOpc
+      .withColumn("end_block", lead(col("block_num"), 1).over(byUid))
+      .filter(col("opc") =!= DeleteOpc)
+      .select(col("uid"), col("block_num").as("start_block"),
+        col("end_block"), col("value"))
+
+  /** [[scd2Versions]] served numeric — same output schema/rows. */
+  def scd2VersionsNumeric(changesOpc: DataFrame): DataFrame =
+    scd2VersionsNumericState(changesOpc)
+      .select(col("uid").cast("string").as("id"),
+        col("start_block"), col("end_block"), col("value"))
+
+  /** [[squashLatest]]'s state form (numeric key, no output cast). */
+  private[graft] def squashLatestNumericState(changesOpc: DataFrame): DataFrame =
+    changesOpc
+      .groupBy(col("uid"))
+      .agg(
+        max(col("block_num")).as("last_block"),
+        max_by(col("opc"), col("block_num")).as("last_opc"),
+        max_by(col("value"), col("block_num")).as("value"))
+      .filter(col("last_opc") =!= DeleteOpc)
+      .select(col("uid"), col("last_block"), col("value"))
+
+  /** [[squashLatest]] served numeric — same output schema/rows, but the
+    * aggregation is a two-phase HashAggregate (all-fixed-width buffer:
+    * long/int/double) instead of the string form's SortAggregate. */
+  def squashLatestNumeric(changesOpc: DataFrame): DataFrame =
+    squashLatestNumericState(changesOpc)
+      .select(col("uid").cast("string").as("id"), col("last_block"), col("value"))
+
+  /** [[squashIncrementalFrom]] over a NUMERIC standing state. */
+  def squashIncrementalFromNumeric(priorState: DataFrame, batchOpc: DataFrame): DataFrame = {
+    val priorAsChanges = priorState
+      .select(col("uid"), col("last_block").as("block_num"),
+        lit(UpdateOpc).as("opc"), col("value"))
+    squashLatestNumeric(priorAsChanges.unionByName(batchOpc))
+  }
+
+  /** [[scd2IncrementalFrom]] over a NUMERIC standing version store. */
+  def scd2IncrementalFromNumeric(priorState: DataFrame, batchOpc: DataFrame): DataFrame = {
+    val emit = (df: DataFrame) =>
+      df.select(col("uid").cast("string").as("id"),
+        col("start_block"), col("end_block"), col("value"))
+    val closedHistory = priorState.filter(col("end_block").isNotNull)
+    val openAsChanges = priorState.filter(col("end_block").isNull)
+      .select(col("uid"), col("start_block").as("block_num"),
+        lit(UpdateOpc).as("opc"), col("value"))
+    emit(closedHistory)
+      .unionByName(scd2VersionsNumeric(openAsChanges.unionByName(batchOpc)))
+  }
+
+  /** [[deleteTombstone]] served numeric — same output schema/rows. */
+  def deleteTombstoneNumeric(changesOpc: DataFrame): DataFrame =
+    changesOpc
+      .withColumn("end_block", lead(col("block_num"), 1).over(byUid))
+      .withColumn("next_opc", lead(col("opc"), 1).over(byUid))
+      .filter(col("opc") =!= DeleteOpc && col("next_opc") === DeleteOpc)
+      .select(col("uid").cast("string").as("id"),
+        col("block_num").as("start_block"), col("end_block"), col("value"))
+
+  /** [[asofLookup]] served numeric — same output schema/rows. */
+  def asofLookupNumeric(changesOpc: DataFrame, atBlock: Long): DataFrame =
+    scd2VersionsNumericState(changesOpc)
+      .filter(col("start_block") <= atBlock &&
+        (col("end_block").isNull || col("end_block") > atBlock))
+      .select(col("uid").cast("string").as("id"), col("start_block"), col("value"))
 }

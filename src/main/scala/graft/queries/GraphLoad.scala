@@ -40,8 +40,16 @@ object GraphLoad {
 
   // ---- queries -------------------------------------------------------
 
+  // the SCD2/squash serving family runs over the ALL-NUMERIC change
+  // stream (round 12): exchange/sort keys are the raw 8-byte uid and
+  // the op an int opcode, the string id emitted post-shuffle — see
+  // EntityVersioner's numeric-twin block; results identical
+  // (VersionerNumericSpec + oracle both gate it)
+  private def chOpc(s: SparkSession, d: String): DataFrame =
+    EntityChanges.changesOpcode(s, d)
+
   def glScd2Versions(s: SparkSession, d: String): DataFrame =
-    EntityVersioner.scd2Versions(ch(s, d))
+    EntityVersioner.scd2VersionsNumeric(chOpc(s, d))
 
   // standing-state memos: the prior version store / squash state are
   // what a production deployment keeps ON DISK between ingests — each
@@ -54,30 +62,32 @@ object GraphLoad {
 
   def glScd2Incremental(s: SparkSession, d: String): DataFrame = {
     val prior = scd2PriorMemo.getOrBuild(s, d) {
-      EntityVersioner.scd2Versions(ch(s, d).filter(col("block_num") < AsofBlock))
+      EntityVersioner.scd2VersionsNumericState(
+          chOpc(s, d).filter(col("block_num") < AsofBlock))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    EntityVersioner.scd2IncrementalFrom(prior,
-      ch(s, d).filter(col("block_num") >= AsofBlock))
+    EntityVersioner.scd2IncrementalFromNumeric(prior,
+      chOpc(s, d).filter(col("block_num") >= AsofBlock))
   }
 
   def glSquashLatest(s: SparkSession, d: String): DataFrame =
-    EntityVersioner.squashLatest(ch(s, d))
+    EntityVersioner.squashLatestNumeric(chOpc(s, d))
 
   def glSquashIncremental(s: SparkSession, d: String): DataFrame = {
     val prior = squashPriorMemo.getOrBuild(s, d) {
-      EntityVersioner.squashLatest(ch(s, d).filter(col("block_num") < AsofBlock))
+      EntityVersioner.squashLatestNumericState(
+          chOpc(s, d).filter(col("block_num") < AsofBlock))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    EntityVersioner.squashIncrementalFrom(prior,
-      ch(s, d).filter(col("block_num") >= AsofBlock))
+    EntityVersioner.squashIncrementalFromNumeric(prior,
+      chOpc(s, d).filter(col("block_num") >= AsofBlock))
   }
 
   def glImmutableBlock(s: SparkSession, d: String): DataFrame =
     EntityVersioner.immutableBlock(ch(s, d))
 
   def glDeleteTombstone(s: SparkSession, d: String): DataFrame =
-    EntityVersioner.deleteTombstone(ch(s, d))
+    EntityVersioner.deleteTombstoneNumeric(chOpc(s, d))
 
   def glBundleAssign(s: SparkSession, d: String): DataFrame =
     Bundler.bundleAssign(ch(s, d), BundleSize)
@@ -86,7 +96,7 @@ object GraphLoad {
     VidAssigner.assignVids(s, ch(s, d), BundleSize)
 
   def glBlockRangeText(s: SparkSession, d: String): DataFrame = {
-    val v = EntityVersioner.scd2Versions(ch(s, d))
+    val v = EntityVersioner.scd2VersionsNumeric(chOpc(s, d))
     v.select(col("id"), col("start_block"),
       GraphCsv.blockRangeText(col("start_block"), col("end_block")).as("block_range"))
   }
@@ -187,7 +197,7 @@ object GraphLoad {
       .withColumn("block_hash", md5(col("last_block").cast("string")))
 
   def glAsofLookup(s: SparkSession, d: String): DataFrame =
-    EntityVersioner.asofLookup(ch(s, d), AsofBlock)
+    EntityVersioner.asofLookupNumeric(chOpc(s, d), AsofBlock)
 
   def glRangeContiguity(s: SparkSession, d: String): DataFrame =
     Bundler.rangeContiguity(ch(s, d), BundleSize)

@@ -63,6 +63,42 @@ object EntityChanges {
       col("value")
     )
 
+  /** Operation opcodes for the all-numeric change stream
+    * ([[changesOpcode]]): CASE arms ordered like [[changes]]'s. The
+    * codes exist so per-entity aggregates/windows can keep every
+    * grouping key AND aggregation-buffer column fixed-width (a string
+    * in a DeclarativeAggregate buffer demotes the whole aggregation to
+    * SortAggregate — the map side then sorts the corpus by the string
+    * id instead of hash-combining; measured on gl_squash_latest,
+    * round 12). Consumers that surface the op reattach the string on
+    * the post-aggregate rows. */
+  val CreateOpc = 0
+  val DeleteOpc = 1
+  val UpdateOpc = 2
+
+  /** [[changes]] in ALL-NUMERIC form — raw `uid` key (bijective with
+    * the string id: the id IS `CAST(uid AS STRING)`, so per-entity
+    * groups/windows partition identically) and the op as an int opcode.
+    * Exchanges and sort keys move 8-byte words; the serving query
+    * casts `uid` to the reference's string id AFTER its per-entity
+    * exchange, paying |output| casts instead of |corpus| string
+    * hashes/compares. Consumers whose output surfaces `op` or `props`
+    * must use [[changes]]. */
+  def changesOpcode(spark: SparkSession, dir: String): DataFrame =
+    changesOpcodeFrom(Tables.events(spark, dir))
+
+  /** [[changesOpcode]] over an explicit events frame (the standing-
+    * layout substitution hook, like [[changesNumericKeyFrom]]). */
+  def changesOpcodeFrom(events: DataFrame): DataFrame =
+    events.select(
+      col("user_id").as("uid"),
+      col("event_id").as("block_num"),
+      when(col("event_type") === "signup", CreateOpc)
+        .when(col("event_type") === "error", DeleteOpc)
+        .otherwise(UpdateOpc).as("opc"),
+      col("value")
+    )
+
   /** DuckDB twin of [[changes]], used as a WITH-clause prefix by every
     * gl_* oracle so both engines derive from the identical stream. */
   val changesSql: String =
