@@ -18,7 +18,17 @@ object FloorProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus.toInt)
+    // SPARK_GRAFT_CONFS="k=v;k=v" — arbitrary conf overrides for floor
+    // A/B experiments (static confs included: applied at first-session
+    // build, which is what this main creates)
+    val b = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+    sys.env.get("SPARK_GRAFT_CONFS").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2)).foreach {
+        case Array(k, v) => b.config(k, v)
+        case _ =>
+      }
+    val spark = b.getOrCreate()
+    graft.plans.GraftExtensions.ensureRegistered(spark)
     spark.sparkContext.setLogLevel("WARN")
 
     @volatile var lastPhases: Map[String, Long] = Map.empty
