@@ -389,17 +389,33 @@ object GraphLoad {
     * changes-per-block, never corpus-sized); encode and decode both
     * run map-only inside whole-stage codegen. A 100 TB payload stream
     * round-trips at scan speed. */
-  private def protoChangeStruct: Column = struct(
-    lit("user_state").as("entity"),
-    col("id"),
-    col("block_num").cast("long").as("ordinal"),
-    concat(lit("OPERATION_"), col("op")).as("op"),
-    filter(array(
-      struct(lit("value").as("name"), lit("Bigdecimal").as("vtype"),
-        col("value").cast("decimal(20,2)").cast("string").as("value")),
-      struct(lit("props").as("name"), lit("String").as("vtype"),
-        col("props").as("value"))
-    ), f => f("value").isNotNull).as("fields"))
+  private def protoChangeStruct: Column = {
+    // The fields list enumerates the 2×2 null grid as a CASE instead of
+    // a higher-order filter(): ArrayFilter is CodegenFallback in Spark,
+    // and ONE fallback expression pushes the whole encode projection
+    // out of whole-stage codegen (plans/r12/gl_proto_parse_after.txt:
+    // Project(3) carried no codegen id — every row paid interpreted
+    // struct/cast/encode eval). Branch order preserves filter's output
+    // exactly: [value-field, props-field], each present iff its value
+    // is non-null (vCast, not raw `value`: the filter tested the CAST
+    // result, and a decimal overflow nulls the cast — codegen CSE
+    // collapses the repeated cast). slice(·,1,0) is the typed empty
+    // array (plain array() would type as array<null>).
+    val vCast = col("value").cast("decimal(20,2)").cast("string")
+    val vStruct = struct(lit("value").as("name"), lit("Bigdecimal").as("vtype"),
+      vCast.as("value"))
+    val pStruct = struct(lit("props").as("name"), lit("String").as("vtype"),
+      col("props").as("value"))
+    struct(
+      lit("user_state").as("entity"),
+      col("id"),
+      col("block_num").cast("long").as("ordinal"),
+      concat(lit("OPERATION_"), col("op")).as("op"),
+      when(vCast.isNotNull && col("props").isNotNull, array(vStruct, pStruct))
+        .when(vCast.isNotNull, array(vStruct))
+        .when(col("props").isNotNull, array(pStruct))
+        .otherwise(slice(array(vStruct), 1, 0)).as("fields"))
+  }
 
   def glProtoParse(s: SparkSession, d: String): DataFrame = {
     // MAP-ONLY since round 12: each change row round-trips through the

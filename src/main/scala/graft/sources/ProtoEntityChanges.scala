@@ -58,7 +58,7 @@ object ProtoEntityChanges {
 
   // ---- wire-format primitives ---------------------------------------
 
-  private[sources] final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+  private[graft] final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var out = 0L
