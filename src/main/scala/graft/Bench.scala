@@ -388,6 +388,22 @@ object Bench {
       java.nio.file.Paths.get(detailPath), fullLine + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // Round-13 (VERDICT ask 2): the driver's PERF per-query comparator
+    // needs a summary line carrying "queries":{key:sec} — the contract
+    // one-liner. A 114-key map is ~2.6 KB, and the driver's archived
+    // stdout tail is exactly 2000 chars, so this line CANNOT also be
+    // the last line (its front would be truncated away). It is printed
+    // HERE, immediately before the compact trailer: a driver parsing
+    // full stdout finds the queries-bearing summary; a driver parsing
+    // only the 2 KB tail still finds the intact compact trailer below,
+    // exactly as in every prior round. Additions-only: every compact-
+    // trailer field is repeated here, values truncated to 3 decimals.
+    val qsShort = results.map {
+      case (k, Right(v)) => f""""$k":$v%.3f"""
+      case (k, Left(e)) =>
+        "\"" + k + "\":\"ERROR " + e.replaceAll("[\"\\\\\n]", " ").take(60) + "\""
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","n_queries":${ok.size},"errors":$errs,"queries":$qsShort,"floor_per_query_sec":$floor%.4f,"data_proportional_sec":$dataProp%.3f$duckCompact$loadJson,"detail_file":"$detailPath","sf":"$sfDir"}""")
     // compact trailer: the headline numbers must also appear at the
     // very end of stdout or they are truncated away with the front of
     // the long line above

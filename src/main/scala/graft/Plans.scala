@@ -32,7 +32,14 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+    // bench-only extras (mirrors Bench.scala) so the iterative-family
+    // production-depth plans are dumpable artifacts too
+    val extras: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "q_pagerank20" -> ((s, d) => graft.queries.Analytics.qPagerankDepth(s, d, 20)),
+      "q_skew_join_prod" -> ((s, d) => graft.queries.Analytics.qSkewJoinProd(s, d)),
+      "q_bloom_join_prod" -> ((s, d) => graft.queries.Analytics.qBloomJoinProd(s, d)))
+    val picked = (SparkEntry.queries.toSeq ++ extras).sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val sb = new StringBuilder
     picked.foreach { case (name, fn) =>

@@ -2074,8 +2074,9 @@ object Analytics {
     * carries every iteration. The cadence (rather than every round)
     * keeps the gated 3-iteration bench shape byte-identical — zero
     * extra jobs below the threshold — while bounding any run's live
-    * plan to PrSnapEvery rounds; exactly one snapshot RDD stays
-    * persisted at a time (each round releases its predecessor).
+    * plan to PrSnapEvery rounds; superseded snapshot blocks are
+    * reclaimed by ContextCleaner as soon as their Dataset goes
+    * unreferenced (|V|-row frames, at most one per cadence window).
     * Cadence MEASURED at depth 20, sf0.1 (round 8, same-window pairs):
     * 8 → 4.3-5.3 s (8-deep plans: per-stage Catalyst/AQE re-analysis
     * of the iterative tree dominates), 4 → 3.3-3.7 s, 3 → 3.7 s,
@@ -2084,24 +2085,10 @@ object Analytics {
     * iterations, so its plan remains untouched. */
   val PrSnapEvery = 4
 
-  /** The final snapshot RDD of each [[pagerank]] run, per session: the
-    * returned frame reads it lazily, so it cannot be unpersisted inside
-    * the call — instead the NEXT pagerank call on the same session
-    * releases it (a long-lived session holds at most one |V|-row
-    * snapshot, not one per call; the last one is reclaimed at session
-    * close / by ContextCleaner). A previous call's still-unconsumed
-    * frame stays correct after release — the RDD lineage replays. */
-  private val prLastSnap = new scala.collection.concurrent.TrieMap[
-    SparkSession, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]()
-
   def pagerank(edges: DataFrame, nodes: DataFrame, iters: Int,
                topK: Int): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val spark = edges.sparkSession
-    prLastSnap.remove(spark).foreach(_.unpersist(blocking = false))
     val base = 15L * PrScale / 100L
     var rank = nodes.withColumn("r", lit(PrScale))
-    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     // The loop never touches session conf: the AQE-off + pinned-width
     // environment a DEEP run wants lives on the caller's session —
     // [[qPagerankDepth]] supplies a cloned session for depths that
@@ -2114,14 +2101,30 @@ object Analytics {
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * in_mass) DIV 100")).as("r"))
       if (it % PrSnapEvery == 0 && it < iters) {
-        val r = rank.rdd.persist(StorageLevel.MEMORY_AND_DISK)
-        r.count(): Unit // materialize now — the source plan runs once
-        if (prevRdd != null) prevRdd.unpersist(blocking = false)
-        prevRdd = r
-        rank = spark.createDataFrame(r, rank.schema)
+        // Round 13 (guide §1.2 per-task work + §2.4 shuffle removal):
+        // eager localCheckpoint replaces the rdd→persist→
+        // createDataFrame round-trip. Two costs fall away:
+        //   1. the snapshot no longer serializes every rank row out to
+        //      external Row objects and back (InternalRows are
+        //      checkpointed as-is);
+        //   2. LogicalRDD KEEPS the physical plan's output partitioning
+        //      — the rank frame leaves the aggregate hash-partitioned
+        //      on node at the loop width, so the post-snapshot
+        //      iteration's shuffle-hash join reads it co-partitioned
+        //      with ZERO rank-side exchange, where the RDD round-trip
+        //      erased the partitioning and forced one re-exchange per
+        //      snapshot round (census: 3 exchanges per snapshot round
+        //      → 2, see OPTIMIZATION_r13.md).
+        // Lifecycle: each snapshot Dataset goes unreferenced as soon as
+        // `rank` is reassigned (or the caller drops the returned
+        // frame); ContextCleaner then unpersists its blocks on GC —
+        // |V|-row frames, at most one live per cadence window. Lineage
+        // truncation is the point (the plan stays constant-size); the
+        // fault-tolerance trade is localCheckpoint's documented
+        // contract and bounded by the same |V| rows.
+        rank = rank.localCheckpoint()
       }
     }
-    if (prevRdd != null) prLastSnap.put(spark, prevRdd): Unit
     rank.select(col("node"), col("r").as("rank_scaled"))
       .orderBy(col("rank_scaled").desc, col("node")).limit(topK)
   }

@@ -306,16 +306,39 @@ object Dedup {
     * ARE its output) and [[ddCluster]] (star edges over exact-dedup
     * representatives — only connectivity matters) share one
     * implementation of the signature/banding math. */
-  private def minhashBands(docs: DataFrame): DataFrame = {
-    val mh = docs
+  private def minhashBands(docs: DataFrame): DataFrame =
+    bandsOfSigs(docs
       .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
-      .filter(col("hs").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
+      .filter(col("hs").isNotNull)) // <3 tokens ⇒ no shingles ⇒ no row
+
+  /** Band projection over an already-computed (doc_id, hs) signature
+    * frame — split from [[minhashBands]] (round 13) so consumers that
+    * hold the standing signature table ([[docSigs]]) derive bands
+    * without re-running the signature kernel over the corpus. */
+  private def bandsOfSigs(mh: DataFrame): DataFrame =
     mh.select(col("doc_id"), posexplode(array(
       (0 until NumPerms / BandRows).map(b =>
         concat_ws("|", (0 until BandRows).map(r =>
           element_at(col("hs"), b * BandRows + r + 1)): _*)): _*
     )).as(Seq("band", "bkey")))
-  }
+
+  /** The corpus MinHash SIGNATURE table (doc_id, hs[16]), memoized and
+    * persisted per (session, dir) — the standing artifact an LSH
+    * deployment keeps beside its band index (128 B/doc, no text).
+    * Round-13 optimization (guide §5 within-run reuse): before this,
+    * dd_minhash_est ran the signature kernel over the corpus THREE
+    * times per serve (the LSH build subtree + both pair-join sides);
+    * now the kernel runs once here and every consumer — band
+    * generation and both est join sides — reads the persisted rows. */
+  private val sigsMemo = graft.SessionMemo.named[DataFrame]("dd_minhash_sigs")
+  private def docSigs(s: SparkSession, d: String): DataFrame =
+    sigsMemo.getOrBuild(s, d) {
+      graft.plans.GraftExtensions.ensureRegistered(s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
+        .filter(col("hs").isNotNull) // <3 tokens ⇒ no shingles ⇒ no row
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   // the candidate pair set is the STANDING artifact of an LSH dedup
   // deployment (the inverted band index's join output): built once per
@@ -327,7 +350,7 @@ object Dedup {
   def ddMinhashLsh(s: SparkSession, d: String): DataFrame =
     lshPairsMemo.getOrBuild(s, d) {
       graft.plans.GraftExtensions.ensureRegistered(s)
-      val bands = minhashBands(Tables.documents(s, d))
+      val bands = bandsOfSigs(docSigs(s, d))
       bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -396,9 +419,10 @@ object Dedup {
     * 128 B/doc of signature instead of the documents themselves. */
   def ddMinhashEst(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(s)
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), expr("graft_minhash_sigs(text)").as("hs"))
-      .filter(col("hs").isNotNull)
+    // round 13: both join sides read the standing signature table
+    // ([[docSigs]]) instead of re-running the signature kernel over
+    // the corpus once per side — sig-kernel scan census 3 → 1
+    val sigs = docSigs(s, d)
     val nMatch = (0 until NumPerms)
       .map(i => s"IF(element_at(ha, ${i + 1}) = element_at(hb, ${i + 1}), 1, 0)")
       .mkString(" + ")
@@ -507,9 +531,29 @@ object Dedup {
       // map-side partial agg collapses each partition's duplicates
       // before anything moves
       .repartition(col("doc_a"), col("doc_b"))
-    // one representative text per hash (texts under one md5 are equal)
-    val reps = docs.groupBy(col("h")).agg(min(col("text")).as("text"))
-    val levTab = pairs.select(col("ha"), col("hb")).distinct()
+    // one representative text per hash (texts under one md5 are equal).
+    // Round 13 (guide §2.3/§8 — decide with small rows): min(string)
+    // carries a string agg buffer, which disqualifies HashAggregate,
+    // so the bare groupBy(h).min(text) SORT-aggregated the WHOLE
+    // CORPUS (text payload included) by hash on the map side — an
+    // n·log n corpus sort feeding an aggregate whose output is only
+    // ever consumed for hashes that appear in a candidate pair. A
+    // distinct-first rewrite does NOT survive Catalyst
+    // (RemoveRedundantAggregates folds a distinct under a
+    // duplicate-insensitive min — re-checked this round, same rewrite
+    // q_gap_fill hit in round 12). Instead the input is RESTRICTED:
+    // semi-join the docs to the pair-participating hash set (pair-
+    // bounded, broadcast under the same [[LevBroadcastMaxDocs]] gate
+    // as every other small side here), so the unavoidable
+    // string-buffer SortAggregate runs over candidate docs only,
+    // never the corpus. Rows out are identical — reps of non-pair
+    // hashes were computed and then dropped by the levTab joins.
+    val distinctPairs = pairs.select(col("ha"), col("hb")).distinct()
+    val pairHashes = distinctPairs
+      .select(explode(array(col("ha"), col("hb"))).as("h")).distinct()
+    val reps = docs.join(hint(pairHashes), Seq("h"), "left_semi")
+      .groupBy(col("h")).agg(min(col("text")).as("text"))
+    val levTab = distinctPairs
       .join(reps.select(col("h").as("ha"), col("text").as("text_a")), "ha")
       .join(reps.select(col("h").as("hb"), col("text").as("text_b")), "hb")
       .select(col("ha"), col("hb"),
@@ -1310,11 +1354,52 @@ object Dedup {
     * Scale: quality is map-only; one doc_id equi-join against the
     * cluster labels; one map-side-combined `max_by(struct)` agg per
     * cluster — no window over the corpus, no pair regeneration. */
-  def ddKeepBest(s: SparkSession, d: String): DataFrame = {
-    val clusters = ddCluster(s, d)
-    val quality = graft.queries.TextAnalysis.txQualityScore(s, d)
-      .select(col("doc_id"), col("alpha_x1000"), col("stop_x1000"))
-    clusters.join(quality, "doc_id")
+  /** Packed-key bound for [[ddKeepBest]]'s single-long aggregate:
+    * doc_id must fit 43 bits ([0, 2^43) ≈ 8.8·10¹²) so that
+    * (alpha ≤ 1000) ≪ 53 | (stop ≤ 1000) ≪ 43 | (2^43−1 − doc_id)
+    * stays inside a non-negative long with disjoint fields. alpha/stop
+    * are ≤ 1000 BY CONSTRUCTION (integer per-mille of a subset count);
+    * the doc_id bound is CHECKED at runtime ([[docIdBounds]]) and the
+    * struct path below serves any corpus that violates it. */
+  private[graft] val KeepBestIdMask = (1L << 43) - 1L
+
+  /** Memoized (min, max) of documents.doc_id — one column-pruned agg
+    * job per (session, dir), the runtime guard for packed-key paths. */
+  private val docIdBoundsMemo =
+    graft.SessionMemo.named[(Long, Long)]("dd_doc_id_bounds")
+  private[graft] def docIdBounds(s: SparkSession, d: String): (Long, Long) =
+    docIdBoundsMemo.getOrBuild(s, d) {
+      val r = Tables.documents(s, d)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      if (r.isNullAt(0) || r.isNullAt(1)) (0L, 0L)
+      else (r.getLong(0), r.getLong(1))
+    }
+
+  /** The packed-key serve: lexicographic max over
+    * (alpha, stop, −doc_id) ≡ numeric max over the bit-packed long
+    * (fields are disjoint and ordered high-to-low, doc_id inverted
+    * within its 43-bit field), so the whole argmax is ONE max(long) —
+    * a fixed-width HashAggregate buffer with genuine map-side partials
+    * where the struct form SORT-aggregated the joined corpus by
+    * cluster_id (round 13, guide §2.3 narrower types; the
+    * gl_squash_latest playbook). Requires 0 ≤ doc_id ≤
+    * [[KeepBestIdMask]] — caller checks [[docIdBounds]]. */
+  private[graft] def keepBestPacked(joined: DataFrame): DataFrame =
+    joined
+      .select(col("cluster_id"), expr(
+        s"shiftleft(alpha_x1000, 53) + shiftleft(stop_x1000, 43) + ($KeepBestIdMask - doc_id)")
+        .as("pk"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("pk")).as("pk"))
+      .select(col("cluster_id"), col("n_docs"),
+        expr(s"$KeepBestIdMask - (pk & $KeepBestIdMask)").as("keep_id"),
+        expr("shiftright(pk, 53)").as("keep_alpha_x1000"))
+
+  /** The struct-buffer form — the fallback for corpora whose doc_id
+    * range exceeds the 43-bit packing bound, and the spec twin the
+    * packed path is pinned against. */
+  private[graft] def keepBestStruct(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("cluster_id"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1322,6 +1407,15 @@ object Dedup {
           struct(col("alpha_x1000"), col("stop_x1000"), -col("doc_id"))).as("keep_id"),
         max(struct(col("alpha_x1000"), col("stop_x1000"), -col("doc_id")))
           .getField("alpha_x1000").as("keep_alpha_x1000"))
+
+  def ddKeepBest(s: SparkSession, d: String): DataFrame = {
+    val clusters = ddCluster(s, d)
+    val quality = graft.queries.TextAnalysis.txQualityScore(s, d)
+      .select(col("doc_id"), col("alpha_x1000"), col("stop_x1000"))
+    val joined = clusters.join(quality, "doc_id")
+    val (lo, hi) = docIdBounds(s, d)
+    if (lo >= 0L && hi <= KeepBestIdMask) keepBestPacked(joined)
+    else keepBestStruct(joined)
   }
 
   val ddKeepBestSql: String = {

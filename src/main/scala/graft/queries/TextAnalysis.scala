@@ -239,6 +239,11 @@ object TextAnalysis {
     }
   }
 
+  /** Memoized loser-set row count for [[txCuration]]'s broadcast gate
+    * (one cheap count over the persisted cluster frame per session). */
+  private val curationLosersMemo =
+    graft.SessionMemo.named[Long]("tx_curation_losers_count")
+
   /** #34b tx_curation — the whole training-data curation job as ONE
     * dataflow, the composition a real corpus build runs: quality gate
     * (token count + alpha ratio) → near-dup removal (drop every doc
@@ -253,8 +258,22 @@ object TextAnalysis {
     * DuckDB — recursive-CTE clusters included — so the composed
     * pipeline, not just its pieces, is hash-gated. */
   def txCuration(s: SparkSession, d: String): DataFrame = {
-    val losers = Dedup.ddCluster(s, d)
+    val losersRaw = Dedup.ddCluster(s, d)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
+    // Round 13 (guide §3.1): the loser set arrives from the CC loop's
+    // localCheckpoint — a LogicalRDD with no stats — so the STATIC
+    // planner put the anti-join through SortMergeJoin: the CORPUS side
+    // paid a full exchange AND sort against a pair-bounded loser list
+    // (plans/r13/tx_curation_before.txt operators (4)(5)). AQE repaired
+    // it at runtime where enabled, but the repair belongs in the plan:
+    // broadcast the losers when their measured count fits (one
+    // memoized count job over the already-persisted cluster frame —
+    // the dd_lev_verify gate pattern, same bound). Past the bound the
+    // static shuffle anti-join returns, which is the correct
+    // data-proportional shape at 100 TB.
+    val fits = curationLosersMemo.getOrBuild(s, d)(losersRaw.count()) <=
+      Dedup.LevBroadcastMaxDocs
+    val losers = if (fits) broadcast(losersRaw) else losersRaw
     Tables.documents(s, d)
       .withColumn("w", toks(col("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))
