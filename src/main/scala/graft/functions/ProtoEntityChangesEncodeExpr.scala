@@ -267,7 +267,10 @@ case class ProtoEntityChangesEncodeExpr(child: Expression) extends UnaryExpressi
       }
       i += 1
     }
-    assert(w.pos == total,
+    // unconditional (NOT a Scala assert, which -Xdisable-assertions
+    // elides): a sizing/writing mismatch must fail loudly, never emit
+    // a silently corrupt payload (round-12 ADVICE)
+    if (w.pos != total) throw new IllegalStateException(
       s"graft_entity_changes_encode: sized $total bytes, wrote ${w.pos}")
     w.buf
   }

@@ -532,28 +532,28 @@ object Dedup {
       // before anything moves
       .repartition(col("doc_a"), col("doc_b"))
     // one representative text per hash (texts under one md5 are equal).
-    // Round 13 (guide §2.3/§8 — decide with small rows): min(string)
-    // carries a string agg buffer, which disqualifies HashAggregate,
-    // so the bare groupBy(h).min(text) SORT-aggregated the WHOLE
-    // CORPUS (text payload included) by hash on the map side — an
-    // n·log n corpus sort feeding an aggregate whose output is only
-    // ever consumed for hashes that appear in a candidate pair. A
-    // distinct-first rewrite does NOT survive Catalyst
-    // (RemoveRedundantAggregates folds a distinct under a
-    // duplicate-insensitive min — re-checked this round, same rewrite
-    // q_gap_fill hit in round 12). Instead the input is RESTRICTED:
-    // semi-join the docs to the pair-participating hash set (pair-
-    // bounded, broadcast under the same [[LevBroadcastMaxDocs]] gate
-    // as every other small side here), so the unavoidable
-    // string-buffer SortAggregate runs over candidate docs only,
-    // never the corpus. Rows out are identical — reps of non-pair
-    // hashes were computed and then dropped by the levTab joins.
-    val distinctPairs = pairs.select(col("ha"), col("hb")).distinct()
-    val pairHashes = distinctPairs
-      .select(explode(array(col("ha"), col("hb"))).as("h")).distinct()
-    val reps = docs.join(hint(pairHashes), Seq("h"), "left_semi")
-      .groupBy(col("h")).agg(min(col("text")).as("text"))
-    val levTab = distinctPairs
+    // Round-13 optimization attempts on this aggregate, BOTH measured
+    // and REJECTED (min(string) carries a string agg buffer, which
+    // disqualifies HashAggregate, so this groupBy sort-aggregates its
+    // input by hash on the map side — the attempts tried to shrink or
+    // remove that sort):
+    //   1. distinct(h, text) first, then the tiny min — Catalyst's
+    //      RemoveRedundantAggregates folds a distinct back under a
+    //      duplicate-insensitive min: the re-dumped plan was identical
+    //      (the q_gap_fill round-12 rewrite, hit again).
+    //   2. semi-join the docs to the pair-participating hash set so
+    //      the sort runs over candidate docs only
+    //      (plans/r13/dd_lev_verify_rejected.txt): the pairHashes
+    //      branch re-evaluates the pair subtree (stages 6→10 at sf0.1,
+    //      9→17 at sf10; shuffle 39→85 MB) and measured 0.28→0.46 s at
+    //      sf0.1, 3.78→5.75 s at sf10 — and on a twin-heavy corpus
+    //      (the 100 TB dedup worst case, and the sf10 ScaleUp shape)
+    //      EVERY doc is pair-participating, so the restriction filters
+    //      nothing while still paying its stages. REVERTED.
+    // The corpus-sorted min stays: its input is the narrow (h, text)
+    // projection, and the key already beats its DuckDB twin.
+    val reps = docs.groupBy(col("h")).agg(min(col("text")).as("text"))
+    val levTab = pairs.select(col("ha"), col("hb")).distinct()
       .join(reps.select(col("h").as("ha"), col("text").as("text_a")), "ha")
       .join(reps.select(col("h").as("hb"), col("text").as("text_b")), "hb")
       .select(col("ha"), col("hb"),

@@ -167,6 +167,42 @@ class ProtoFusedSpec extends SparkSpec {
     }
   }
 
+  test("invalid UTF-8 payload bytes: the fused path is byte-faithful BY DESIGN " +
+    "(raw bytes preserved and round-tripped; the model twin sanitizes to U+FFFD)") {
+    // round-12 ADVICE fixture: proto wire strings are length-delimited
+    // byte runs — nothing in the format guarantees valid UTF-8. The
+    // FUSED decode emits UTF8String.fromBytes slices (byte-faithful:
+    // fused-encode ∘ fused-decode is the identity on any payload); the
+    // retained MODEL twin round-trips through java.lang.String, which
+    // replaces malformed sequences with U+FFFD and cannot round-trip.
+    // The fused behavior is the PINNED contract — this fixture is the
+    // one place the twins intentionally diverge, and it documents both
+    // sides so neither can drift silently.
+    import org.apache.spark.unsafe.types.UTF8String
+    val rawEntity = Array(0xFF.toByte, 0xFE.toByte, 'A'.toByte) // not UTF-8
+    val wire = Array[Byte](0x2A, 0x08, // change #0, len 8
+      0x0A, 0x03, rawEntity(0), rawEntity(1), rawEntity(2), // entity
+      0x12, 0x01, 0x7A) // id "z" (ordinal 0 / op 0 omitted by the codec)
+    // fused decode preserves the exact payload bytes
+    val got = decodeExpr.compute(wire)
+    val row = got.getStruct(0, 5)
+    assert(row.getUTF8String(0).getBytes.toSeq === rawEntity.toSeq)
+    assert(row.getUTF8String(1).toString === "z")
+    // ...and the fused encode of those rows reproduces the wire exactly
+    val encExpr = ProtoEntityChangesEncodeExpr(Literal(null, encodeSchema(true)))
+    val reEnc = encExpr.compute(ArrayData.toArrayData(Array[Any](
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromBytes(rawEntity), UTF8String.fromString("z"), 0L,
+        UTF8String.fromString("OPERATION_UNSPECIFIED"),
+        ArrayData.toArrayData(Array.empty[Any])))))
+    assert(reEnc.toSeq === wire.toSeq)
+    // the model twin sanitizes: U+FFFD U+FFFD 'A' — documented, not a bug
+    val model = decodeExpr.computeViaModel(wire)
+    val sanitized = new String(rawEntity, java.nio.charset.StandardCharsets.UTF_8)
+    assert(sanitized.startsWith("�"))
+    assert(model.getStruct(0, 5).getUTF8String(0).toString === sanitized)
+  }
+
   test("decode ∘ fused-encode and fused-decode ∘ encode are identity on the smoke corpus") {
     // real change stream (sf smoke corpus) through BOTH fused
     // directions: encode each row's one-change message with the fused
