@@ -417,12 +417,28 @@ object Dedup {
     * doc_id (high-cardinality, AQE-broadcast while pairs are small).
     * Nothing here reads text — at 100 TB the verify pass moves
     * 128 B/doc of signature instead of the documents themselves. */
+  /** Doc-count bound under which [[ddMinhashEst]] FORCES broadcast of
+    * the signature table: 2.5·10^7 rows × ~144 B (doc_id + 16 longs +
+    * array header) ≈ 3.6 GB, inside Spark's 8 GB broadcast ceiling
+    * with headroom; past it AQE chooses (the pair set is persisted and
+    * the shuffle joins return — the data-proportional shape). */
+  val EstBroadcastMaxDocs = 25000000L
+
   def ddMinhashEst(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(s)
     // round 13: both join sides read the standing signature table
     // ([[docSigs]]) instead of re-running the signature kernel over
-    // the corpus once per side — sig-kernel scan census 3 → 1
-    val sigs = docSigs(s, d)
+    // the corpus once per side — sig-kernel scan census 3 → 1.
+    // Round 13b (guide §3.1): when the corpus fits the gate, the sig
+    // sides broadcast, so the (quadratic-in-twins) candidate PAIR
+    // stream never shuffles — at sf10 the ungated plan sort-merge-
+    // joined it twice, 1.7 GB of shuffle for two 70 MB build sides.
+    // Gated on the same memoized corpus count dd_lev_verify uses.
+    val fits = levDocCountMemo.getOrBuild(s, d) {
+      Tables.documents(s, d).count()
+    } <= EstBroadcastMaxDocs
+    def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
+    val sigs = hint(docSigs(s, d))
     val nMatch = (0 until NumPerms)
       .map(i => s"IF(element_at(ha, ${i + 1}) = element_at(hb, ${i + 1}), 1, 0)")
       .mkString(" + ")
