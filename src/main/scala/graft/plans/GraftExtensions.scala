@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BestCent, BigramStats, BpeApply, CharStats, Int128SumProduct, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PairCounts, PiiScrub, PoiHex, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
+import graft.functions.{AlphaCount, BestCent, BigramStats, BpeApply, CharStats, Int128SumProduct, JsonLong, LongDot, Md5Hex, MinhashSigs, NormFingerprint, PairCounts, PiiScrub, PoiHex, PqCodes, PqTable, ProtoEntityChangesEncodeExpr, ProtoEntityChangesExpr, SignBuckets, SimhashText, StepCut}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -41,6 +41,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_char_stats"),
       new ExpressionInfo(classOf[CharStats].getName, "graft_char_stats"),
       (args: Seq[Expression]) => CharStats(args(0))),
+    (FunctionIdentifier("graft_alpha_count"),
+      new ExpressionInfo(classOf[AlphaCount].getName, "graft_alpha_count"),
+      (args: Seq[Expression]) => AlphaCount(args(0))),
     (FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimhashText].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimhashText(args(0))),

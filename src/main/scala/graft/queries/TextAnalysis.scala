@@ -47,12 +47,16 @@ object TextAnalysis {
   /** Doc quality: token count, stopword ratio, alpha-char ratio —
     * ratios ×1000 in exact integer division. */
   def txQualityScore(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     val en = Stopwords("en")
     Tables.documents(s, d)
       .withColumn("w", toks(col("text")))
       .withColumn("n_tok", size(col("w")).cast("long"))
       .withColumn("n_stop", size(filter(col("w"), t => t.isInCollection(en))).cast("long"))
-      .withColumn("n_alpha", length(regexp_replace(col("text"), "[^a-z]", "")).cast("long"))
+      // round 13: graft_alpha_count ≡ length(regexp_replace(text,
+      // '[^a-z]', '')) for every input (AlphaCountSpec), without the
+      // regex scan or the stripped-string allocation per document
+      .withColumn("n_alpha", expr("graft_alpha_count(text)"))
       // greatest(..,1) denominators: an empty document would divide by
       // zero, which Spark DIV tolerates (NULL) but DuckDB // raises —
       // the guard keeps both engines total and identical
@@ -258,6 +262,7 @@ object TextAnalysis {
     * DuckDB — recursive-CTE clusters included — so the composed
     * pipeline, not just its pieces, is hash-gated. */
   def txCuration(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(s)
     val losersRaw = Dedup.ddCluster(s, d)
       .filter(col("cluster_id") =!= col("doc_id")).select("doc_id")
     // Round 13 (guide §3.1): the loser set arrives from the CC loop's
@@ -280,7 +285,9 @@ object TextAnalysis {
       .withColumn("n_bpe",
         size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long"))
       .withColumn("alpha_x1000", expr(
-        "CAST(length(regexp_replace(text, '[^a-z]', '')) AS BIGINT) * 1000 DIV greatest(length(text), 1)"))
+        // round 13: byte-pass alpha count (≡ the regex form; see
+        // AlphaCount / txQualityScore)
+        "graft_alpha_count(text) * 1000 DIV greatest(length(text), 1)"))
       .filter(col("n_tok") >= MinTokens && col("alpha_x1000") >= MinAlphaX1000)
       .join(losers, Seq("doc_id"), "left_anti")
       .withColumn("lang_guess", langGuessExpr(array_distinct(col("w"))))
